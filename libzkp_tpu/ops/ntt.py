@@ -1,0 +1,193 @@
+"""Radix-2 NTT / polynomial engine.
+
+Replaces the reference's delegated polynomial math (winterfell LDE at
+``stark.rs:834-842``; ark-poly QAP domains inside ark-groth16, SURVEY.md §2.2)
+with two tiers:
+
+* Host golden model on Python ints (exact, any field with enough 2-adicity).
+* TPU batched limb NTT (:func:`ntt_device`): many polynomials transformed at
+  once; butterfly stages are data-parallel over the batch axis and shard over
+  the mesh ``dp`` axis. Montgomery-domain twiddles are precomputed per field.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import List
+
+import jax
+import jax.numpy as jnp
+
+from .field import PrimeField
+from .limb import LimbContext, get_context
+
+
+# ---------------------------------------------------------------------------
+# Host tier
+# ---------------------------------------------------------------------------
+
+def _bit_reverse_permute(a: List[int]) -> List[int]:
+    n = len(a)
+    bits = n.bit_length() - 1
+    out = list(a)
+    for i in range(n):
+        j = int(bin(i)[2:].zfill(bits)[::-1], 2)
+        if j > i:
+            out[i], out[j] = out[j], out[i]
+    return out
+
+
+def ntt(F: PrimeField, values: List[int], invert: bool = False) -> List[int]:
+    """In-order iterative radix-2 NTT over the size-n root-of-unity domain."""
+    n = len(values)
+    assert n & (n - 1) == 0, "size must be a power of two"
+    p = F.p
+    a = _bit_reverse_permute([v % p for v in values])
+    root = F.root_of_unity(n)
+    if invert:
+        root = F.inv(root)
+    length = 2
+    while length <= n:
+        w_len = pow(root, n // length, p)
+        for start in range(0, n, length):
+            w = 1
+            half = length // 2
+            for k in range(start, start + half):
+                u = a[k]
+                v = a[k + half] * w % p
+                a[k] = (u + v) % p
+                a[k + half] = (u - v) % p
+                w = w * w_len % p
+        length *= 2
+    if invert:
+        n_inv = F.inv(n)
+        a = [x * n_inv % p for x in a]
+    return a
+
+
+def interpolate(F: PrimeField, evals: List[int]) -> List[int]:
+    """Coefficients of the poly whose evaluations over the size-n domain are ``evals``."""
+    return ntt(F, evals, invert=True)
+
+
+def evaluate(F: PrimeField, coeffs: List[int], domain_size: int) -> List[int]:
+    """Evaluate over the root-of-unity domain of ``domain_size`` (>= len(coeffs))."""
+    padded = list(coeffs) + [0] * (domain_size - len(coeffs))
+    return ntt(F, padded)
+
+
+def evaluate_coset(F: PrimeField, coeffs: List[int], domain_size: int, offset: int) -> List[int]:
+    """Evaluate over the coset ``offset * <g_n>`` (the LDE domain)."""
+    p = F.p
+    shifted = []
+    power = 1
+    for c in coeffs:
+        shifted.append(c * power % p)
+        power = power * offset % p
+    return evaluate(F, shifted, domain_size)
+
+
+def interpolate_coset(F: PrimeField, evals: List[int], offset: int) -> List[int]:
+    """Inverse of :func:`evaluate_coset` on a full coset evaluation vector."""
+    p = F.p
+    coeffs = ntt(F, evals, invert=True)
+    inv_off = F.inv(offset)
+    out = []
+    power = 1
+    for c in coeffs:
+        out.append(c * power % p)
+        power = power * inv_off % p
+    return out
+
+
+def poly_eval(F: PrimeField, coeffs: List[int], x: int) -> int:
+    """Horner evaluation at a single point."""
+    acc = 0
+    for c in reversed(coeffs):
+        acc = (acc * x + c) % F.p
+    return acc
+
+
+def poly_degree(coeffs: List[int]) -> int:
+    for i in range(len(coeffs) - 1, -1, -1):
+        if coeffs[i] != 0:
+            return i
+    return 0
+
+
+# ---------------------------------------------------------------------------
+# TPU tier — batched NTT over limb arrays
+# ---------------------------------------------------------------------------
+
+@functools.lru_cache(maxsize=None)
+def _twiddle_table(p: int, n: int, invert: bool):
+    """Per-stage Montgomery twiddles, shape (log n, n//2) as a host array."""
+    import numpy as np
+
+    F = PrimeField(p, "tw")
+    ctx = get_context(p, "tw")
+    root = F.root_of_unity(n)
+    if invert:
+        root = F.inv(root)
+    stages = []
+    length = 2
+    while length <= n:
+        w_len = pow(root, n // length, p)
+        ws = []
+        w = 1
+        for _ in range(length // 2):
+            ws.append(w)
+            w = w * w_len % p
+        # tile across the n/2 butterfly lanes of this stage
+        reps = n // length
+        stage = ws * reps
+        stages.append(stage)
+        length *= 2
+    flat = [v for st in stages for v in st]
+    enc = jax.device_get(ctx.to_mont(ctx.encode(flat)))
+    return np.asarray(enc).reshape(len(stages), n // 2, ctx.n)
+
+
+def _bitrev_indices(n: int):
+    import numpy as np
+
+    bits = n.bit_length() - 1
+    idx = np.arange(n)
+    rev = np.zeros(n, dtype=np.int32)
+    for b in range(bits):
+        rev |= ((idx >> b) & 1) << (bits - 1 - b)
+    return rev
+
+
+def ntt_device(ctx: LimbContext, values_mont: jnp.ndarray, invert: bool = False) -> jnp.ndarray:
+    """Batched NTT on Montgomery-domain limb arrays.
+
+    ``values_mont``: (..., n_points, n_limbs). All leading axes are batch.
+    Stages run as vectorized butterflies; sharding the batch axis across the
+    mesh gives the multi-chip NTT path (SURVEY.md §2.3 "NTT engine").
+    """
+    import numpy as np
+
+    n = values_mont.shape[-2]
+    tw = jnp.asarray(_twiddle_table(ctx.p, n, invert))  # (stages, n//2, limbs)
+    rev = jnp.asarray(_bitrev_indices(n))
+    a = jnp.take(values_mont, rev, axis=-2)
+    log_n = n.bit_length() - 1
+    for s in range(log_n):
+        length = 2 << s
+        half = length >> 1
+        # reshape into (..., n//length, length, limbs)
+        shape = a.shape[:-2] + (n // length, length, ctx.n)
+        blk = a.reshape(shape)
+        u = blk[..., :half, :]
+        v = blk[..., half:, :]
+        w = tw[s].reshape(n // length, half, ctx.n)
+        v = ctx.mont_mul(v, w)
+        top = ctx.add(u, v)
+        bot = ctx.sub(u, v)
+        a = jnp.concatenate([top, bot], axis=-2).reshape(values_mont.shape)
+    if invert:
+        F = PrimeField(ctx.p, "tmp")
+        n_inv_mont = ctx.to_mont(ctx.encode_scalar(F.inv(n)))
+        a = ctx.mont_mul(a, n_inv_mont)
+    return a
