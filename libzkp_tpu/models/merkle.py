@@ -42,6 +42,91 @@ class MerkleTree:
             index >>= 1
         return path
 
+    def open_many(self, positions: Sequence[int]) -> List[bytes]:
+        """Batched opening: the minimal sibling-node set for ``positions``.
+
+        Nodes are emitted level-by-level, left-to-right — the deterministic
+        dual of :meth:`verify_many`. Mirrors winterfell's BatchMerkleProof
+        role (compresses shared path prefixes across queries).
+        """
+        nodes: List[bytes] = []
+        known = sorted(set(positions))
+        for level in self.levels[:-1]:
+            nxt: List[int] = []
+            i = 0
+            while i < len(known):
+                idx = known[i]
+                sib = idx ^ 1
+                if i + 1 < len(known) and known[i + 1] == sib:
+                    i += 2
+                else:
+                    nodes.append(level[sib])
+                    i += 1
+                nxt.append(idx >> 1)
+            known = nxt
+        return nodes
+
+    @staticmethod
+    def verify_many(
+        root: bytes,
+        depth: int,
+        positions: Sequence[int],
+        leaves: Sequence[bytes],
+        nodes: Sequence[bytes],
+    ) -> bool:
+        """Verify a batched opening produced by :meth:`open_many`.
+
+        ``positions``/``leaves`` are parallel (positions must be sorted unique).
+        """
+        known = list(positions)
+        if known != sorted(set(known)) or len(leaves) != len(known):
+            return False
+        values = {idx: bytes(l) for idx, l in zip(known, leaves)}
+        stream = iter(nodes)
+        try:
+            for _ in range(depth):
+                nxt: dict = {}
+                i = 0
+                while i < len(known):
+                    idx = known[i]
+                    sib = idx ^ 1
+                    if i + 1 < len(known) and known[i + 1] == sib:
+                        left, right = values[idx], values[sib]
+                        i += 2
+                    else:
+                        sv = next(stream)
+                        left, right = (
+                            (values[idx], sv) if idx % 2 == 0 else (sv, values[idx])
+                        )
+                        i += 1
+                    nxt[idx >> 1] = merge_digests(left, right)
+                values = nxt
+                known = sorted(values)
+        except StopIteration:
+            return False
+        if next(stream, None) is not None:
+            return False
+        return len(values) == 1 and values.get(0) == root
+
+    @staticmethod
+    def num_batch_nodes(depth: int, positions: Sequence[int]) -> int:
+        """Node count of a batched opening (for deserialization)."""
+        known = sorted(set(positions))
+        count = 0
+        for _ in range(depth):
+            nxt = []
+            i = 0
+            while i < len(known):
+                idx = known[i]
+                if i + 1 < len(known) and known[i + 1] == (idx ^ 1):
+                    i += 2
+                else:
+                    count += 1
+                    i += 1
+                nxt.append(idx >> 1)
+            known = nxt
+        return count
+
     @staticmethod
     def verify(root: bytes, index: int, leaf: bytes, path: List[bytes]) -> bool:
         node = bytes(leaf)

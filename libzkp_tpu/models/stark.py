@@ -358,22 +358,32 @@ def prove(air: Air, trace_columns: List[List[int]]) -> bytes:
     wtr.felts(F, remainder)
     wtr.u64(nonce)
     wtr.u8(len(positions))
+    # Batched openings: rows for all queried positions, then the minimal
+    # Merkle node set (winterfell BatchMerkleProof equivalent).
     for q in positions:
         wtr.felts(F, [trace_lde[i][q] for i in range(w)])
-        for node in trace_tree.open(q):
-            wtr.raw(node)
+    t_nodes = trace_tree.open_many(positions)
+    wtr.u16(len(t_nodes))
+    for node in t_nodes:
+        wtr.raw(node)
+    for q in positions:
         wtr.felts(F, [comp_lde[j][q] for j in range(k)])
-        for node in comp_tree.open(q):
-            wtr.raw(node)
-        # FRI layer openings
-        q_l = q
-        for li, _size in enumerate(layer_sizes):
-            stride = _size // opts.folding
-            r = q_l % stride
+    c_nodes = comp_tree.open_many(positions)
+    wtr.u16(len(c_nodes))
+    for node in c_nodes:
+        wtr.raw(node)
+    # FRI layers: deduplicated folded positions per layer.
+    cur_positions = list(positions)
+    for li, size_l in enumerate(layer_sizes):
+        stride = size_l // opts.folding
+        fold_positions = sorted(set(q % stride for q in cur_positions))
+        for r in fold_positions:
             wtr.felts(F, fri_rows[li][r])
-            for node in fri_trees[li].open(r):
-                wtr.raw(node)
-            q_l = r
+        l_nodes = fri_trees[li].open_many(fold_positions)
+        wtr.u16(len(l_nodes))
+        for node in l_nodes:
+            wtr.raw(node)
+        cur_positions = fold_positions
     return wtr.bytes()
 
 
@@ -475,18 +485,48 @@ def _verify_inner(air: Air, proof_bytes: bytes) -> bool:
     if acc != hz:
         return False
 
-    # --- query checks ---
+    # --- query checks (batched Merkle openings) ---
     depth_t = (N - 1).bit_length()
-    for q in positions:
+    trace_rows = [rdr.felts(F, w) for _ in positions]
+    n_nodes = rdr.u16()
+    t_nodes = [rdr.raw(32) for _ in range(n_nodes)]
+    if not MerkleTree.verify_many(
+        trace_root, depth_t, positions,
+        [hash_elements(F, row) for row in trace_rows], t_nodes,
+    ):
+        return False
+    comp_rows = [rdr.felts(F, k) for _ in positions]
+    n_nodes = rdr.u16()
+    c_nodes = [rdr.raw(32) for _ in range(n_nodes)]
+    if not MerkleTree.verify_many(
+        comp_root, depth_t, positions,
+        [hash_elements(F, row) for row in comp_rows], c_nodes,
+    ):
+        return False
+
+    # FRI layer rows
+    fri_layer_rows = []  # per layer: dict r -> row
+    cur_positions = list(positions)
+    for li, size_l in enumerate(layer_sizes):
+        stride = size_l // opts.folding
+        fold_positions = sorted(set(q % stride for q in cur_positions))
+        rows = {r: rdr.felts(F, opts.folding) for r in fold_positions}
+        n_nodes = rdr.u16()
+        l_nodes = [rdr.raw(32) for _ in range(n_nodes)]
+        depth_l = (stride - 1).bit_length()
+        if not MerkleTree.verify_many(
+            fri_roots[li], depth_l, fold_positions,
+            [hash_elements(F, rows[r]) for r in fold_positions], l_nodes,
+        ):
+            return False
+        fri_layer_rows.append(rows)
+        cur_positions = fold_positions
+
+    final_size = N // (opts.folding ** num_layers) if num_layers else N
+    for qi, q in enumerate(positions):
         x_q = offset * pow(g_N, q, p) % p
-        trace_row = rdr.felts(F, w)
-        path = [rdr.raw(32) for _ in range(depth_t)]
-        if not MerkleTree.verify(trace_root, q, hash_elements(F, trace_row), path):
-            return False
-        comp_row = rdr.felts(F, k)
-        path = [rdr.raw(32) for _ in range(depth_t)]
-        if not MerkleTree.verify(comp_root, q, hash_elements(F, comp_row), path):
-            return False
+        trace_row = trace_rows[qi]
+        comp_row = comp_rows[qi]
 
         # recompute DEEP value at q
         inv_xz = F.inv((x_q - z) % p)
@@ -507,12 +547,8 @@ def _verify_inner(air: Air, proof_bytes: bytes) -> bool:
             stride = size_l // f
             r = q_l % stride
             t_idx = q_l // stride
-            row = rdr.felts(F, f)
-            depth_l = (stride - 1).bit_length()
-            path = [rdr.raw(32) for _ in range(depth_l)]
+            row = fri_layer_rows[li][r]
             if row[t_idx] != cur_val:
-                return False
-            if not MerkleTree.verify(fri_roots[li], r, hash_elements(F, row), path):
                 return False
             g_cur = F.root_of_unity(size_l)
             eta = pow(g_cur, stride, p)
@@ -522,7 +558,6 @@ def _verify_inner(air: Air, proof_bytes: bytes) -> bool:
             cur_offset = pow(cur_offset, f, p)
             q_l = r
         # final: against the remainder polynomial over the last domain
-        final_size = N // (opts.folding ** num_layers)
         g_fin = F.root_of_unity(final_size)
         x_fin = cur_offset * pow(g_fin, q_l, p) % p
         if poly.poly_eval(F, remainder, x_fin) != cur_val:

