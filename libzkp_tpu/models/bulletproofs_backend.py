@@ -1,0 +1,349 @@
+"""Bulletproofs backend: range / threshold / consistency proofs.
+
+Mirrors ``/root/reference/src/backend/bulletproofs.rs`` bit-for-bit at the
+wire level:
+
+* backend envelope ``[u32 body_len][body][u32=32][32B commitment]``
+  (bulletproofs.rs:12-24)
+* two-sided range body ``[min:8][max:8][n_bits:4][len|rp_min][len|rp_max]
+  [Cmin:32][Cmax:32]`` with transcripts ``b"libzkp_range_min"`` /
+  ``b"libzkp_range_max"`` and blindings ``b`` / ``-b`` (bulletproofs.rs:112-178)
+* threshold body ``[threshold:8][n_bits:4][len|rp][Cdiff:32]``, transcript
+  ``b"libzkp_threshold"``, diff blinding = sum blinding (bulletproofs.rs:309-366)
+* consistency body ``[count:4][C_i x32 ...][len|rp ...][Cdiff x32 ...]`` with
+  transcript ``b"libzkp_consistency"`` and the SHA-256 digest of the
+  commitment list as envelope commitment (bulletproofs.rs:368-437)
+* homomorphic verification: ``C_min = C - min*B``, ``C_max = max*B - C``
+  (bulletproofs.rs:265-268), ``C_diff = C_sum - threshold*B`` (:609-610),
+  ``C_diff_i = C_i - C_{i-1}`` (:529-533)
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+from typing import List, Optional, Tuple
+
+from ..ops import ed25519 as ed
+from ..utils.encoding import read_u64_le, u32_le, u64_le
+from .bp_generators import pedersen_commit, pedersen_gens
+from .bulletproofs import RangeProof, prove_single, verify_single
+from .strobe import Transcript
+
+L = ed.L
+
+
+def encode_proof_body_with_commit(body: bytes, commit: bytes) -> bytes:
+    if len(commit) != 32:
+        raise ValueError("commitment must be 32 bytes")
+    return u32_le(len(body)) + body + u32_le(32) + commit
+
+
+def decode_proof_body_and_commit(data: bytes) -> Optional[Tuple[bytes, bytes]]:
+    if len(data) < 4 + 4 + 32:
+        return None
+    plen = int.from_bytes(data[0:4], "little")
+    proof_end = 4 + plen
+    if len(data) < proof_end + 4 + 32:
+        return None
+    clen = int.from_bytes(data[proof_end : proof_end + 4], "little")
+    if clen != 32 or len(data) != proof_end + 4 + 32:
+        return None
+    return data[4:proof_end], data[proof_end + 4 :]
+
+
+def _random_blinding() -> int:
+    # reference: Scalar::from_bytes_mod_order(OsRng 32 bytes) (bulletproofs.rs:82-87)
+    return ed.scalar_from_bytes_mod_order(os.urandom(32))
+
+
+def max_u64_for_bit_width(n_bits: int) -> int:
+    return (1 << 64) - 1 if n_bits >= 64 else (1 << n_bits) - 1
+
+
+class BulletproofsBackend:
+    # -- range (two-sided) -------------------------------------------------
+    @staticmethod
+    def prove_range_with_bounds(value: int, min_v: int, max_v: int) -> bytes:
+        return BulletproofsBackend.prove_range_with_bounds_bits(value, min_v, max_v, 64)
+
+    @staticmethod
+    def prove_range_with_bounds_bits(
+        value: int, min_v: int, max_v: int, n_bits: int
+    ) -> bytes:
+        if value < min_v or value > max_v:
+            raise ValueError("value out of range")
+        max_diff = max_u64_for_bit_width(n_bits)
+        diff_min = value - min_v
+        diff_max = max_v - value
+        if diff_min > max_diff or diff_max > max_diff:
+            raise ValueError(
+                f"range width exceeds {n_bits}-bit capacity; use n_bits=64"
+            )
+
+        blinding = _random_blinding()
+        value_commit = ed.compress(pedersen_commit(value % L, blinding))
+
+        t_min = Transcript(b"libzkp_range_min")
+        rp_min, c_min = prove_single(t_min, diff_min, blinding, n_bits)
+        t_max = Transcript(b"libzkp_range_max")
+        rp_max, c_max = prove_single(t_max, diff_max, (L - blinding) % L, n_bits)
+
+        body = bytearray()
+        body += u64_le(min_v)
+        body += u64_le(max_v)
+        body += u32_le(n_bits)
+        rp_min_b = rp_min.to_bytes()
+        body += u32_le(len(rp_min_b)) + rp_min_b
+        rp_max_b = rp_max.to_bytes()
+        body += u32_le(len(rp_max_b)) + rp_max_b
+        body += c_min
+        body += c_max
+        return encode_proof_body_with_commit(bytes(body), value_commit)
+
+    @staticmethod
+    def verify_range_with_bounds(proof_data: bytes, min_v: int, max_v: int) -> bool:
+        return BulletproofsBackend.verify_range_with_bounds_bits(proof_data, min_v, max_v)
+
+    @staticmethod
+    def verify_range_with_bounds_bits(proof_data: bytes, min_v: int, max_v: int) -> bool:
+        try:
+            return BulletproofsBackend._verify_range_inner(proof_data, min_v, max_v)
+        except Exception:
+            return False
+
+    @staticmethod
+    def _verify_range_inner(proof_data: bytes, min_v: int, max_v: int) -> bool:
+        decoded = decode_proof_body_and_commit(proof_data)
+        if decoded is None:
+            return False
+        body, commit_bytes = decoded
+        value_commit = ed.decompress(commit_bytes)
+        if value_commit is None:
+            return False
+        if len(body) < 20:
+            return False
+        proof_min = read_u64_le(body, 0)
+        proof_max = read_u64_le(body, 8)
+        if proof_min != min_v or proof_max != max_v:
+            return False
+        n_bits = int.from_bytes(body[16:20], "little")
+        pos = 20
+        if len(body) < pos + 4:
+            return False
+        l1 = int.from_bytes(body[pos : pos + 4], "little")
+        pos += 4
+        if len(body) < pos + l1:
+            return False
+        rp_min = RangeProof.from_bytes(body[pos : pos + l1])
+        pos += l1
+        if rp_min is None or len(body) < pos + 4:
+            return False
+        l2 = int.from_bytes(body[pos : pos + 4], "little")
+        pos += 4
+        if len(body) < pos + l2:
+            return False
+        rp_max = RangeProof.from_bytes(body[pos : pos + l2])
+        pos += l2
+        if rp_max is None or len(body) != pos + 64:
+            return False
+        c_min_bytes = body[pos : pos + 32]
+        c_max_bytes = body[pos + 32 : pos + 64]
+
+        B, _ = pedersen_gens()
+        # homomorphic re-derivation (bulletproofs.rs:265-268)
+        expected_min = ed.compress(
+            ed.point_add(value_commit, ed.point_neg(ed.scalar_mul(min_v % L, B)))
+        )
+        expected_max = ed.compress(
+            ed.point_add(ed.scalar_mul(max_v % L, B), ed.point_neg(value_commit))
+        )
+        if expected_min != c_min_bytes or expected_max != c_max_bytes:
+            return False
+
+        t_min = Transcript(b"libzkp_range_min")
+        if not verify_single(rp_min, t_min, expected_min, n_bits):
+            return False
+        t_max = Transcript(b"libzkp_range_max")
+        return verify_single(rp_max, t_max, expected_max, n_bits)
+
+    # -- threshold ---------------------------------------------------------
+    @staticmethod
+    def prove_threshold(values: List[int], threshold: int) -> bytes:
+        return BulletproofsBackend.prove_threshold_bits(values, threshold, 64)
+
+    @staticmethod
+    def prove_threshold_bits(values: List[int], threshold: int, n_bits: int) -> bytes:
+        if not values:
+            raise ValueError("values cannot be empty")
+        total = 0
+        for v in values:
+            total += v
+            if total > (1 << 64) - 1:
+                raise ValueError("integer overflow in sum calculation")
+        if total < threshold:
+            raise ValueError("threshold not met")
+        diff = total - threshold
+        if diff > max_u64_for_bit_width(n_bits):
+            raise ValueError(
+                f"sum - threshold exceeds {n_bits}-bit capacity; use n_bits=64"
+            )
+        sum_blinding = _random_blinding()
+        sum_commit = ed.compress(pedersen_commit(total % L, sum_blinding))
+        t = Transcript(b"libzkp_threshold")
+        rp, diff_commit = prove_single(t, diff, sum_blinding, n_bits)
+        body = bytearray()
+        body += u64_le(threshold)
+        body += u32_le(n_bits)
+        rp_b = rp.to_bytes()
+        body += u32_le(len(rp_b)) + rp_b
+        body += diff_commit
+        return encode_proof_body_with_commit(bytes(body), sum_commit)
+
+    @staticmethod
+    def verify_threshold(proof_data: bytes, threshold: int) -> bool:
+        try:
+            decoded = decode_proof_body_and_commit(proof_data)
+            if decoded is None:
+                return False
+            body, sum_commit_bytes = decoded
+            if len(body) < 12:
+                return False
+            if read_u64_le(body, 0) != threshold:
+                return False
+            n_bits = int.from_bytes(body[8:12], "little")
+            pos = 12
+            if len(body) < pos + 4:
+                return False
+            rp_len = int.from_bytes(body[pos : pos + 4], "little")
+            pos += 4
+            if len(body) < pos + rp_len:
+                return False
+            rp = RangeProof.from_bytes(body[pos : pos + rp_len])
+            pos += rp_len
+            if rp is None or len(body) != pos + 32:
+                return False
+            diff_commit = body[pos : pos + 32]
+            sum_commit = ed.decompress(sum_commit_bytes)
+            if sum_commit is None:
+                return False
+            B, _ = pedersen_gens()
+            expected_diff = ed.compress(
+                ed.point_add(sum_commit, ed.point_neg(ed.scalar_mul(threshold % L, B)))
+            )
+            if expected_diff != diff_commit:
+                return False
+            t = Transcript(b"libzkp_threshold")
+            return verify_single(rp, t, expected_diff, n_bits)
+        except Exception:
+            return False
+
+    # -- consistency (monotonic non-decreasing) ----------------------------
+    @staticmethod
+    def prove_consistency(data: List[int]) -> bytes:
+        if not data:
+            raise ValueError("data cannot be empty")
+        if any(data[i] > data[i + 1] for i in range(len(data) - 1)):
+            raise ValueError("data inconsistent")
+        blindings = [_random_blinding() for _ in data]
+        commitments = [
+            ed.compress(pedersen_commit(v % L, b)) for v, b in zip(data, blindings)
+        ]
+        range_proofs = []
+        diff_commits = []
+        for i in range(1, len(data)):
+            diff = data[i] - data[i - 1]
+            diff_blinding = (blindings[i] - blindings[i - 1]) % L
+            t = Transcript(b"libzkp_consistency")
+            rp, dc = prove_single(t, diff, diff_blinding, 64)
+            range_proofs.append(rp)
+            diff_commits.append(dc)
+        body = bytearray()
+        body += u32_le(len(data))
+        for c in commitments:
+            body += c
+        for rp in range_proofs:
+            rp_b = rp.to_bytes()
+            body += u32_le(len(rp_b)) + rp_b
+        for dc in diff_commits:
+            body += dc
+        digest = hashlib.sha256(b"".join(commitments)).digest()
+        return encode_proof_body_with_commit(bytes(body), digest)
+
+    @staticmethod
+    def verify_consistency(proof_data: bytes) -> bool:
+        try:
+            decoded = decode_proof_body_and_commit(proof_data)
+            if decoded is None:
+                return False
+            body, commitment_hash = decoded
+            if len(commitment_hash) != 32 or len(body) < 4:
+                return False
+            num = int.from_bytes(body[0:4], "little")
+            if num == 0:
+                return False
+            pos = 4
+            if len(body) < pos + num * 32:
+                return False
+            commit_bytes = [body[pos + i * 32 : pos + (i + 1) * 32] for i in range(num)]
+            pos += num * 32
+            if hashlib.sha256(b"".join(commit_bytes)).digest() != commitment_hash:
+                return False
+            commitments = [ed.decompress(c) for c in commit_bytes]
+            if any(c is None for c in commitments):
+                return False
+            range_proofs = []
+            for _ in range(1, num):
+                if len(body) < pos + 4:
+                    return False
+                rp_len = int.from_bytes(body[pos : pos + 4], "little")
+                pos += 4
+                if len(body) < pos + rp_len:
+                    return False
+                rp = RangeProof.from_bytes(body[pos : pos + rp_len])
+                if rp is None:
+                    return False
+                range_proofs.append(rp)
+                pos += rp_len
+            for i in range(1, num):
+                if len(body) < pos + 32:
+                    return False
+                diff_commit = body[pos : pos + 32]
+                pos += 32
+                expected = ed.compress(
+                    ed.point_add(commitments[i], ed.point_neg(commitments[i - 1]))
+                )
+                if expected != diff_commit:
+                    return False
+                t = Transcript(b"libzkp_consistency")
+                if not verify_single(range_proofs[i - 1], t, diff_commit, 64):
+                    return False
+            return pos == len(body)
+        except Exception:
+            return False
+
+    # -- raw ZkpBackend trait interface (bulletproofs.rs:629-684) ----------
+    @staticmethod
+    def prove(data: bytes) -> bytes:
+        if len(data) != 8:
+            return b""
+        value = read_u64_le(data, 0)
+        if value is None:
+            return b""
+        blinding = _random_blinding()
+        t = Transcript(b"libzkp_bulletproof")
+        try:
+            rp, commit = prove_single(t, value, blinding, 64)
+        except Exception:
+            return b""
+        return rp.to_bytes() + commit
+
+    @staticmethod
+    def verify(proof: bytes, _data: bytes = b"") -> bool:
+        if len(proof) < 32:
+            return False
+        rp = RangeProof.from_bytes(proof[:-32])
+        if rp is None:
+            return False
+        t = Transcript(b"libzkp_bulletproof")
+        return verify_single(rp, t, proof[-32:], 64)
