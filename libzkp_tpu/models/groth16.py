@@ -1,0 +1,511 @@
+"""Groth16 zk-SNARK over BN254: setup, prove, verify, key serialization.
+
+Rebuilds the ``ark-groth16`` pipeline the reference uses
+(``/root/reference/src/backend/snark.rs:309-400,437-494``): circuit-specific
+setup (R1CS -> QAP over a radix-2 Fr domain), proving (witness MSMs on
+G1/G2 + the H-query), and pairing-based verification with processed keys.
+
+TPU note (SURVEY.md §2.3): the QAP evaluation is an NTT over BN254 Fr and the
+A/B/C/H commitments are MSMs — both batched on-device for the high-throughput
+path; this module is the exact host tier.
+"""
+
+from __future__ import annotations
+
+import os
+import struct
+from dataclasses import dataclass
+from typing import List, Optional, Tuple
+
+from ..ops import bn254 as bn
+from ..ops import ntt as poly
+from ..ops.field import BN254_FR
+from .r1cs import ConstraintSystem
+
+R = BN254_FR.p
+
+
+def _rand_fr() -> int:
+    while True:
+        v = int.from_bytes(os.urandom(32), "little") % R
+        if v != 0:
+            return v
+
+
+# ---------------------------------------------------------------------------
+# Fixed-base windowed multiplication (generators are reused thousands of times)
+# ---------------------------------------------------------------------------
+
+
+class _FixedBaseG1:
+    def __init__(self, base: bn.G1, window: int = 8):
+        self.window = window
+        self.tables: List[List[bn.G1]] = []
+        cur = base
+        nwin = (254 + window - 1) // window
+        for _ in range(nwin):
+            row = [bn.G1_INF]
+            for i in range(1, (1 << window)):
+                row.append(bn.g1_add(row[i - 1], cur))
+            self.tables.append(row)
+            for _ in range(window):
+                cur = bn.g1_double(cur)
+
+    def mul(self, k: int) -> bn.G1:
+        k %= R
+        acc = bn.G1_INF
+        w = 0
+        mask = (1 << self.window) - 1
+        while k:
+            digit = k & mask
+            if digit:
+                acc = bn.g1_add(acc, self.tables[w][digit])
+            k >>= self.window
+            w += 1
+        return acc
+
+
+class _FixedBaseG2:
+    def __init__(self, base: bn.G2, window: int = 8):
+        self.window = window
+        self.tables: List[List[bn.G2]] = []
+        cur = base
+        nwin = (254 + window - 1) // window
+        for _ in range(nwin):
+            row = [bn.G2_INF]
+            for i in range(1, (1 << window)):
+                row.append(bn.g2_add(row[i - 1], cur))
+            self.tables.append(row)
+            for _ in range(window):
+                cur = bn.g2_double(cur)
+
+    def mul(self, k: int) -> bn.G2:
+        k %= R
+        acc = bn.G2_INF
+        w = 0
+        mask = (1 << self.window) - 1
+        while k:
+            digit = k & mask
+            if digit:
+                acc = bn.g2_add(acc, self.tables[w][digit])
+            k >>= self.window
+            w += 1
+        return acc
+
+
+_g1_base: Optional[_FixedBaseG1] = None
+_g2_base: Optional[_FixedBaseG2] = None
+
+
+def _bases() -> Tuple[_FixedBaseG1, _FixedBaseG2]:
+    global _g1_base, _g2_base
+    if _g1_base is None:
+        _g1_base = _FixedBaseG1(bn.g1_from_affine(bn.G1_GEN))
+        _g2_base = _FixedBaseG2(bn.g2_from_affine((bn.G2_GEN_X, bn.G2_GEN_Y)))
+    return _g1_base, _g2_base
+
+
+# ---------------------------------------------------------------------------
+# Keys
+# ---------------------------------------------------------------------------
+
+
+@dataclass
+class VerifyingKey:
+    alpha_g1: bn.G1
+    beta_g2: bn.G2
+    gamma_g2: bn.G2
+    delta_g2: bn.G2
+    gamma_abc_g1: List[bn.G1]  # per instance variable (incl. ONE)
+
+
+@dataclass
+class ProvingKey:
+    vk: VerifyingKey
+    beta_g1: bn.G1
+    delta_g1: bn.G1
+    a_query: List[bn.G1]  # u_i(tau) G1, all variables
+    b_g1_query: List[bn.G1]
+    b_g2_query: List[bn.G2]
+    h_query: List[bn.G1]  # tau^j Z(tau)/delta G1
+    l_query: List[bn.G1]  # witness variables
+
+
+# ---------------------------------------------------------------------------
+# QAP construction
+# ---------------------------------------------------------------------------
+
+
+def _domain_size(cs: ConstraintSystem) -> int:
+    need = len(cs.constraints) + cs.num_instance
+    n = 1
+    while n < need:
+        n <<= 1
+    return n
+
+
+def _qap_evals_at_tau(cs: ConstraintSystem, tau: int, n: int):
+    """u_i(tau), v_i(tau), w_i(tau) per variable, plus Z(tau).
+
+    Row j of the QAP corresponds to Lagrange basis L_j over the size-n domain;
+    rows beyond the constraints are the instance-consistency rows
+    (A=instance_i, B=0, C=0) that make the input polynomials independent.
+    """
+    F = BN254_FR
+    omega = F.root_of_unity(n)
+    z_tau = (pow(tau, n, R) - 1) % R
+    # L_j(tau) = Z(tau) * omega^j / (n * (tau - omega^j))
+    omegas = []
+    w = 1
+    for _ in range(n):
+        omegas.append(w)
+        w = w * omega % R
+    denoms = [(tau - o) % R for o in omegas]
+    inv_denoms = F.batch_inv(denoms)
+    n_inv = F.inv(n)
+    lag = [z_tau * o % R * n_inv % R * inv_denoms[j] % R for j, o in enumerate(omegas)]
+
+    nv = cs.num_variables
+    u = [0] * nv
+    v = [0] * nv
+    w_ = [0] * nv
+    for j, (a, b, c) in enumerate(cs.constraints):
+        lj = lag[j]
+        for tag, coeff in a.items():
+            u[cs._resolve(tag)] = (u[cs._resolve(tag)] + coeff * lj) % R
+        for tag, coeff in b.items():
+            v[cs._resolve(tag)] = (v[cs._resolve(tag)] + coeff * lj) % R
+        for tag, coeff in c.items():
+            w_[cs._resolve(tag)] = (w_[cs._resolve(tag)] + coeff * lj) % R
+    # instance-consistency rows
+    for i in range(cs.num_instance):
+        lj = lag[len(cs.constraints) + i]
+        u[i] = (u[i] + lj) % R
+    return u, v, w_, z_tau
+
+
+def setup(cs: ConstraintSystem) -> ProvingKey:
+    """Circuit-specific trusted setup (toxic waste sampled from OS RNG)."""
+    g1b, g2b = _bases()
+    F = BN254_FR
+    n = _domain_size(cs)
+    alpha, beta, gamma, delta, tau = (_rand_fr() for _ in range(5))
+    u, v, w_, z_tau = _qap_evals_at_tau(cs, tau, n)
+
+    gamma_inv = F.inv(gamma)
+    delta_inv = F.inv(delta)
+    nv = cs.num_variables
+    ni = cs.num_instance
+
+    a_query = [g1b.mul(u[i]) for i in range(nv)]
+    b_g1_query = [g1b.mul(v[i]) for i in range(nv)]
+    b_g2_query = [g2b.mul(v[i]) for i in range(nv)]
+    gamma_abc = [
+        g1b.mul((beta * u[i] + alpha * v[i] + w_[i]) % R * gamma_inv % R)
+        for i in range(ni)
+    ]
+    l_query = [
+        g1b.mul((beta * u[i] + alpha * v[i] + w_[i]) % R * delta_inv % R)
+        for i in range(ni, nv)
+    ]
+    zd = z_tau * delta_inv % R
+    h_query = []
+    t_pow = 1
+    for _ in range(n - 1):
+        h_query.append(g1b.mul(t_pow * zd % R))
+        t_pow = t_pow * tau % R
+
+    vk = VerifyingKey(
+        alpha_g1=g1b.mul(alpha),
+        beta_g2=g2b.mul(beta),
+        gamma_g2=g2b.mul(gamma),
+        delta_g2=g2b.mul(delta),
+        gamma_abc_g1=gamma_abc,
+    )
+    return ProvingKey(
+        vk=vk,
+        beta_g1=g1b.mul(beta),
+        delta_g1=g1b.mul(delta),
+        a_query=a_query,
+        b_g1_query=b_g1_query,
+        b_g2_query=b_g2_query,
+        h_query=h_query,
+        l_query=l_query,
+    )
+
+
+# ---------------------------------------------------------------------------
+# Proving
+# ---------------------------------------------------------------------------
+
+
+def _compute_h(cs: ConstraintSystem, n: int) -> List[int]:
+    """Coefficients of h(x) = (A(x)B(x) - C(x)) / Z(x) via coset evaluation."""
+    F = BN254_FR
+    z = cs.full_assignment()
+    az = [0] * n
+    bz = [0] * n
+    cz = [0] * n
+    for j, (a, b, c) in enumerate(cs.constraints):
+        az[j] = cs.eval_lc(a, z)
+        bz[j] = cs.eval_lc(b, z)
+        cz[j] = cs.eval_lc(c, z)
+    for i in range(cs.num_instance):
+        az[len(cs.constraints) + i] = z[i]
+    a_coeffs = poly.interpolate(F, az)
+    b_coeffs = poly.interpolate(F, bz)
+    c_coeffs = poly.interpolate(F, cz)
+    g = 5  # Fr multiplicative generator — coset offset
+    a_ev = poly.evaluate_coset(F, a_coeffs, n, g)
+    b_ev = poly.evaluate_coset(F, b_coeffs, n, g)
+    c_ev = poly.evaluate_coset(F, c_coeffs, n, g)
+    # Z on the coset is the constant g^n - 1
+    z_inv = F.inv((pow(g, n, R) - 1) % R)
+    h_ev = [(a_ev[i] * b_ev[i] - c_ev[i]) % R * z_inv % R for i in range(n)]
+    h_coeffs = poly.interpolate_coset(F, h_ev, g)
+    assert h_coeffs[-1] == 0, "h degree exceeds n-2: unsatisfied constraint system?"
+    return h_coeffs[: n - 1]
+
+
+@dataclass
+class Proof:
+    a: bn.G1
+    b: bn.G2
+    c: bn.G1
+
+
+def prove(pk: ProvingKey, cs: ConstraintSystem) -> Proof:
+    assert cs.is_satisfied(), "constraint system not satisfied"
+    g1b, _ = _bases()
+    n = len(pk.h_query) + 1
+    z = cs.full_assignment()
+    r = _rand_fr()
+    s = _rand_fr()
+
+    a_acc = bn.g1_msm(z, pk.a_query)
+    a = bn.g1_add(bn.g1_add(pk.vk.alpha_g1, a_acc), bn.g1_scalar_mul(r, pk.delta_g1))
+
+    b_g2_acc = bn.g2_msm(z, pk.b_g2_query)
+    delta_g2 = pk.vk.delta_g2
+    b = bn.g2_add(bn.g2_add(pk.vk.beta_g2, b_g2_acc), bn.g2_scalar_mul(s, delta_g2))
+
+    b_g1_acc = bn.g1_msm(z, pk.b_g1_query)
+    b_g1 = bn.g1_add(bn.g1_add(pk.beta_g1, b_g1_acc), bn.g1_scalar_mul(s, pk.delta_g1))
+
+    h = _compute_h(cs, n)
+    h_acc = bn.g1_msm(h, pk.h_query)
+    wit = z[cs.num_instance :]
+    l_acc = bn.g1_msm(wit, pk.l_query)
+    c = bn.g1_add(h_acc, l_acc)
+    c = bn.g1_add(c, bn.g1_scalar_mul(s, a))
+    c = bn.g1_add(c, bn.g1_scalar_mul(r, b_g1))
+    c = bn.g1_add(c, bn.g1_neg(bn.g1_scalar_mul(r * s % R, pk.delta_g1)))
+    return Proof(a=a, b=b, c=c)
+
+
+def verify(vk: VerifyingKey, public_inputs: List[int], proof: Proof) -> bool:
+    """e(A,B) == e(alpha,beta) e(ic,gamma) e(C,delta); returns False on error."""
+    try:
+        if len(public_inputs) != len(vk.gamma_abc_g1) - 1:
+            return False
+        if not (bn.g1_is_on_curve(proof.a) and bn.g1_is_on_curve(proof.c)):
+            return False
+        if not bn.g2_is_on_curve(proof.b) or not bn.g2_in_subgroup(proof.b):
+            return False
+        ic = vk.gamma_abc_g1[0]
+        for x, base in zip(public_inputs, vk.gamma_abc_g1[1:]):
+            ic = bn.g1_add(ic, bn.g1_scalar_mul(x % R, base))
+        out = bn.multi_pairing(
+            [
+                (proof.a, proof.b),
+                (bn.g1_neg(vk.alpha_g1), vk.beta_g2),
+                (bn.g1_neg(ic), vk.gamma_g2),
+                (bn.g1_neg(proof.c), vk.delta_g2),
+            ]
+        )
+        return out == bn.FQ12_ONE
+    except Exception:
+        return False
+
+
+# ---------------------------------------------------------------------------
+# Serialization (uncompressed, little-endian; our own versioned layout —
+# same element order/sizes as arkworks uncompressed: G1 = x||y 64B,
+# G2 = x.c0||x.c1||y.c0||y.c1 128B, infinity = all-zero)
+# ---------------------------------------------------------------------------
+
+
+def _g1_bytes(p: bn.G1) -> bytes:
+    aff = bn.g1_to_affine(p)
+    if aff is None:
+        return b"\x00" * 64
+    return aff[0].to_bytes(32, "little") + aff[1].to_bytes(32, "little")
+
+
+def _g1_from(data: bytes) -> Optional[bn.G1]:
+    if len(data) != 64:
+        return None
+    if data == b"\x00" * 64:
+        return bn.G1_INF
+    x = int.from_bytes(data[:32], "little")
+    y = int.from_bytes(data[32:], "little")
+    if x >= bn.P or y >= bn.P:
+        return None
+    p = (x, y, 1)
+    return p if bn.g1_is_on_curve(p) else None
+
+
+def _g2_bytes(p: bn.G2) -> bytes:
+    aff = bn.g2_to_affine(p)
+    if aff is None:
+        return b"\x00" * 128
+    (x0, x1), (y0, y1) = aff
+    return b"".join(v.to_bytes(32, "little") for v in (x0, x1, y0, y1))
+
+
+def _g2_from(data: bytes) -> Optional[bn.G2]:
+    if len(data) != 128:
+        return None
+    if data == b"\x00" * 128:
+        return bn.G2_INF
+    vals = [int.from_bytes(data[i * 32 : (i + 1) * 32], "little") for i in range(4)]
+    if any(v >= bn.P for v in vals):
+        return None
+    p = ((vals[0], vals[1]), (vals[2], vals[3]), bn.FQ2_ONE)
+    return p if bn.g2_is_on_curve(p) else None
+
+
+def proof_to_bytes(proof: Proof) -> bytes:
+    """256 bytes: A (G1) || B (G2) || C (G1) — arkworks element order."""
+    return _g1_bytes(proof.a) + _g2_bytes(proof.b) + _g1_bytes(proof.c)
+
+
+def proof_from_bytes(data: bytes) -> Optional[Proof]:
+    if len(data) != 256:
+        return None
+    a = _g1_from(data[0:64])
+    b = _g2_from(data[64:192])
+    c = _g1_from(data[192:256])
+    if a is None or b is None or c is None:
+        return None
+    return Proof(a=a, b=b, c=c)
+
+
+_KEY_MAGIC = b"LZTK"
+_KEY_VERSION = 1
+
+
+def pk_to_bytes(pk: ProvingKey) -> bytes:
+    out = bytearray()
+    out += _KEY_MAGIC + struct.pack("<I", _KEY_VERSION)
+    out += _g1_bytes(pk.vk.alpha_g1)
+    out += _g2_bytes(pk.vk.beta_g2)
+    out += _g2_bytes(pk.vk.gamma_g2)
+    out += _g2_bytes(pk.vk.delta_g2)
+    out += struct.pack("<I", len(pk.vk.gamma_abc_g1))
+    for p in pk.vk.gamma_abc_g1:
+        out += _g1_bytes(p)
+    out += _g1_bytes(pk.beta_g1)
+    out += _g1_bytes(pk.delta_g1)
+    for name in ("a_query", "b_g1_query", "h_query", "l_query"):
+        vec = getattr(pk, name)
+        out += struct.pack("<I", len(vec))
+        for p in vec:
+            out += _g1_bytes(p)
+    out += struct.pack("<I", len(pk.b_g2_query))
+    for p in pk.b_g2_query:
+        out += _g2_bytes(p)
+    return bytes(out)
+
+
+def pk_from_bytes(data: bytes) -> Optional[ProvingKey]:
+    try:
+        if data[:4] != _KEY_MAGIC:
+            return None
+        if struct.unpack("<I", data[4:8])[0] != _KEY_VERSION:
+            return None
+        pos = 8
+
+        def g1():
+            nonlocal pos
+            p = _g1_from(data[pos : pos + 64])
+            pos += 64
+            if p is None:
+                raise ValueError("bad G1")
+            return p
+
+        def g2():
+            nonlocal pos
+            p = _g2_from(data[pos : pos + 128])
+            pos += 128
+            if p is None:
+                raise ValueError("bad G2")
+            return p
+
+        def count():
+            nonlocal pos
+            c = struct.unpack("<I", data[pos : pos + 4])[0]
+            pos += 4
+            if c > 1 << 24:
+                raise ValueError("bad count")
+            return c
+
+        alpha_g1 = g1()
+        beta_g2 = g2()
+        gamma_g2 = g2()
+        delta_g2 = g2()
+        gamma_abc = [g1() for _ in range(count())]
+        beta_g1 = g1()
+        delta_g1 = g1()
+        a_query = [g1() for _ in range(count())]
+        b_g1_query = [g1() for _ in range(count())]
+        h_query = [g1() for _ in range(count())]
+        l_query = [g1() for _ in range(count())]
+        b_g2_query = [g2() for _ in range(count())]
+        if pos != len(data):
+            return None
+        vk = VerifyingKey(alpha_g1, beta_g2, gamma_g2, delta_g2, gamma_abc)
+        return ProvingKey(
+            vk, beta_g1, delta_g1, a_query, b_g1_query, b_g2_query, h_query, l_query
+        )
+    except Exception:
+        return None
+
+
+def vk_to_bytes(vk: VerifyingKey) -> bytes:
+    out = bytearray()
+    out += _KEY_MAGIC + struct.pack("<I", _KEY_VERSION)
+    out += _g1_bytes(vk.alpha_g1)
+    out += _g2_bytes(vk.beta_g2)
+    out += _g2_bytes(vk.gamma_g2)
+    out += _g2_bytes(vk.delta_g2)
+    out += struct.pack("<I", len(vk.gamma_abc_g1))
+    for p in vk.gamma_abc_g1:
+        out += _g1_bytes(p)
+    return bytes(out)
+
+
+def vk_from_bytes(data: bytes) -> Optional[VerifyingKey]:
+    try:
+        if data[:4] != _KEY_MAGIC or struct.unpack("<I", data[4:8])[0] != _KEY_VERSION:
+            return None
+        pos = 8
+        alpha_g1 = _g1_from(data[pos : pos + 64])
+        pos += 64
+        g2s = []
+        for _ in range(3):
+            g2s.append(_g2_from(data[pos : pos + 128]))
+            pos += 128
+        cnt = struct.unpack("<I", data[pos : pos + 4])[0]
+        pos += 4
+        abc = []
+        for _ in range(cnt):
+            abc.append(_g1_from(data[pos : pos + 64]))
+            pos += 64
+        if pos != len(data) or alpha_g1 is None or any(
+            x is None for x in g2s + abc
+        ):
+            return None
+        return VerifyingKey(alpha_g1, g2s[0], g2s[1], g2s[2], abc)
+    except Exception:
+        return None
