@@ -1,21 +1,24 @@
 """Limb-decomposed big-integer modular arithmetic for TPU (JAX).
 
-Design (TPU-first, see SURVEY.md §7 step 1):
+Design (TPU-first, SURVEY.md §7 step 1):
 
-* Field elements are arrays of ``n`` 16-bit limbs stored in ``uint32`` lanes,
+* Field elements are arrays of ``n`` 12-bit limbs in **signed int32** lanes,
   shape ``(..., n)``, least-significant limb first.
-* Multiplication is schoolbook column accumulation + Montgomery REDC (CIOS
-  with 16-bit words). All intermediates fit in uint32 — products of 16-bit
-  limbs are < 2^32 and column sums stay < 2^24 — so the kernels run natively
-  on the TPU VPU with **no 64-bit emulation** and no x64 mode.
-* Everything is shape-polymorphic over leading batch dims; ``vmap``/``pjit``
-  shard the batch axis across the mesh (the DP axis that replaces the
-  reference's rayon pool, SURVEY.md §2.3).
+* **Relaxed signed representation**: limbs stay in (-2^13, 2^13) and values in
+  (-Cp, Cp) for a small C between operations. No sequential carry scans, no
+  conditional subtracts, no borrow handling anywhere on the hot path — the
+  three things that serialize big-int math on vector hardware. Subtraction is
+  literally ``a - b``. Exact canonicalization happens only at the host
+  boundary (:meth:`LimbContext.decode` reduces mod p).
+* Multiplication: schoolbook column accumulation + Montgomery REDC with
+  12-bit words. Bounds: |conv columns| <= n*2^26 < 2^30.5 (n <= 22), REDC
+  adds <= n*2^24, carries < 2^19 — every intermediate fits int32, so the
+  kernels run natively on any TPU generation (no 64-bit emulation).
+* Batch axes shard over the mesh ``dp`` axis (the rayon replacement,
+  SURVEY.md §2.3).
 
-This replaces the external Rust crates' field cores (curve25519-dalek /
-ark-ff / winterfell f128) with one parameterized engine instantiated per
-modulus (reference consumption sites: bulletproofs.rs:4-5, snark.rs:4-5,
-stark.rs:707-718).
+Replaces the field cores of curve25519-dalek / ark-ff / winterfell f128
+(reference consumption: bulletproofs.rs:4-5, snark.rs:4-5, stark.rs:707-718).
 """
 
 from __future__ import annotations
@@ -26,12 +29,12 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-LIMB_BITS = 16
+LIMB_BITS = 12
 LIMB_MASK = (1 << LIMB_BITS) - 1
 
 
 def _int_to_limbs(x: int, n: int) -> np.ndarray:
-    out = np.zeros(n, dtype=np.uint32)
+    out = np.zeros(n, dtype=np.int32)
     for i in range(n):
         out[i] = x & LIMB_MASK
         x >>= LIMB_BITS
@@ -41,37 +44,37 @@ def _int_to_limbs(x: int, n: int) -> np.ndarray:
 
 def _limbs_to_int(limbs) -> int:
     x = 0
-    for i, v in enumerate(np.asarray(limbs, dtype=np.uint64).tolist()):
-        x |= int(v) << (LIMB_BITS * i)
+    for i, v in enumerate(np.asarray(limbs, dtype=np.int64).tolist()):
+        x += int(v) << (LIMB_BITS * i)
     return x
 
 
 class LimbContext:
-    """Montgomery arithmetic mod ``p`` on 16-bit-limb uint32 arrays.
+    """Montgomery arithmetic mod ``p`` on 12-bit signed-limb int32 arrays.
 
-    Elements passed to :meth:`mont_mul`/:meth:`add`/:meth:`sub` must be
-    normalized (each limb < 2^16) and canonical (< p). ``mont_*`` methods work
-    in the Montgomery domain (x·R mod p, R = 2^(16n)).
+    Invariants between ops: limbs in (-2^13, 2^13); |value| < ~8p (callers
+    chaining many additions — e.g. NTT butterflies — re-reduce periodically
+    with :meth:`reduce`). ``mont_*`` methods work in the Montgomery domain
+    (x*R mod p, R = 2^(12n)).
     """
 
     def __init__(self, p: int, name: str = ""):
         self.p = p
         self.name = name
-        self.n = (p.bit_length() + LIMB_BITS - 1) // LIMB_BITS
+        # >= 4 bits of headroom above p for relaxed values
+        self.n = (p.bit_length() + 4 + LIMB_BITS - 1) // LIMB_BITS
         n = self.n
         self.p_limbs = jnp.asarray(_int_to_limbs(p, n))
-        self.p_limbs_np = _int_to_limbs(p, n)
-        # -p^{-1} mod 2^16 (Montgomery constant for 16-bit words)
         self.ninv = (-pow(p, -1, 1 << LIMB_BITS)) % (1 << LIMB_BITS)
         self.R = pow(2, LIMB_BITS * n, p)
         self.R2 = self.R * self.R % p
         self.r2_limbs = jnp.asarray(_int_to_limbs(self.R2, n))
         self.one_mont = jnp.asarray(_int_to_limbs(self.R % p, n))
-        self.zero = jnp.zeros(n, dtype=jnp.uint32)
+        self.zero = jnp.zeros(n, dtype=jnp.int32)
 
     # -- host <-> device codecs -------------------------------------------
     def encode(self, values) -> jnp.ndarray:
-        """List/array of Python ints -> (B, n) canonical limb array."""
+        """Python ints -> (B, n) canonical limb array."""
         arr = np.stack([_int_to_limbs(int(v) % self.p, self.n) for v in values])
         return jnp.asarray(arr)
 
@@ -79,119 +82,65 @@ class LimbContext:
         return jnp.asarray(_int_to_limbs(int(value) % self.p, self.n))
 
     def decode(self, arr) -> list:
-        a = np.asarray(jax.device_get(arr), dtype=np.uint32)
+        """(…, n) relaxed limb array -> canonical Python ints (mod p)."""
+        a = np.asarray(jax.device_get(arr), dtype=np.int64)
         if a.ndim == 1:
-            return [_limbs_to_int(a)]
+            return [_limbs_to_int(a) % self.p]
         flat = a.reshape(-1, self.n)
-        return [_limbs_to_int(row) for row in flat]
+        return [_limbs_to_int(row) % self.p for row in flat]
 
-    # -- normalization helpers --------------------------------------------
-    def _normalize(self, cols: jnp.ndarray, out_limbs: int) -> jnp.ndarray:
-        """Carry-propagate uint32 column sums into 16-bit limbs (exact).
+    # -- carry handling (vectorized, value-preserving, no scans) -----------
+    def _carry_pass(self, x: jnp.ndarray) -> jnp.ndarray:
+        """One parallel carry fold: (x & mask) + (x >> 12 shifted up).
 
-        ``cols`` has shape (..., m); returns (..., out_limbs). Any overflow
-        beyond out_limbs is dropped (callers guarantee it is zero).
+        Exact mod p for signed values: arithmetic shift = floor and ``& mask``
+        is the non-negative residue; the carry out of the top limb (+-1 for
+        relaxed negative values) wraps around as R = 2^(12n), folded back in
+        as R mod p so the value mod p is preserved exactly.
         """
-        m = cols.shape[-1]
-        x = jnp.moveaxis(cols, -1, 0)  # (m, ...)
+        lo = x & LIMB_MASK
+        hi = x >> LIMB_BITS
+        hi_shift = jnp.pad(hi[..., :-1], [(0, 0)] * (x.ndim - 1) + [(1, 0)])
+        wrap = hi[..., -1:]  # units of 2^(12n) == R
+        return lo + hi_shift + wrap * self.one_mont
 
-        def step(carry, col):
-            s = col + carry
-            return s >> LIMB_BITS, s & LIMB_MASK
+    def _relax(self, x: jnp.ndarray) -> jnp.ndarray:
+        """Columns |.| < 2^31 -> relaxed limbs in (-2^13, 2^13): 3 passes.
 
-        carry0 = jnp.zeros(x.shape[1:], dtype=jnp.uint32)
-        final_carry, limbs = jax.lax.scan(step, carry0, x)
-        limbs = jnp.moveaxis(limbs, 0, -1)  # (..., m)
-        if m < out_limbs:
-            # Final carry (< 2^16 since columns < 2^32) lands in limb m.
-            pad = [(0, 0)] * (limbs.ndim - 1) + [(0, out_limbs - m)]
-            limbs = jnp.pad(limbs, pad)
-            limbs = limbs.at[..., m].set(final_carry & LIMB_MASK)
-        else:
-            limbs = limbs[..., :out_limbs]
-        return limbs
-
-    def _reduce_once(self, s: jnp.ndarray) -> jnp.ndarray:
-        """Canonicalize a normalized (..., n+1)-limb value known to be < 2p.
-
-        If the value >= p (top limb set, or low limbs >= p) subtract p; the
-        wrapping subtract is exact because the true result is < p < 2^(16n).
+        Pass bounds: |limb| < 2^12 + 2^19 -> < 2^12 + 2^8 -> < 2^12 + 1.
         """
-        top = s[..., self.n]
-        s_lo = s[..., : self.n]
-        d = self._sub_raw(s_lo, self.p_limbs)
-        ge = jnp.logical_or(top > 0, self._geq(s_lo, self.p_limbs))
-        return jnp.where(ge[..., None], d, s_lo)
+        return self._carry_pass(self._carry_pass(self._carry_pass(x)))
 
-    # -- ring ops ----------------------------------------------------------
+    # -- ring ops ------------------------------------------------------------
     def add(self, a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
-        return self._reduce_once(self._normalize(a + b, self.n + 1))
-
-    def _sub_raw(self, a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
-        """(a - b) mod 2^(16n) — used when the true difference is known >= 0
-        or when a borrow is intentionally wrapped (a + 2^(16n) - b)."""
-        ai = jnp.moveaxis(a, -1, 0).astype(jnp.int32)
-        bi = jnp.moveaxis(jnp.broadcast_to(b, a.shape), -1, 0).astype(jnp.int32)
-
-        def step(borrow, inputs):
-            av, bv = inputs
-            d = av - bv - borrow
-            bo = (d < 0).astype(jnp.int32)
-            return bo, d + (bo << LIMB_BITS)
-
-        borrow0 = jnp.zeros(ai.shape[1:], dtype=jnp.int32)
-        _, diff = jax.lax.scan(step, borrow0, (ai, bi))
-        return jnp.moveaxis(diff, 0, -1).astype(jnp.uint32)
-
-    def _geq(self, a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
-        """a >= b, limbwise lexicographic from the top."""
-        bb = jnp.broadcast_to(b, a.shape)
-        gt = a > bb
-        lt = a < bb
-        # most-significant differing limb decides
-        result = jnp.zeros(a.shape[:-1], dtype=jnp.bool_)
-        decided = jnp.zeros(a.shape[:-1], dtype=jnp.bool_)
-        for i in range(self.n - 1, -1, -1):
-            result = jnp.where(~decided & gt[..., i], True, result)
-            decided = decided | gt[..., i] | lt[..., i]
-        return result | ~decided  # equal -> geq
+        """Value add. Limbs < 2^14 before the pass, relaxed after."""
+        return self._carry_pass(a + b)
 
     def sub(self, a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
-        """(a - b) mod p for canonical a, b."""
-        need_p = ~self._geq(a, b)
-        a_adj_cols = a + jnp.where(need_p[..., None], self.p_limbs, 0)
-        a_adj = self._normalize(a_adj_cols, self.n + 1)[..., : self.n]
-        # a_adj < 2p and a_adj >= b, so raw subtract is exact; result < p? a<p, so
-        # a+p-b < 2p but >= p only if a >= b... a<b case: a+p-b < p ✓.
-        # a>=b case: a-b < p ✓.
-        return self._sub_raw(a_adj, jnp.broadcast_to(b, a.shape))
+        """Plain signed subtract — negatives are first-class here."""
+        return self._carry_pass(a - b)
 
     def neg(self, a: jnp.ndarray) -> jnp.ndarray:
-        is_zero = jnp.all(a == 0, axis=-1, keepdims=True)
-        d = self._sub_raw(jnp.broadcast_to(self.p_limbs, a.shape), a)
-        return jnp.where(is_zero, a, d)
+        return self._carry_pass(-a)
 
     def mont_mul(self, a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
-        """Montgomery product: a·b·R^{-1} mod p. Inputs canonical limbs."""
+        """Montgomery product a*b*R^{-1} (relaxed signed in, relaxed out).
+
+        Output value in (-p, 2p) for |inputs| < sqrt(p*R)/2 — every caller is
+        orders of magnitude below that.
+        """
         n = self.n
         a, b = jnp.broadcast_arrays(a, b)
         batch_shape = a.shape[:-1]
-        # Column accumulation: T[k] = sum_{i+j=k} lo(a_i b_j) + sum hi shifted.
-        T = jnp.zeros(batch_shape + (2 * n + 1,), dtype=jnp.uint32)
+        T = jnp.zeros(batch_shape + (2 * n,), dtype=jnp.int32)
         for j in range(n):
-            pj = a * b[..., j : j + 1]  # (..., n) uint32 products
-            T = T.at[..., j : j + n].add(pj & LIMB_MASK)
-            T = T.at[..., j + 1 : j + n + 1].add(pj >> LIMB_BITS)
-        # Interleaved REDC: zero out the low n limbs.
-        ninv = jnp.uint32(self.ninv)
+            T = T.at[..., j : j + n].add(a * b[..., j : j + 1])
+        ninv = jnp.int32(self.ninv)
         for i in range(n):
             m = ((T[..., i] & LIMB_MASK) * ninv) & LIMB_MASK
-            mp = m[..., None] * self.p_limbs  # (..., n) < 2^32
-            T = T.at[..., i : i + n].add(mp & LIMB_MASK)
-            T = T.at[..., i + 1 : i + n + 1].add(mp >> LIMB_BITS)
+            T = T.at[..., i : i + n].add(m[..., None] * self.p_limbs)
             T = T.at[..., i + 1].add(T[..., i] >> LIMB_BITS)
-        res = self._normalize(T[..., n : 2 * n + 1], self.n + 1)
-        return self._reduce_once(res)
+        return self._relax(T[..., n : 2 * n])
 
     def mont_square(self, a: jnp.ndarray) -> jnp.ndarray:
         return self.mont_mul(a, a)
@@ -203,7 +152,11 @@ class LimbContext:
         one = jnp.zeros_like(a).at[..., 0].set(1)
         return self.mont_mul(a, one)
 
-    # -- derived ops -------------------------------------------------------
+    def reduce(self, a: jnp.ndarray) -> jnp.ndarray:
+        """Bring a (Montgomery-domain) value back into (-p, 2p): x * R * R^-1."""
+        return self.mont_mul(a, self.one_mont)
+
+    # -- derived ops ---------------------------------------------------------
     def mont_pow5(self, a: jnp.ndarray) -> jnp.ndarray:
         a2 = self.mont_mul(a, a)
         a4 = self.mont_mul(a2, a2)

@@ -67,11 +67,17 @@ def fr_from_commitment(data: bytes):
 
 
 @functools.lru_cache(maxsize=1)
-def _mont_constants() -> jnp.ndarray:
-    """(110, n) round constants in Montgomery form."""
+def _mont_constants():
+    """(110, n) round constants in Montgomery form (host numpy, trace-safe)."""
+    import numpy as np
+
+    from .limb import _int_to_limbs
+
     ctx = get_context(BN254_FR.p, "bn254_fr")
-    consts = ctx.encode(list(mimc_constants()))
-    return jax.device_get(ctx.to_mont(consts))
+    out = np.zeros((MIMC_ROUNDS, ctx.n), dtype=np.int32)
+    for i, c in enumerate(mimc_constants()):
+        out[i] = _int_to_limbs(c * ctx.R % ctx.p, ctx.n)
+    return out
 
 
 def _mimc_batch_impl(x_limbs: jnp.ndarray, constants: jnp.ndarray) -> jnp.ndarray:

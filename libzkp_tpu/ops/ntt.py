@@ -121,14 +121,21 @@ def poly_degree(coeffs: List[int]) -> int:
 
 @functools.lru_cache(maxsize=None)
 def _twiddle_table(p: int, n: int, invert: bool):
-    """Per-stage Montgomery twiddles, shape (log n, n//2) as a host array."""
+    """Per-stage Montgomery twiddles, shape (log n, n//2, limbs), host numpy.
+
+    Pure host computation (no jax ops) so it is safe to call from inside a
+    trace; the result is closed over as a constant.
+    """
     import numpy as np
+
+    from .limb import LIMB_BITS, _int_to_limbs
 
     F = PrimeField(p, "tw")
     ctx = get_context(p, "tw")
     root = F.root_of_unity(n)
     if invert:
         root = F.inv(root)
+    R_mont = ctx.R
     stages = []
     length = 2
     while length <= n:
@@ -138,14 +145,13 @@ def _twiddle_table(p: int, n: int, invert: bool):
         for _ in range(length // 2):
             ws.append(w)
             w = w * w_len % p
-        # tile across the n/2 butterfly lanes of this stage
-        reps = n // length
-        stage = ws * reps
-        stages.append(stage)
+        stages.append(ws * (n // length))  # tile across butterfly lanes
         length *= 2
-    flat = [v for st in stages for v in st]
-    enc = jax.device_get(ctx.to_mont(ctx.encode(flat)))
-    return np.asarray(enc).reshape(len(stages), n // 2, ctx.n)
+    out = np.zeros((len(stages), n // 2, ctx.n), dtype=np.int32)
+    for si, stage in enumerate(stages):
+        for wi, w in enumerate(stage):
+            out[si, wi] = _int_to_limbs(w * R_mont % p, ctx.n)
+    return out
 
 
 def _bitrev_indices(n: int):
@@ -186,8 +192,23 @@ def ntt_device(ctx: LimbContext, values_mont: jnp.ndarray, invert: bool = False)
         top = ctx.add(u, v)
         bot = ctx.sub(u, v)
         a = jnp.concatenate([top, bot], axis=-2).reshape(values_mont.shape)
+        # Butterfly tops accumulate ~1.2p per stage in the relaxed signed
+        # representation; fold back under 2p every few stages.
+        if s % 4 == 3 and s != log_n - 1:
+            a = ctx.reduce(a)
     if invert:
         F = PrimeField(ctx.p, "tmp")
         n_inv_mont = ctx.to_mont(ctx.encode_scalar(F.inv(n)))
         a = ctx.mont_mul(a, n_inv_mont)
     return a
+
+
+@functools.lru_cache(maxsize=None)
+def _ntt_jitted(p: int, invert: bool):
+    ctx = get_context(p)
+    return jax.jit(lambda x: ntt_device(ctx, x, invert))
+
+
+def ntt_batch(ctx: LimbContext, values_mont: jnp.ndarray, invert: bool = False) -> jnp.ndarray:
+    """Jit-compiled batched NTT (compiled once per (field, direction, shape))."""
+    return _ntt_jitted(ctx.p, invert)(values_mont)

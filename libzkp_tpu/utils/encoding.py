@@ -47,11 +47,13 @@ def read_length_prefixed_u32(data: bytes, offset: int) -> Optional[Tuple[bytes, 
 
 
 def check_u64(value: int, name: str = "value") -> int:
-    """Validate that a Python int fits in u64 (the API's integer domain)."""
-    from .errors import InvalidInput
+    """Validate that a Python int fits in u64 (the API's integer domain).
 
+    Exception classes match PyO3's conversion behavior at the bindings layer:
+    TypeError for non-ints, OverflowError for out-of-range ints.
+    """
     if not isinstance(value, int) or isinstance(value, bool):
-        raise InvalidInput(f"{name} must be an integer")
+        raise TypeError(f"{name} must be an integer")
     if value < 0 or value > 0xFFFFFFFFFFFFFFFF:
-        raise InvalidInput(f"{name} out of u64 range")
+        raise OverflowError("out of range integral type conversion attempted")
     return value

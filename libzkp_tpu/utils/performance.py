@@ -1,0 +1,198 @@
+"""Proof cache, performance metrics, timers, parallel verification.
+
+Mirrors ``/root/reference/src/utils/performance.rs``: TTL+LFU ``ProofCache``
+(1000 entries / 3600 s), global metrics collector, per-process cache-key salt,
+``Timer``, and the proof-type-checked parallel verifier
+(performance.rs:246-294).
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+import threading
+import time
+from typing import Dict, List, Optional, Sequence, Tuple
+
+from .envelope import PROOF_VERSION, Proof
+
+# Per-process random salt so cache keys differ across processes
+# (performance.rs:145-156).
+_CACHE_KEY_PROCESS_SALT = os.urandom(32)
+
+
+def _now_ms() -> float:
+    return time.monotonic() * 1000.0
+
+
+class ProofCache:
+    """TTL cache with LFU-style eviction at capacity (not LRU)."""
+
+    def __init__(self, max_size: int = 1000, ttl_seconds: int = 3600):
+        self._lock = threading.Lock()
+        self._cache: Dict[str, List] = {}  # key -> [data, created_ms, access_count]
+        self.max_size = max_size
+        self.ttl_ms = ttl_seconds * 1000.0
+
+    def get(self, key: str) -> Optional[bytes]:
+        with self._lock:
+            entry = self._cache.get(key)
+            if entry is not None:
+                if _now_ms() - entry[1] < self.ttl_ms:
+                    entry[2] += 1
+                    record_global_cache_hit()
+                    return entry[0]
+                del self._cache[key]
+        record_global_cache_miss()
+        return None
+
+    def put(self, key: str, data: bytes) -> None:
+        with self._lock:
+            if len(self._cache) >= self.max_size:
+                victim = min(self._cache.items(), key=lambda kv: kv[1][2])[0]
+                del self._cache[victim]
+            self._cache[key] = [bytes(data), _now_ms(), 1]
+
+    def clear(self) -> None:
+        with self._lock:
+            self._cache.clear()
+
+    def size(self) -> int:
+        with self._lock:
+            return len(self._cache)
+
+
+class PerformanceMetrics:
+    def __init__(self):
+        self.operation_counts: Dict[str, int] = {}
+        self.operation_times: Dict[str, List[float]] = {}  # seconds
+        self.cache_hits = 0
+        self.cache_misses = 0
+
+    def record_operation(self, operation: str, duration_s: float) -> None:
+        self.operation_counts[operation] = self.operation_counts.get(operation, 0) + 1
+        self.operation_times.setdefault(operation, []).append(duration_s)
+
+    def record_cache_hit(self) -> None:
+        self.cache_hits += 1
+
+    def record_cache_miss(self) -> None:
+        self.cache_misses += 1
+
+    def get_average_time(self, operation: str) -> Optional[float]:
+        times = self.operation_times.get(operation)
+        if not times:
+            return None
+        return sum(times) / len(times)
+
+    def get_cache_hit_rate(self) -> float:
+        total = self.cache_hits + self.cache_misses
+        return self.cache_hits / total if total else 0.0
+
+
+_global_cache: Optional[ProofCache] = None
+_global_metrics: Optional[PerformanceMetrics] = None
+_metrics_lock = threading.Lock()
+_init_lock = threading.Lock()
+
+
+def get_global_cache() -> ProofCache:
+    global _global_cache
+    with _init_lock:
+        if _global_cache is None:
+            _global_cache = ProofCache(1000, 3600)
+        return _global_cache
+
+
+def get_global_metrics() -> PerformanceMetrics:
+    global _global_metrics
+    with _init_lock:
+        if _global_metrics is None:
+            _global_metrics = PerformanceMetrics()
+        return _global_metrics
+
+
+def metrics_lock() -> threading.Lock:
+    return _metrics_lock
+
+
+def record_operation_metric(operation: str, duration_s: float) -> None:
+    with _metrics_lock:
+        get_global_metrics().record_operation(operation, duration_s)
+
+
+def record_global_cache_hit() -> None:
+    with _metrics_lock:
+        get_global_metrics().record_cache_hit()
+
+
+def record_global_cache_miss() -> None:
+    with _metrics_lock:
+        get_global_metrics().record_cache_miss()
+
+
+def generate_cache_key(operation: str, params: bytes) -> str:
+    """``{operation}:{hex}`` with the process salt mixed in (performance.rs:145-156)."""
+    h = hashlib.sha256()
+    h.update(_CACHE_KEY_PROCESS_SALT)
+    h.update(operation.encode("utf-8"))
+    h.update(bytes(params))
+    return f"{operation}:{h.hexdigest()}"
+
+
+class Timer:
+    def __init__(self):
+        self._start = time.monotonic()
+
+    def elapsed(self) -> float:
+        """Elapsed seconds."""
+        return time.monotonic() - self._start
+
+    def reset(self) -> None:
+        self._start = time.monotonic()
+
+
+# ---------------------------------------------------------------------------
+# Parallel verification (performance.rs mod parallel)
+# ---------------------------------------------------------------------------
+
+_PROOF_TYPE_TO_SCHEME = {
+    "range": 1,
+    "equality": 2,
+    "threshold": 3,
+    "membership": 4,
+    "improvement": 5,
+    "consistency": 6,
+}
+
+
+def _verify_single_proof(proof_data: bytes, proof_type: str) -> bool:
+    from ..models.schemes.dispatch import verify_proof_cryptographic
+
+    try:
+        proof = Proof.from_bytes(proof_data)
+    except Exception:
+        return False
+    if proof.version != PROOF_VERSION:
+        return False
+    expected = _PROOF_TYPE_TO_SCHEME.get(proof_type)
+    if expected is None or proof.scheme != expected:
+        return False
+    return verify_proof_cryptographic(proof)
+
+
+def verify_proofs_parallel(proofs: Sequence[Tuple[bytes, str]]) -> List[bool]:
+    """Verify (proof_bytes, proof_type) pairs concurrently.
+
+    The reference uses rayon work-stealing (performance.rs:251-258); here a
+    thread pool covers the host tier (verification releases the GIL inside
+    hashing/JAX) and the sharded TPU verifier covers the batch tier
+    (:mod:`libzkp_tpu.parallel.verifier`).
+    """
+    items = list(proofs)
+    if len(items) <= 1:
+        return [_verify_single_proof(d, t) for d, t in items]
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=min(8, len(items))) as pool:
+        return list(pool.map(lambda it: _verify_single_proof(it[0], it[1]), items))
