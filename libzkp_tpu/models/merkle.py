@@ -9,6 +9,7 @@ from __future__ import annotations
 
 from typing import List, Sequence
 
+from .. import native
 from ..ops.blake3 import blake3_256, merge_digests
 
 
@@ -20,6 +21,9 @@ class MerkleTree:
         assert n > 0 and n & (n - 1) == 0, "leaf count must be a power of two"
         self.leaves = [bytes(l) for l in leaves]
         self.levels: List[List[bytes]] = [self.leaves]
+        if n > 1 and native.HAVE_NATIVE:
+            self.levels.extend(native.blake3_merkle_levels(self.leaves))
+            return
         cur = self.leaves
         while len(cur) > 1:
             cur = [merge_digests(cur[i], cur[i + 1]) for i in range(0, len(cur), 2)]

@@ -1,0 +1,320 @@
+"""Native host kernel loader (ctypes over ``zkpcore.cpp``).
+
+The reference's host-side crypto comes from compiled Rust crates (blake3 via
+winterfell, keccak via merlin, curve25519-dalek — SURVEY.md §2.2).  Our
+equivalent native tier is a single C++ translation unit compiled on first use
+with ``g++``; every routine is differentially tested against the pure-Python
+golden models in :mod:`libzkp_tpu.ops`.  When no compiler or prebuilt
+``_zkpcore.so`` is available everything silently falls back to pure Python —
+the package stays importable anywhere.
+
+Set ``LIBZKP_NO_NATIVE=1`` to force the pure-Python tier (used by the
+differential tests).
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+import tempfile
+from typing import List, Optional, Sequence, Tuple
+
+_DIR = os.path.dirname(os.path.abspath(__file__))
+_SRC = os.path.join(_DIR, "zkpcore.cpp")
+_SO = os.path.join(_DIR, "_zkpcore.so")
+
+_lib: Optional[ctypes.CDLL] = None
+
+
+def _build() -> Optional[str]:
+    """Compile zkpcore.cpp → _zkpcore.so (atomic rename). None on failure."""
+    if not os.path.exists(_SRC):
+        return None
+    try:
+        fd, tmp = tempfile.mkstemp(suffix=".so", dir=_DIR)
+        os.close(fd)
+        subprocess.run(
+            ["g++", "-O3", "-std=c++17", "-shared", "-fPIC", "-o", tmp, _SRC],
+            check=True,
+            capture_output=True,
+            timeout=240,
+        )
+        os.replace(tmp, _SO)
+        return _SO
+    except (OSError, subprocess.SubprocessError):
+        try:
+            os.unlink(tmp)
+        except OSError:
+            pass
+        return None
+
+
+def _load() -> Optional[ctypes.CDLL]:
+    if os.environ.get("LIBZKP_NO_NATIVE"):
+        return None
+    path = _SO
+    if not os.path.exists(path) or (
+        os.path.exists(_SRC) and os.path.getmtime(path) < os.path.getmtime(_SRC)
+    ):
+        path = _build()
+        if path is None:
+            path = _SO if os.path.exists(_SO) else None
+    if path is None:
+        return None
+    try:
+        lib = ctypes.CDLL(path)
+    except OSError:
+        return None
+    u64 = ctypes.c_uint64
+    u8p = ctypes.POINTER(ctypes.c_uint8)
+    lib.zkp_blake3.argtypes = [ctypes.c_char_p, u64, ctypes.c_char_p]
+    lib.zkp_blake3_batch.argtypes = [ctypes.c_char_p, u64, u64, ctypes.c_char_p]
+    lib.zkp_blake3_merge_level.argtypes = [ctypes.c_char_p, u64, ctypes.c_char_p]
+    lib.zkp_blake3_merkle.argtypes = [ctypes.c_char_p, u64, ctypes.c_char_p]
+    lib.zkp_keccak_f1600.argtypes = [ctypes.c_char_p]
+    lib.zkp_ed_point_add.argtypes = [ctypes.c_char_p] * 3
+    lib.zkp_ed_point_double.argtypes = [ctypes.c_char_p] * 2
+    lib.zkp_ed_scalar_mul.argtypes = [ctypes.c_char_p] * 3
+    lib.zkp_ed_msm.argtypes = [u64, ctypes.c_char_p, ctypes.c_char_p, ctypes.c_char_p]
+    lib.zkp_ristretto_compress.argtypes = [ctypes.c_char_p, ctypes.c_char_p]
+    lib.zkp_ristretto_decompress.argtypes = [ctypes.c_char_p, ctypes.c_char_p]
+    lib.zkp_ristretto_decompress.restype = ctypes.c_int
+    lib.zkp_bn254_init.argtypes = [ctypes.c_char_p, ctypes.c_char_p, ctypes.c_char_p, u64]
+    lib.zkp_bn254_g1_msm.argtypes = [u64, ctypes.c_char_p, ctypes.c_char_p, ctypes.c_char_p]
+    lib.zkp_bn254_g2_msm.argtypes = [u64, ctypes.c_char_p, ctypes.c_char_p, ctypes.c_char_p]
+    lib.zkp_bn254_g1_scalar_mul.argtypes = [ctypes.c_char_p] * 3
+    lib.zkp_bn254_g2_scalar_mul.argtypes = [ctypes.c_char_p] * 3
+    lib.zkp_bn254_multi_pairing.argtypes = [u64, ctypes.c_char_p, ctypes.c_char_p, ctypes.c_char_p]
+    return lib
+
+
+_lib = _load()
+HAVE_NATIVE = _lib is not None
+
+
+# ---------------------------------------------------------------------------
+# hashing
+# ---------------------------------------------------------------------------
+
+def blake3_256(data: bytes) -> bytes:
+    out = ctypes.create_string_buffer(32)
+    _lib.zkp_blake3(bytes(data), len(data), out)
+    return out.raw
+
+
+def blake3_batch(items: Sequence[bytes], item_len: int) -> List[bytes]:
+    """Hash n equal-length byte strings."""
+    n = len(items)
+    out = ctypes.create_string_buffer(32 * n)
+    _lib.zkp_blake3_batch(b"".join(items), n, item_len, out)
+    return [out.raw[i * 32 : (i + 1) * 32] for i in range(n)]
+
+
+def blake3_merkle_levels(leaves: Sequence[bytes]) -> List[List[bytes]]:
+    """All levels above the leaves of a power-of-two Merkle tree, bottom-up."""
+    n = len(leaves)
+    total = n - 1  # n/2 + n/4 + ... + 1
+    out = ctypes.create_string_buffer(32 * total)
+    _lib.zkp_blake3_merkle(b"".join(leaves), n, out)
+    levels: List[List[bytes]] = []
+    off = 0
+    width = n // 2
+    while width >= 1:
+        levels.append([out.raw[(off + i) * 32 : (off + i + 1) * 32] for i in range(width)])
+        off += width
+        if width == 1:
+            break
+        width //= 2
+    return levels
+
+
+def keccak_f1600_bytes(state: bytearray) -> None:
+    buf = ctypes.create_string_buffer(bytes(state), 200)
+    _lib.zkp_keccak_f1600(buf)
+    state[:] = buf.raw
+
+
+# ---------------------------------------------------------------------------
+# curve25519 / ristretto — wire format: X||Y||Z||T, 32-byte canonical LE each
+# ---------------------------------------------------------------------------
+
+_P25519 = 2**255 - 19
+
+Point = Tuple[int, int, int, int]
+
+
+def _to_wire(pt: Point) -> bytes:
+    return b"".join((v % _P25519).to_bytes(32, "little") for v in pt)
+
+
+def _from_wire(b: bytes) -> Point:
+    return (
+        int.from_bytes(b[0:32], "little"),
+        int.from_bytes(b[32:64], "little"),
+        int.from_bytes(b[64:96], "little"),
+        int.from_bytes(b[96:128], "little"),
+    )
+
+
+def ed_point_add(p: Point, q: Point) -> Point:
+    out = ctypes.create_string_buffer(128)
+    _lib.zkp_ed_point_add(_to_wire(p), _to_wire(q), out)
+    return _from_wire(out.raw)
+
+
+def ed_scalar_mul(k: int, p: Point, order: int) -> Point:
+    out = ctypes.create_string_buffer(128)
+    _lib.zkp_ed_scalar_mul((k % order).to_bytes(32, "little"), _to_wire(p), out)
+    return _from_wire(out.raw)
+
+
+# Generator bases (Pedersen/Bulletproof gens) are process-constant and reused
+# across every MSM call; memoize their wire encoding.
+_wire_cache: dict = {}
+
+
+def _to_wire_cached(pt: Point) -> bytes:
+    w = _wire_cache.get(pt)
+    if w is None:
+        if len(_wire_cache) > 1 << 16:
+            _wire_cache.clear()
+        w = _wire_cache[pt] = _to_wire(pt)
+    return w
+
+
+def ed_msm(scalars: Sequence[int], points: Sequence[Point], order: int) -> Point:
+    n = len(scalars)
+    sc = b"".join((s % order).to_bytes(32, "little") for s in scalars)
+    pb = b"".join(_to_wire_cached(p) for p in points)
+    out = ctypes.create_string_buffer(128)
+    _lib.zkp_ed_msm(n, sc, pb, out)
+    return _from_wire(out.raw)
+
+
+def ristretto_compress(pt: Point) -> bytes:
+    out = ctypes.create_string_buffer(32)
+    _lib.zkp_ristretto_compress(_to_wire(pt), out)
+    return out.raw
+
+
+def ristretto_decompress(data: bytes) -> Optional[Point]:
+    if len(data) != 32:
+        return None
+    out = ctypes.create_string_buffer(128)
+    if _lib.zkp_ristretto_decompress(bytes(data), out) != 1:
+        return None
+    return _from_wire(out.raw)
+
+
+# ---------------------------------------------------------------------------
+# BN254 — all curve constants are passed in by ops/bn254.py at wiring time
+# (computed by the Python golden model) so nothing is transcribed by hand.
+# G1 wire: Jacobian X||Y||Z, 32B LE each (96B); G2: 6 x 32B (192B);
+# Fq12 wire: 12 x 32B in tower nesting order.
+# ---------------------------------------------------------------------------
+
+_bn254_q = 0
+_bn254_r = 0
+
+
+def bn254_init(q: int, r: int, frob_gamma1, hard_exp: int) -> None:
+    """frob_gamma1: 6 Fq2 pairs; hard_exp: (q^4-q^2+1)/r."""
+    global _bn254_q, _bn254_r
+    _bn254_q, _bn254_r = q, r
+    frob = b"".join(
+        c.to_bytes(32, "little") for pair in frob_gamma1 for c in (pair[0], pair[1])
+    )
+    he = hard_exp.to_bytes((hard_exp.bit_length() + 7) // 8, "little")
+    _lib.zkp_bn254_init(q.to_bytes(32, "little"), frob, he, len(he))
+
+
+def _g1_to_wire(p) -> bytes:
+    q = _bn254_q
+    return b"".join((int(v) % q).to_bytes(32, "little") for v in p)
+
+
+def _g1_from_wire(b: bytes):
+    return (
+        int.from_bytes(b[0:32], "little"),
+        int.from_bytes(b[32:64], "little"),
+        int.from_bytes(b[64:96], "little"),
+    )
+
+
+def _g2_to_wire(p) -> bytes:
+    q = _bn254_q
+    return b"".join(
+        (int(c) % q).to_bytes(32, "little") for coord in p for c in (coord[0], coord[1])
+    )
+
+
+def _g2_from_wire(b: bytes):
+    v = [int.from_bytes(b[i * 32 : (i + 1) * 32], "little") for i in range(6)]
+    return ((v[0], v[1]), (v[2], v[3]), (v[4], v[5]))
+
+
+_g1_wire_cache: dict = {}
+_g2_wire_cache: dict = {}
+
+
+def _g1_wire_cached(p) -> bytes:
+    w = _g1_wire_cache.get(p)
+    if w is None:
+        if len(_g1_wire_cache) > 1 << 16:
+            _g1_wire_cache.clear()
+        w = _g1_wire_cache[p] = _g1_to_wire(p)
+    return w
+
+
+def _g2_wire_cached(p) -> bytes:
+    w = _g2_wire_cache.get(p)
+    if w is None:
+        if len(_g2_wire_cache) > 1 << 16:
+            _g2_wire_cache.clear()
+        w = _g2_wire_cache[p] = _g2_to_wire(p)
+    return w
+
+
+def bn254_g1_msm(scalars: Sequence[int], points) :
+    r = _bn254_r
+    sc = b"".join((s % r).to_bytes(32, "little") for s in scalars)
+    pb = b"".join(_g1_wire_cached(p) for p in points)
+    out = ctypes.create_string_buffer(96)
+    _lib.zkp_bn254_g1_msm(len(points), sc, pb, out)
+    return _g1_from_wire(out.raw)
+
+
+def bn254_g2_msm(scalars: Sequence[int], points):
+    r = _bn254_r
+    sc = b"".join((s % r).to_bytes(32, "little") for s in scalars)
+    pb = b"".join(_g2_wire_cached(p) for p in points)
+    out = ctypes.create_string_buffer(192)
+    _lib.zkp_bn254_g2_msm(len(points), sc, pb, out)
+    return _g2_from_wire(out.raw)
+
+
+def bn254_g1_scalar_mul(k: int, p):
+    out = ctypes.create_string_buffer(96)
+    _lib.zkp_bn254_g1_scalar_mul((k % _bn254_r).to_bytes(32, "little"), _g1_to_wire(p), out)
+    return _g1_from_wire(out.raw)
+
+
+def bn254_g2_scalar_mul(k: int, p):
+    out = ctypes.create_string_buffer(192)
+    _lib.zkp_bn254_g2_scalar_mul((k % _bn254_r).to_bytes(32, "little"), _g2_to_wire(p), out)
+    return _g2_from_wire(out.raw)
+
+
+def bn254_multi_pairing(pairs):
+    """pairs: [(G1 jacobian, G2 jacobian)] -> Fq12 nested tuple."""
+    n = len(pairs)
+    g1b = b"".join(_g1_to_wire(p) for p, _ in pairs)
+    g2b = b"".join(_g2_to_wire(q) for _, q in pairs)
+    out = ctypes.create_string_buffer(384)
+    _lib.zkp_bn254_multi_pairing(n, g1b, g2b, out)
+    v = [int.from_bytes(out.raw[i * 32 : (i + 1) * 32], "little") for i in range(12)]
+    return (
+        ((v[0], v[1]), (v[2], v[3]), (v[4], v[5])),
+        ((v[6], v[7]), (v[8], v[9]), (v[10], v[11])),
+    )

@@ -1,0 +1,1369 @@
+// zkpcore: host-side native kernels for libzkp_tpu.
+//
+// The TPU (jax/XLA/pallas) tier owns batched throughput; this C++ tier owns
+// single-proof host latency for the transcript/commitment/curve ops that the
+// reference delegates to Rust crates (blake3 via winterfell, keccak via
+// merlin/STROBE, curve25519-dalek group ops — see SURVEY.md §2.2).
+//
+// C ABI only; loaded from Python with ctypes (no pybind11 in the image).
+//
+// Build: g++ -O3 -std=c++17 -shared -fPIC -o _zkpcore.so zkpcore.cpp
+
+#include <cstdint>
+#include <cstring>
+#include <vector>
+
+extern "C" {
+
+// ===========================================================================
+// BLAKE3-256 (public spec: IV, 7 rounds, message permutation, chunk tree)
+// ===========================================================================
+
+static const uint32_t B3_IV[8] = {
+    0x6A09E667u, 0xBB67AE85u, 0x3C6EF372u, 0xA54FF53Au,
+    0x510E527Fu, 0x9B05688Cu, 0x1F83D9ABu, 0x5BE0CD19u,
+};
+static const uint8_t B3_PERM[16] = {2, 6, 3, 10, 7, 0, 4, 13, 1, 11, 12, 5, 9, 14, 15, 8};
+
+enum { B3_CHUNK_START = 1, B3_CHUNK_END = 2, B3_PARENT = 4, B3_ROOT = 8 };
+
+static inline uint32_t rotr32(uint32_t x, int n) { return (x >> n) | (x << (32 - n)); }
+
+static inline void b3_g(uint32_t* s, int a, int b, int c, int d, uint32_t mx, uint32_t my) {
+    s[a] = s[a] + s[b] + mx;
+    s[d] = rotr32(s[d] ^ s[a], 16);
+    s[c] = s[c] + s[d];
+    s[b] = rotr32(s[b] ^ s[c], 12);
+    s[a] = s[a] + s[b] + my;
+    s[d] = rotr32(s[d] ^ s[a], 8);
+    s[c] = s[c] + s[d];
+    s[b] = rotr32(s[b] ^ s[c], 7);
+}
+
+// Compress: writes the 8-word output (lo half of the 16-word state xor fold).
+static void b3_compress(const uint32_t cv[8], const uint32_t block[16], uint64_t counter,
+                        uint32_t block_len, uint32_t flags, uint32_t out[8]) {
+    uint32_t s[16] = {
+        cv[0], cv[1], cv[2], cv[3], cv[4], cv[5], cv[6], cv[7],
+        B3_IV[0], B3_IV[1], B3_IV[2], B3_IV[3],
+        (uint32_t)counter, (uint32_t)(counter >> 32), block_len, flags,
+    };
+    uint32_t m[16], t[16];
+    std::memcpy(m, block, sizeof(m));
+    for (int r = 0; r < 7; r++) {
+        b3_g(s, 0, 4, 8, 12, m[0], m[1]);
+        b3_g(s, 1, 5, 9, 13, m[2], m[3]);
+        b3_g(s, 2, 6, 10, 14, m[4], m[5]);
+        b3_g(s, 3, 7, 11, 15, m[6], m[7]);
+        b3_g(s, 0, 5, 10, 15, m[8], m[9]);
+        b3_g(s, 1, 6, 11, 12, m[10], m[11]);
+        b3_g(s, 2, 7, 8, 13, m[12], m[13]);
+        b3_g(s, 3, 4, 9, 14, m[14], m[15]);
+        if (r < 6) {
+            for (int i = 0; i < 16; i++) t[i] = m[B3_PERM[i]];
+            std::memcpy(m, t, sizeof(m));
+        }
+    }
+    for (int i = 0; i < 8; i++) out[i] = s[i] ^ s[i + 8];
+}
+
+static void b3_load_block(const uint8_t* data, uint64_t len, uint32_t block[16]) {
+    uint8_t buf[64];
+    std::memset(buf, 0, 64);
+    std::memcpy(buf, data, len);
+    for (int i = 0; i < 16; i++) {
+        block[i] = (uint32_t)buf[4 * i] | ((uint32_t)buf[4 * i + 1] << 8) |
+                   ((uint32_t)buf[4 * i + 2] << 16) | ((uint32_t)buf[4 * i + 3] << 24);
+    }
+}
+
+// Chaining value of one <=1024-byte chunk.
+static void b3_chunk_cv(const uint8_t* data, uint64_t len, uint64_t counter, bool root,
+                        uint32_t cv_out[8]) {
+    uint32_t cv[8];
+    std::memcpy(cv, B3_IV, sizeof(cv));
+    uint64_t nblocks = len ? (len + 63) / 64 : 1;
+    for (uint64_t i = 0; i < nblocks; i++) {
+        uint64_t off = i * 64;
+        uint32_t blen = (uint32_t)(i == nblocks - 1 ? len - off : 64);
+        uint32_t flags = 0;
+        if (i == 0) flags |= B3_CHUNK_START;
+        if (i == nblocks - 1) {
+            flags |= B3_CHUNK_END;
+            if (root) flags |= B3_ROOT;
+        }
+        uint32_t block[16];
+        b3_load_block(data + off, blen, block);
+        uint32_t out[8];
+        b3_compress(cv, block, counter, blen, flags, out);
+        std::memcpy(cv, out, sizeof(out));
+    }
+    std::memcpy(cv_out, cv, 32);
+}
+
+static void b3_parent(const uint32_t l[8], const uint32_t r[8], bool root, uint32_t out[8]) {
+    uint32_t block[16];
+    std::memcpy(block, l, 32);
+    std::memcpy(block + 8, r, 32);
+    b3_compress(B3_IV, block, 0, 64, B3_PARENT | (root ? B3_ROOT : 0), out);
+}
+
+// Tree merge: left subtree = largest power of two strictly below the count.
+static void b3_merge(const uint32_t* cvs, uint64_t n, bool root, uint32_t out[8]) {
+    if (n == 1) {
+        std::memcpy(out, cvs, 32);
+        return;
+    }
+    uint64_t split = 1;
+    while (split * 2 < n) split *= 2;
+    uint32_t l[8], r[8];
+    b3_merge(cvs, split, false, l);
+    b3_merge(cvs + 8 * split, n - split, false, r);
+    b3_parent(l, r, root, out);
+}
+
+void zkp_blake3(const uint8_t* data, uint64_t len, uint8_t out[32]) {
+    uint64_t n_chunks = len ? (len + 1023) / 1024 : 1;
+    uint32_t cv[8];
+    if (n_chunks == 1) {
+        b3_chunk_cv(data, len, 0, true, cv);
+    } else {
+        std::vector<uint32_t> cvs(8 * n_chunks);
+        for (uint64_t i = 0; i < n_chunks; i++) {
+            uint64_t off = i * 1024;
+            uint64_t clen = (i == n_chunks - 1) ? len - off : 1024;
+            b3_chunk_cv(data + off, clen, i, false, cvs.data() + 8 * i);
+        }
+        b3_merge(cvs.data(), n_chunks, true, cv);
+    }
+    std::memcpy(out, cv, 32);
+}
+
+// n equal-length items, concatenated; out = n * 32 bytes.
+void zkp_blake3_batch(const uint8_t* data, uint64_t n, uint64_t item_len, uint8_t* out) {
+    for (uint64_t i = 0; i < n; i++) zkp_blake3(data + i * item_len, item_len, out + i * 32);
+}
+
+// One Merkle level: n_out parent digests from 2*n_out child digests.
+void zkp_blake3_merge_level(const uint8_t* children, uint64_t n_out, uint8_t* out) {
+    for (uint64_t i = 0; i < n_out; i++) zkp_blake3(children + i * 64, 64, out + i * 32);
+}
+
+// Full Merkle tree over n (power-of-two) 32-byte leaves.
+// out receives all levels above the leaves, bottom-up: n/2 + n/4 + ... + 1 digests.
+void zkp_blake3_merkle(const uint8_t* leaves, uint64_t n, uint8_t* out) {
+    const uint8_t* cur = leaves;
+    uint64_t level = n / 2;
+    while (level >= 1) {
+        zkp_blake3_merge_level(cur, level, out);
+        cur = out;
+        out += level * 32;
+        if (level == 1) break;
+        level /= 2;
+    }
+}
+
+// ===========================================================================
+// Keccak-f[1600] (24 rounds) — STROBE-128 / merlin transcript permutation
+// ===========================================================================
+
+static const uint64_t KECCAK_RC[24] = {
+    0x0000000000000001ULL, 0x0000000000008082ULL, 0x800000000000808aULL,
+    0x8000000080008000ULL, 0x000000000000808bULL, 0x0000000080000001ULL,
+    0x8000000080008081ULL, 0x8000000000008009ULL, 0x000000000000008aULL,
+    0x0000000000000088ULL, 0x0000000080008009ULL, 0x000000008000000aULL,
+    0x000000008000808bULL, 0x800000000000008bULL, 0x8000000000008089ULL,
+    0x8000000000008003ULL, 0x8000000000008002ULL, 0x8000000000000080ULL,
+    0x000000000000800aULL, 0x800000008000000aULL, 0x8000000080008081ULL,
+    0x8000000000008080ULL, 0x0000000080000001ULL, 0x8000000080008008ULL,
+};
+static const int KECCAK_ROT[24] = {1,  3,  6,  10, 15, 21, 28, 36, 45, 55, 2,  14,
+                                   27, 41, 56, 8,  25, 43, 62, 18, 39, 61, 20, 44};
+static const int KECCAK_PI[24] = {10, 7,  11, 17, 18, 3, 5,  16, 8,  21, 24, 4,
+                                  15, 23, 19, 13, 12, 2, 20, 14, 22, 9,  6,  1};
+
+static inline uint64_t rotl64(uint64_t x, int n) { return (x << n) | (x >> (64 - n)); }
+
+void zkp_keccak_f1600(uint64_t* a) {
+    uint64_t b[5], t, d;
+    for (int round = 0; round < 24; round++) {
+        // theta
+        for (int i = 0; i < 5; i++) b[i] = a[i] ^ a[i + 5] ^ a[i + 10] ^ a[i + 15] ^ a[i + 20];
+        for (int i = 0; i < 5; i++) {
+            d = b[(i + 4) % 5] ^ rotl64(b[(i + 1) % 5], 1);
+            for (int j = 0; j < 25; j += 5) a[j + i] ^= d;
+        }
+        // rho + pi
+        t = a[1];
+        for (int i = 0; i < 24; i++) {
+            int j = KECCAK_PI[i];
+            d = a[j];
+            a[j] = rotl64(t, KECCAK_ROT[i]);
+            t = d;
+        }
+        // chi
+        for (int j = 0; j < 25; j += 5) {
+            uint64_t row[5];
+            for (int i = 0; i < 5; i++) row[i] = a[j + i];
+            for (int i = 0; i < 5; i++) a[j + i] = row[i] ^ ((~row[(i + 1) % 5]) & row[(i + 2) % 5]);
+        }
+        // iota
+        a[0] ^= KECCAK_RC[round];
+    }
+}
+
+// ===========================================================================
+// Curve25519 field: 5 x 51-bit limbs, mul via unsigned __int128
+// ===========================================================================
+
+typedef unsigned __int128 u128;
+struct fe {
+    uint64_t v[5];
+};
+
+static const uint64_t MASK51 = 0x7FFFFFFFFFFFFULL;
+
+static inline fe fe_zero() { return fe{{0, 0, 0, 0, 0}}; }
+static inline fe fe_one() { return fe{{1, 0, 0, 0, 0}}; }
+
+static inline fe fe_add(const fe& a, const fe& b) {
+    fe r;
+    for (int i = 0; i < 5; i++) r.v[i] = a.v[i] + b.v[i];
+    return r;
+}
+
+// a - b with bias 2*p to keep limbs positive (inputs must be weakly reduced).
+static inline fe fe_sub(const fe& a, const fe& b) {
+    fe r;
+    r.v[0] = a.v[0] + 0xFFFFFFFFFFFDAULL - b.v[0];
+    r.v[1] = a.v[1] + 0xFFFFFFFFFFFFEULL - b.v[1];
+    r.v[2] = a.v[2] + 0xFFFFFFFFFFFFEULL - b.v[2];
+    r.v[3] = a.v[3] + 0xFFFFFFFFFFFFEULL - b.v[3];
+    r.v[4] = a.v[4] + 0xFFFFFFFFFFFFEULL - b.v[4];
+    // carry to keep limbs in range
+    uint64_t c;
+    c = r.v[0] >> 51; r.v[0] &= MASK51; r.v[1] += c;
+    c = r.v[1] >> 51; r.v[1] &= MASK51; r.v[2] += c;
+    c = r.v[2] >> 51; r.v[2] &= MASK51; r.v[3] += c;
+    c = r.v[3] >> 51; r.v[3] &= MASK51; r.v[4] += c;
+    c = r.v[4] >> 51; r.v[4] &= MASK51; r.v[0] += c * 19;
+    return r;
+}
+
+static inline fe fe_mul(const fe& f, const fe& g) {
+    u128 r0, r1, r2, r3, r4;
+    uint64_t f0 = f.v[0], f1 = f.v[1], f2 = f.v[2], f3 = f.v[3], f4 = f.v[4];
+    uint64_t g0 = g.v[0], g1 = g.v[1], g2 = g.v[2], g3 = g.v[3], g4 = g.v[4];
+    uint64_t g1_19 = g1 * 19, g2_19 = g2 * 19, g3_19 = g3 * 19, g4_19 = g4 * 19;
+    r0 = (u128)f0 * g0 + (u128)f1 * g4_19 + (u128)f2 * g3_19 + (u128)f3 * g2_19 + (u128)f4 * g1_19;
+    r1 = (u128)f0 * g1 + (u128)f1 * g0 + (u128)f2 * g4_19 + (u128)f3 * g3_19 + (u128)f4 * g2_19;
+    r2 = (u128)f0 * g2 + (u128)f1 * g1 + (u128)f2 * g0 + (u128)f3 * g4_19 + (u128)f4 * g3_19;
+    r3 = (u128)f0 * g3 + (u128)f1 * g2 + (u128)f2 * g1 + (u128)f3 * g0 + (u128)f4 * g4_19;
+    r4 = (u128)f0 * g4 + (u128)f1 * g3 + (u128)f2 * g2 + (u128)f3 * g1 + (u128)f4 * g0;
+    fe out;
+    uint64_t c;
+    c = (uint64_t)(r0 >> 51); out.v[0] = (uint64_t)r0 & MASK51; r1 += c;
+    c = (uint64_t)(r1 >> 51); out.v[1] = (uint64_t)r1 & MASK51; r2 += c;
+    c = (uint64_t)(r2 >> 51); out.v[2] = (uint64_t)r2 & MASK51; r3 += c;
+    c = (uint64_t)(r3 >> 51); out.v[3] = (uint64_t)r3 & MASK51; r4 += c;
+    c = (uint64_t)(r4 >> 51); out.v[4] = (uint64_t)r4 & MASK51;
+    out.v[0] += c * 19;
+    c = out.v[0] >> 51; out.v[0] &= MASK51; out.v[1] += c;
+    return out;
+}
+
+static inline fe fe_sq(const fe& f) { return fe_mul(f, f); }
+
+static fe fe_frombytes(const uint8_t s[32]) {
+    uint64_t w[4];
+    std::memcpy(w, s, 32);
+    fe r;
+    r.v[0] = w[0] & MASK51;
+    r.v[1] = ((w[0] >> 51) | (w[1] << 13)) & MASK51;
+    r.v[2] = ((w[1] >> 38) | (w[2] << 26)) & MASK51;
+    r.v[3] = ((w[2] >> 25) | (w[3] << 39)) & MASK51;
+    r.v[4] = (w[3] >> 12) & MASK51;
+    return r;
+}
+
+static void fe_tobytes(const fe& f, uint8_t s[32]) {
+    fe t = f;
+    // two carry passes then canonical reduction
+    uint64_t c;
+    for (int pass = 0; pass < 2; pass++) {
+        c = t.v[0] >> 51; t.v[0] &= MASK51; t.v[1] += c;
+        c = t.v[1] >> 51; t.v[1] &= MASK51; t.v[2] += c;
+        c = t.v[2] >> 51; t.v[2] &= MASK51; t.v[3] += c;
+        c = t.v[3] >> 51; t.v[3] &= MASK51; t.v[4] += c;
+        c = t.v[4] >> 51; t.v[4] &= MASK51; t.v[0] += c * 19;
+    }
+    // canonical: add 19 and check overflow past 2^255
+    uint64_t q = (t.v[0] + 19) >> 51;
+    q = (t.v[1] + q) >> 51;
+    q = (t.v[2] + q) >> 51;
+    q = (t.v[3] + q) >> 51;
+    q = (t.v[4] + q) >> 51;
+    t.v[0] += 19 * q;
+    c = t.v[0] >> 51; t.v[0] &= MASK51; t.v[1] += c;
+    c = t.v[1] >> 51; t.v[1] &= MASK51; t.v[2] += c;
+    c = t.v[2] >> 51; t.v[2] &= MASK51; t.v[3] += c;
+    c = t.v[3] >> 51; t.v[3] &= MASK51; t.v[4] += c;
+    t.v[4] &= MASK51;
+    uint64_t w[4];
+    w[0] = t.v[0] | (t.v[1] << 51);
+    w[1] = (t.v[1] >> 13) | (t.v[2] << 38);
+    w[2] = (t.v[2] >> 26) | (t.v[3] << 25);
+    w[3] = (t.v[3] >> 39) | (t.v[4] << 12);
+    std::memcpy(s, w, 32);
+}
+
+static inline bool fe_isnegative(const fe& f) {
+    uint8_t s[32];
+    fe_tobytes(f, s);
+    return s[0] & 1;
+}
+
+static inline bool fe_iszero(const fe& f) {
+    uint8_t s[32];
+    fe_tobytes(f, s);
+    for (int i = 0; i < 32; i++)
+        if (s[i]) return false;
+    return true;
+}
+
+static fe fe_neg(const fe& a) { return fe_sub(fe_zero(), a); }
+
+// f^((p-5)/8) core: returns z^(2^252 - 3) via the ref10 addition chain.
+static fe fe_pow22523(const fe& z) {
+    fe t0, t1, t2;
+    t0 = fe_sq(z);
+    t1 = fe_sq(fe_sq(t0));
+    t1 = fe_mul(z, t1);
+    t0 = fe_mul(t0, t1);
+    t0 = fe_sq(t0);
+    t0 = fe_mul(t1, t0);
+    t1 = fe_sq(t0);
+    for (int i = 1; i < 5; i++) t1 = fe_sq(t1);
+    t0 = fe_mul(t1, t0);
+    t1 = fe_sq(t0);
+    for (int i = 1; i < 10; i++) t1 = fe_sq(t1);
+    t1 = fe_mul(t1, t0);
+    t2 = fe_sq(t1);
+    for (int i = 1; i < 20; i++) t2 = fe_sq(t2);
+    t1 = fe_mul(t2, t1);
+    t1 = fe_sq(t1);
+    for (int i = 1; i < 10; i++) t1 = fe_sq(t1);
+    t0 = fe_mul(t1, t0);
+    t1 = fe_sq(t0);
+    for (int i = 1; i < 50; i++) t1 = fe_sq(t1);
+    t1 = fe_mul(t1, t0);
+    t2 = fe_sq(t1);
+    for (int i = 1; i < 100; i++) t2 = fe_sq(t2);
+    t1 = fe_mul(t2, t1);
+    t1 = fe_sq(t1);
+    for (int i = 1; i < 50; i++) t1 = fe_sq(t1);
+    t0 = fe_mul(t1, t0);
+    t0 = fe_sq(t0);
+    t0 = fe_sq(t0);
+    return fe_mul(t0, z);
+}
+
+// sqrt(-1): 2^((p-1)/4), the even root (matches dalek / ed25519.py SQRT_M1).
+static const uint8_t SQRT_M1_BYTES[32] = {
+    0xb0, 0xa0, 0x0e, 0x4a, 0x27, 0x1b, 0xee, 0xc4, 0x78, 0xe4, 0x2f, 0xad, 0x06, 0x18, 0x43, 0x2f,
+    0xa7, 0xd7, 0xfb, 0x3d, 0x99, 0x00, 0x4d, 0x2b, 0x0b, 0xdf, 0xc1, 0x4f, 0x80, 0x24, 0x83, 0x2b,
+};
+
+// RFC 9496 SQRT_RATIO_M1: (was_square, r) with r = sqrt(u/v) (or i*u/v), r even.
+static bool fe_sqrt_ratio_m1(const fe& u, const fe& v, fe& r_out) {
+    fe v3 = fe_mul(fe_sq(v), v);
+    fe v7 = fe_mul(fe_sq(v3), v);
+    fe r = fe_mul(fe_mul(u, v3), fe_pow22523(fe_mul(u, v7)));
+    fe check = fe_mul(v, fe_sq(r));
+    fe sqrt_m1 = fe_frombytes(SQRT_M1_BYTES);
+    fe neg_u = fe_neg(u);
+    bool correct = fe_iszero(fe_sub(check, u));
+    bool flipped = fe_iszero(fe_sub(check, neg_u));
+    bool flipped_i = fe_iszero(fe_sub(check, fe_mul(neg_u, sqrt_m1)));
+    if (flipped || flipped_i) r = fe_mul(r, sqrt_m1);
+    if (fe_isnegative(r)) r = fe_neg(r);
+    r_out = r;
+    return correct || flipped;
+}
+
+// ===========================================================================
+// Edwards points, extended coordinates (X, Y, Z, T), a = -1
+// ===========================================================================
+
+struct ge {
+    fe X, Y, Z, T;
+};
+
+// 2*d mod p
+static const uint8_t TWO_D_BYTES[32] = {
+    0x59, 0xf1, 0xb2, 0x26, 0x94, 0x9b, 0xd6, 0xeb, 0x56, 0xb1, 0x83, 0x82, 0x9a, 0x14, 0xe0, 0x00,
+    0x30, 0xd1, 0xf3, 0xee, 0xf2, 0x80, 0x8e, 0x19, 0xe7, 0xfc, 0xdf, 0x56, 0xdc, 0xd9, 0x06, 0x24,
+};
+// d mod p
+static const uint8_t D_BYTES[32] = {
+    0xa3, 0x78, 0x59, 0x13, 0xca, 0x4d, 0xeb, 0x75, 0xab, 0xd8, 0x41, 0x41, 0x4d, 0x0a, 0x70, 0x00,
+    0x98, 0xe8, 0x79, 0x77, 0x79, 0x40, 0xc7, 0x8c, 0x73, 0xfe, 0x6f, 0x2b, 0xee, 0x6c, 0x03, 0x52,
+};
+// 1/sqrt(a-d) with a=-1 (dalek INVSQRT_A_MINUS_D)
+static const uint8_t INVSQRT_A_MINUS_D_BYTES[32] = {
+    0xea, 0x40, 0x5d, 0x80, 0xaa, 0xfd, 0xc8, 0x99, 0xbe, 0x72, 0x41, 0x5a, 0x17, 0x16, 0x2f, 0x9d,
+    0x40, 0xd8, 0x01, 0xfe, 0x91, 0x7b, 0xc2, 0x16, 0xa2, 0xfc, 0xaf, 0xcf, 0x05, 0x89, 0x6c, 0x78,
+};
+
+static ge ge_identity() { return ge{fe_zero(), fe_one(), fe_one(), fe_zero()}; }
+
+// Unified add-2008-hwcd-3 for a=-1 (same formulas as ed25519.py point_add).
+static ge ge_add(const ge& p, const ge& q) {
+    fe two_d = fe_frombytes(TWO_D_BYTES);
+    fe A = fe_mul(fe_sub(p.Y, p.X), fe_sub(q.Y, q.X));
+    fe B = fe_mul(fe_add(p.Y, p.X), fe_add(q.Y, q.X));
+    fe C = fe_mul(fe_mul(p.T, two_d), q.T);
+    fe D = fe_add(fe_mul(p.Z, q.Z), fe_mul(p.Z, q.Z));
+    fe E = fe_sub(B, A);
+    fe F = fe_sub(D, C);
+    fe G = fe_add(D, C);
+    fe H = fe_add(B, A);
+    return ge{fe_mul(E, F), fe_mul(G, H), fe_mul(F, G), fe_mul(E, H)};
+}
+
+static ge ge_double(const ge& p) {
+    fe A = fe_sq(p.X);
+    fe B = fe_sq(p.Y);
+    fe C = fe_add(fe_sq(p.Z), fe_sq(p.Z));
+    fe H = fe_add(A, B);
+    fe E = fe_sub(H, fe_sq(fe_add(p.X, p.Y)));
+    fe G = fe_sub(A, B);
+    fe F = fe_add(C, G);
+    return ge{fe_mul(E, F), fe_mul(G, H), fe_mul(F, G), fe_mul(E, H)};
+}
+
+static ge ge_neg(const ge& p) { return ge{fe_neg(p.X), p.Y, p.Z, fe_neg(p.T)}; }
+
+// Wire format: X||Y||Z||T, each 32 bytes canonical LE.
+static ge ge_from_wire(const uint8_t* b) {
+    return ge{fe_frombytes(b), fe_frombytes(b + 32), fe_frombytes(b + 64), fe_frombytes(b + 96)};
+}
+
+static void ge_to_wire(const ge& p, uint8_t* b) {
+    fe_tobytes(p.X, b);
+    fe_tobytes(p.Y, b + 32);
+    fe_tobytes(p.Z, b + 64);
+    fe_tobytes(p.T, b + 96);
+}
+
+void zkp_ed_point_add(const uint8_t* a, const uint8_t* b, uint8_t* out) {
+    ge r = ge_add(ge_from_wire(a), ge_from_wire(b));
+    ge_to_wire(r, out);
+}
+
+void zkp_ed_point_double(const uint8_t* a, uint8_t* out) {
+    ge_to_wire(ge_double(ge_from_wire(a)), out);
+}
+
+// scalar: 32 bytes LE, already reduced mod l by the caller.
+void zkp_ed_scalar_mul(const uint8_t* scalar, const uint8_t* point, uint8_t* out) {
+    ge p = ge_from_wire(point);
+    // 4-bit fixed window
+    ge table[16];
+    table[0] = ge_identity();
+    table[1] = p;
+    for (int i = 2; i < 16; i++) table[i] = ge_add(table[i - 1], p);
+    ge acc = ge_identity();
+    bool started = false;
+    for (int i = 31; i >= 0; i--) {
+        for (int half = 1; half >= 0; half--) {
+            int nib = half ? (scalar[i] >> 4) : (scalar[i] & 0xF);
+            if (started) {
+                acc = ge_double(ge_double(ge_double(ge_double(acc))));
+            }
+            if (nib) {
+                acc = started ? ge_add(acc, table[nib]) : table[nib];
+                started = true;
+            } else if (started) {
+                // nothing
+            }
+        }
+    }
+    if (!started) acc = ge_identity();
+    ge_to_wire(acc, out);
+}
+
+// Pippenger MSM. scalars: n*32 bytes LE (reduced mod l); points: n*128 bytes.
+void zkp_ed_msm(uint64_t n_in, const uint8_t* scalars_in, const uint8_t* points_in,
+                uint8_t* out) {
+    // compact away zero scalars first (the IPA rounds pass half-zero vectors)
+    std::vector<ge> pts;
+    std::vector<const uint8_t*> sc;
+    pts.reserve(n_in);
+    sc.reserve(n_in);
+    static const uint8_t ZERO32[32] = {0};
+    for (uint64_t i = 0; i < n_in; i++) {
+        if (std::memcmp(scalars_in + 32 * i, ZERO32, 32) != 0) {
+            sc.push_back(scalars_in + 32 * i);
+            pts.push_back(ge_from_wire(points_in + 128 * i));
+        }
+    }
+    uint64_t n = pts.size();
+    if (n == 0) {
+        ge_to_wire(ge_identity(), out);
+        return;
+    }
+    // window size minimizing ceil(253/c) * (n + 2^(c+1))
+    int c = 1;
+    double best = 1e30;
+    for (int cand = 1; cand <= 16; cand++) {
+        double cost = (double)((253 + cand - 1) / cand) *
+                      ((double)n + (double)(2ULL << cand)) +
+                      253.0;  // + final window doubles
+        if (cost < best) {
+            best = cost;
+            c = cand;
+        }
+    }
+    const int nbits = 253;
+    int nwin = (nbits + c - 1) / c;
+    uint64_t nbuckets = (1ULL << c) - 1;
+    std::vector<ge> buckets(nbuckets);
+    std::vector<bool> used(nbuckets);
+    ge acc = ge_identity();
+    bool acc_set = false;
+    for (int w = nwin - 1; w >= 0; w--) {
+        if (acc_set)
+            for (int k = 0; k < c; k++) acc = ge_double(acc);
+        std::fill(used.begin(), used.end(), false);
+        int shift = w * c;
+        for (uint64_t i = 0; i < n; i++) {
+            // extract c bits at `shift` from the 256-bit LE scalar
+            int byte = shift >> 3, bit = shift & 7;
+            const uint8_t* s = sc[i];
+            uint32_t frag = s[byte];
+            if (byte + 1 < 32) frag |= (uint32_t)s[byte + 1] << 8;
+            if (byte + 2 < 32) frag |= (uint32_t)s[byte + 2] << 16;
+            uint64_t idx = (frag >> bit) & nbuckets;
+            if (!idx) continue;
+            if (used[idx - 1])
+                buckets[idx - 1] = ge_add(buckets[idx - 1], pts[i]);
+            else {
+                buckets[idx - 1] = pts[i];
+                used[idx - 1] = true;
+            }
+        }
+        ge running = ge_identity(), total = ge_identity();
+        bool run_set = false, tot_set = false;
+        for (int64_t idx = (int64_t)nbuckets - 1; idx >= 0; idx--) {
+            if (used[idx]) {
+                running = run_set ? ge_add(running, buckets[idx]) : buckets[idx];
+                run_set = true;
+            }
+            if (run_set) {
+                total = tot_set ? ge_add(total, running) : running;
+                tot_set = true;
+            }
+        }
+        if (tot_set) {
+            acc = acc_set ? ge_add(acc, total) : total;
+            acc_set = true;
+        }
+    }
+    if (!acc_set) acc = ge_identity();
+    ge_to_wire(acc, out);
+}
+
+// Ristretto255 compress (RFC 9496 ENCODE). in: 128-byte wire point.
+void zkp_ristretto_compress(const uint8_t* in, uint8_t* out) {
+    ge p = ge_from_wire(in);
+    fe u1 = fe_mul(fe_add(p.Z, p.Y), fe_sub(p.Z, p.Y));
+    fe u2 = fe_mul(p.X, p.Y);
+    fe invsqrt;
+    fe_sqrt_ratio_m1(fe_one(), fe_mul(u1, fe_sq(u2)), invsqrt);
+    fe den1 = fe_mul(invsqrt, u1);
+    fe den2 = fe_mul(invsqrt, u2);
+    fe z_inv = fe_mul(fe_mul(den1, den2), p.T);
+    fe sqrt_m1 = fe_frombytes(SQRT_M1_BYTES);
+    fe ix = fe_mul(p.X, sqrt_m1);
+    fe iy = fe_mul(p.Y, sqrt_m1);
+    fe enchanted = fe_mul(den1, fe_frombytes(INVSQRT_A_MINUS_D_BYTES));
+    bool rotate = fe_isnegative(fe_mul(p.T, z_inv));
+    fe x = p.X, y = p.Y, den_inv;
+    if (rotate) {
+        x = iy;
+        y = ix;
+        den_inv = enchanted;
+    } else {
+        den_inv = den2;
+    }
+    if (fe_isnegative(fe_mul(x, z_inv))) y = fe_neg(y);
+    fe s = fe_mul(den_inv, fe_sub(p.Z, y));
+    if (fe_isnegative(s)) s = fe_neg(s);
+    fe_tobytes(s, out);
+}
+
+// Ristretto255 decompress (RFC 9496 DECODE). Returns 1 ok / 0 reject.
+int zkp_ristretto_decompress(const uint8_t* in, uint8_t* out) {
+    // canonical check: reject s >= p or negative (odd)
+    uint8_t canon[32];
+    fe s_fe = fe_frombytes(in);
+    fe_tobytes(s_fe, canon);
+    if (std::memcmp(canon, in, 32) != 0) return 0;
+    if (in[0] & 1) return 0;
+    if (in[31] & 0x80) return 0;  // frombytes masks bit 255; require it clear on the wire
+    fe ss = fe_sq(s_fe);
+    fe u1 = fe_sub(fe_one(), ss);
+    fe u2 = fe_add(fe_one(), ss);
+    fe u2_sqr = fe_sq(u2);
+    fe d = fe_frombytes(D_BYTES);
+    fe v = fe_sub(fe_neg(fe_mul(fe_mul(d, u1), u1)), u2_sqr);
+    fe invsqrt;
+    bool was_square = fe_sqrt_ratio_m1(fe_one(), fe_mul(v, u2_sqr), invsqrt);
+    fe den_x = fe_mul(invsqrt, u2);
+    fe den_y = fe_mul(fe_mul(invsqrt, den_x), v);
+    fe x = fe_mul(fe_add(s_fe, s_fe), den_x);
+    if (fe_isnegative(x)) x = fe_neg(x);
+    fe y = fe_mul(u1, den_y);
+    fe t = fe_mul(x, y);
+    if (!was_square || fe_isnegative(t) || fe_iszero(y)) return 0;
+    ge p{x, y, fe_one(), t};
+    ge_to_wire(p, out);
+    return 1;
+}
+
+}  // extern "C"
+
+// ===========================================================================
+// BN254 (alt_bn128): Montgomery Fq, tower Fq2/Fq6/Fq12, Jacobian G1/G2,
+// Pippenger MSM, optimal-ate pairing.  Mirrors the Python golden model in
+// ops/bn254.py (same formulas); all constants arrive at init time from
+// Python so nothing is hand-transcribed.
+// ===========================================================================
+
+extern "C" {
+
+struct u256 {
+    uint64_t v[4];
+};
+
+static u256 BQ;            // modulus q
+static uint64_t BQ_NINV;   // -q^{-1} mod 2^64
+static u256 BQ_R2;         // R^2 mod q (R = 2^256)
+static u256 BQ_MONT_ONE;   // R mod q
+static uint8_t BQ_M2[32];  // q-2 little-endian (for inversion exponent)
+
+static inline bool u256_is_zero(const u256& a) {
+    return !(a.v[0] | a.v[1] | a.v[2] | a.v[3]);
+}
+static inline int u256_cmp(const u256& a, const u256& b) {
+    for (int i = 3; i >= 0; i--) {
+        if (a.v[i] < b.v[i]) return -1;
+        if (a.v[i] > b.v[i]) return 1;
+    }
+    return 0;
+}
+static inline uint64_t u256_add(u256& r, const u256& a, const u256& b) {
+    u128 c = 0;
+    for (int i = 0; i < 4; i++) {
+        c += (u128)a.v[i] + b.v[i];
+        r.v[i] = (uint64_t)c;
+        c >>= 64;
+    }
+    return (uint64_t)c;
+}
+static inline uint64_t u256_sub(u256& r, const u256& a, const u256& b) {
+    u128 borrow = 0;
+    for (int i = 0; i < 4; i++) {
+        u128 d = (u128)a.v[i] - b.v[i] - borrow;
+        r.v[i] = (uint64_t)d;
+        borrow = (d >> 64) & 1;
+    }
+    return (uint64_t)borrow;
+}
+
+// Montgomery field element (value * R mod q), always < q.
+struct bfq {
+    u256 m;
+};
+
+static inline bfq bfq_add(const bfq& a, const bfq& b) {
+    bfq r;
+    uint64_t c = u256_add(r.m, a.m, b.m);
+    if (c || u256_cmp(r.m, BQ) >= 0) u256_sub(r.m, r.m, BQ);
+    return r;
+}
+static inline bfq bfq_sub(const bfq& a, const bfq& b) {
+    bfq r;
+    if (u256_sub(r.m, a.m, b.m)) u256_add(r.m, r.m, BQ);
+    return r;
+}
+static inline bfq bfq_neg(const bfq& a) {
+    bfq r;
+    if (u256_is_zero(a.m)) return a;
+    u256_sub(r.m, BQ, a.m);
+    return r;
+}
+
+// CIOS Montgomery multiplication.
+static bfq bfq_mul(const bfq& a, const bfq& b) {
+    uint64_t t[6] = {0, 0, 0, 0, 0, 0};
+    for (int i = 0; i < 4; i++) {
+        u128 c = 0;
+        for (int j = 0; j < 4; j++) {
+            c += (u128)t[j] + (u128)a.m.v[i] * b.m.v[j];
+            t[j] = (uint64_t)c;
+            c >>= 64;
+        }
+        c += t[4];
+        t[4] = (uint64_t)c;
+        t[5] = (uint64_t)(c >> 64);
+        uint64_t m = t[0] * BQ_NINV;
+        c = (u128)t[0] + (u128)m * BQ.v[0];
+        c >>= 64;
+        for (int j = 1; j < 4; j++) {
+            c += (u128)t[j] + (u128)m * BQ.v[j];
+            t[j - 1] = (uint64_t)c;
+            c >>= 64;
+        }
+        c += t[4];
+        t[3] = (uint64_t)c;
+        t[4] = t[5] + (uint64_t)(c >> 64);
+    }
+    bfq r;
+    for (int i = 0; i < 4; i++) r.m.v[i] = t[i];
+    if (t[4] || u256_cmp(r.m, BQ) >= 0) u256_sub(r.m, r.m, BQ);
+    return r;
+}
+
+static inline bfq bfq_sq(const bfq& a) { return bfq_mul(a, a); }
+
+static bfq bfq_zero() { return bfq{{{0, 0, 0, 0}}}; }
+static bfq bfq_one() { return bfq{BQ_MONT_ONE}; }
+static inline bool bfq_is_zero(const bfq& a) { return u256_is_zero(a.m); }
+
+static bfq bfq_frombytes(const uint8_t b[32]) {
+    bfq r;
+    std::memcpy(r.m.v, b, 32);
+    bfq r2{BQ_R2};
+    return bfq_mul(r, r2);
+}
+static void bfq_tobytes(const bfq& a, uint8_t b[32]) {
+    bfq one_raw{{{1, 0, 0, 0}}};
+    bfq red = bfq_mul(a, one_raw);
+    std::memcpy(b, red.m.v, 32);
+}
+
+// pow by little-endian exponent bytes (square-and-multiply, MSB first).
+static bfq bfq_pow_bytes(const bfq& a, const uint8_t* e, int elen) {
+    bfq r = bfq_one();
+    bool started = false;
+    for (int i = elen - 1; i >= 0; i--) {
+        for (int bit = 7; bit >= 0; bit--) {
+            if (started) r = bfq_sq(r);
+            if ((e[i] >> bit) & 1) {
+                if (started)
+                    r = bfq_mul(r, a);
+                else {
+                    r = a;
+                    started = true;
+                }
+            }
+        }
+    }
+    return r;
+}
+
+static bfq bfq_inv(const bfq& a) { return bfq_pow_bytes(a, BQ_M2, 32); }
+
+// ---- Fq2 = Fq[u]/(u^2+1) ----
+struct bfq2 {
+    bfq c0, c1;
+};
+static bfq2 bfq2_zero() { return bfq2{bfq_zero(), bfq_zero()}; }
+static bfq2 bfq2_one() { return bfq2{bfq_one(), bfq_zero()}; }
+static inline bool bfq2_is_zero(const bfq2& a) { return bfq_is_zero(a.c0) && bfq_is_zero(a.c1); }
+static inline bfq2 bfq2_add(const bfq2& a, const bfq2& b) {
+    return bfq2{bfq_add(a.c0, b.c0), bfq_add(a.c1, b.c1)};
+}
+static inline bfq2 bfq2_sub(const bfq2& a, const bfq2& b) {
+    return bfq2{bfq_sub(a.c0, b.c0), bfq_sub(a.c1, b.c1)};
+}
+static inline bfq2 bfq2_neg(const bfq2& a) { return bfq2{bfq_neg(a.c0), bfq_neg(a.c1)}; }
+static inline bfq2 bfq2_conj(const bfq2& a) { return bfq2{a.c0, bfq_neg(a.c1)}; }
+static bfq2 bfq2_mul(const bfq2& a, const bfq2& b) {
+    bfq t0 = bfq_mul(a.c0, b.c0);
+    bfq t1 = bfq_mul(a.c1, b.c1);
+    bfq s = bfq_mul(bfq_add(a.c0, a.c1), bfq_add(b.c0, b.c1));
+    return bfq2{bfq_sub(t0, t1), bfq_sub(bfq_sub(s, t0), t1)};
+}
+static inline bfq2 bfq2_sq(const bfq2& a) { return bfq2_mul(a, a); }
+static bfq2 bfq2_mul_fq(const bfq2& a, const bfq& k) {
+    return bfq2{bfq_mul(a.c0, k), bfq_mul(a.c1, k)};
+}
+static bfq2 bfq2_inv(const bfq2& a) {
+    bfq norm = bfq_add(bfq_sq(a.c0), bfq_sq(a.c1));
+    bfq ni = bfq_inv(norm);
+    return bfq2{bfq_mul(a.c0, ni), bfq_neg(bfq_mul(a.c1, ni))};
+}
+// xi = 9 + u:  (a0 + a1 u)(9 + u) = (9 a0 - a1) + (a0 + 9 a1) u
+static bfq2 bfq2_mul_by_xi(const bfq2& a) {
+    bfq a0_9 = a.c0, a1_9 = a.c1;
+    // 9x = 8x + x
+    for (int i = 0; i < 3; i++) {
+        a0_9 = bfq_add(a0_9, a0_9);
+        a1_9 = bfq_add(a1_9, a1_9);
+    }
+    a0_9 = bfq_add(a0_9, a.c0);
+    a1_9 = bfq_add(a1_9, a.c1);
+    return bfq2{bfq_sub(a0_9, a.c1), bfq_add(a.c0, a1_9)};
+}
+
+// ---- Fq6 = Fq2[v]/(v^3 - xi) ----
+struct bfq6 {
+    bfq2 c0, c1, c2;
+};
+static bfq6 bfq6_zero() { return bfq6{bfq2_zero(), bfq2_zero(), bfq2_zero()}; }
+static bfq6 bfq6_one() { return bfq6{bfq2_one(), bfq2_zero(), bfq2_zero()}; }
+static inline bool bfq6_is_zero(const bfq6& a) {
+    return bfq2_is_zero(a.c0) && bfq2_is_zero(a.c1) && bfq2_is_zero(a.c2);
+}
+static inline bfq6 bfq6_add(const bfq6& a, const bfq6& b) {
+    return bfq6{bfq2_add(a.c0, b.c0), bfq2_add(a.c1, b.c1), bfq2_add(a.c2, b.c2)};
+}
+static inline bfq6 bfq6_sub(const bfq6& a, const bfq6& b) {
+    return bfq6{bfq2_sub(a.c0, b.c0), bfq2_sub(a.c1, b.c1), bfq2_sub(a.c2, b.c2)};
+}
+static inline bfq6 bfq6_neg(const bfq6& a) {
+    return bfq6{bfq2_neg(a.c0), bfq2_neg(a.c1), bfq2_neg(a.c2)};
+}
+static bfq6 bfq6_mul(const bfq6& a, const bfq6& b) {
+    bfq2 t0 = bfq2_mul(a.c0, b.c0);
+    bfq2 t1 = bfq2_mul(a.c1, b.c1);
+    bfq2 t2 = bfq2_mul(a.c2, b.c2);
+    bfq2 c0 = bfq2_add(
+        t0, bfq2_mul_by_xi(bfq2_sub(
+                bfq2_sub(bfq2_mul(bfq2_add(a.c1, a.c2), bfq2_add(b.c1, b.c2)), t1), t2)));
+    bfq2 c1 = bfq2_add(
+        bfq2_sub(bfq2_sub(bfq2_mul(bfq2_add(a.c0, a.c1), bfq2_add(b.c0, b.c1)), t0), t1),
+        bfq2_mul_by_xi(t2));
+    bfq2 c2 = bfq2_add(
+        bfq2_sub(bfq2_sub(bfq2_mul(bfq2_add(a.c0, a.c2), bfq2_add(b.c0, b.c2)), t0), t2), t1);
+    return bfq6{c0, c1, c2};
+}
+static inline bfq6 bfq6_sq(const bfq6& a) { return bfq6_mul(a, a); }
+static bfq6 bfq6_mul_by_v(const bfq6& a) { return bfq6{bfq2_mul_by_xi(a.c2), a.c0, a.c1}; }
+static bfq6 bfq6_inv(const bfq6& a) {
+    bfq2 t0 = bfq2_sub(bfq2_sq(a.c0), bfq2_mul_by_xi(bfq2_mul(a.c1, a.c2)));
+    bfq2 t1 = bfq2_sub(bfq2_mul_by_xi(bfq2_sq(a.c2)), bfq2_mul(a.c0, a.c1));
+    bfq2 t2 = bfq2_sub(bfq2_sq(a.c1), bfq2_mul(a.c0, a.c2));
+    bfq2 denom = bfq2_add(bfq2_add(bfq2_mul(a.c0, t0), bfq2_mul_by_xi(bfq2_mul(a.c2, t1))),
+                          bfq2_mul_by_xi(bfq2_mul(a.c1, t2)));
+    bfq2 di = bfq2_inv(denom);
+    return bfq6{bfq2_mul(t0, di), bfq2_mul(t1, di), bfq2_mul(t2, di)};
+}
+
+// ---- Fq12 = Fq6[w]/(w^2 - v) ----
+struct bfq12 {
+    bfq6 c0, c1;
+};
+static bfq12 bfq12_one() { return bfq12{bfq6_one(), bfq6_zero()}; }
+static inline bool bfq12_is_zero(const bfq12& a) { return bfq6_is_zero(a.c0) && bfq6_is_zero(a.c1); }
+static inline bfq12 bfq12_add(const bfq12& a, const bfq12& b) {
+    return bfq12{bfq6_add(a.c0, b.c0), bfq6_add(a.c1, b.c1)};
+}
+static inline bfq12 bfq12_sub(const bfq12& a, const bfq12& b) {
+    return bfq12{bfq6_sub(a.c0, b.c0), bfq6_sub(a.c1, b.c1)};
+}
+static bfq12 bfq12_mul(const bfq12& a, const bfq12& b) {
+    bfq6 t0 = bfq6_mul(a.c0, b.c0);
+    bfq6 t1 = bfq6_mul(a.c1, b.c1);
+    bfq6 c0 = bfq6_add(t0, bfq6_mul_by_v(t1));
+    bfq6 c1 = bfq6_sub(bfq6_sub(bfq6_mul(bfq6_add(a.c0, a.c1), bfq6_add(b.c0, b.c1)), t0), t1);
+    return bfq12{c0, c1};
+}
+static inline bfq12 bfq12_sq(const bfq12& a) { return bfq12_mul(a, a); }
+static bfq12 bfq12_conj(const bfq12& a) { return bfq12{a.c0, bfq6_neg(a.c1)}; }
+static bfq12 bfq12_inv(const bfq12& a) {
+    bfq6 denom = bfq6_sub(bfq6_sq(a.c0), bfq6_mul_by_v(bfq6_sq(a.c1)));
+    bfq6 di = bfq6_inv(denom);
+    return bfq12{bfq6_mul(a.c0, di), bfq6_neg(bfq6_mul(a.c1, di))};
+}
+
+// frobenius gamma table: gamma1[i] = xi^((q-1) i / 6), i = 0..5 (set at init)
+static bfq2 FROB_G1[6];
+
+static bfq6 bfq6_frob(const bfq6& a) {
+    return bfq6{bfq2_conj(a.c0), bfq2_mul(bfq2_conj(a.c1), FROB_G1[2]),
+                bfq2_mul(bfq2_conj(a.c2), FROB_G1[4])};
+}
+static bfq12 bfq12_frob(const bfq12& a) {
+    bfq6 c0 = bfq6_frob(a.c0);
+    bfq6 c1 = bfq6{bfq2_mul(bfq2_conj(a.c1.c0), FROB_G1[1]),
+                   bfq2_mul(bfq2_conj(a.c1.c1), FROB_G1[3]),
+                   bfq2_mul(bfq2_conj(a.c1.c2), FROB_G1[5])};
+    return bfq12{c0, c1};
+}
+
+static bfq12 bfq12_pow_bytes(const bfq12& a, const uint8_t* e, int elen) {
+    bfq12 r = bfq12_one();
+    bool started = false;
+    for (int i = elen - 1; i >= 0; i--) {
+        for (int bit = 7; bit >= 0; bit--) {
+            if (started) r = bfq12_sq(r);
+            if ((e[i] >> bit) & 1) {
+                if (started)
+                    r = bfq12_mul(r, a);
+                else {
+                    r = a;
+                    started = true;
+                }
+            }
+        }
+    }
+    return r;
+}
+
+// ---- init ----
+static std::vector<uint8_t> BN_HARD_EXP;  // (q^4 - q^2 + 1)/r, little-endian
+
+void zkp_bn254_init(const uint8_t* q_bytes, const uint8_t* frob_g1_bytes,
+                    const uint8_t* hard_exp, uint64_t hard_exp_len) {
+    std::memcpy(BQ.v, q_bytes, 32);
+    // -q^{-1} mod 2^64 by Newton iteration
+    uint64_t q0 = BQ.v[0], inv = 1;
+    for (int i = 0; i < 6; i++) inv *= 2 - q0 * inv;
+    BQ_NINV = ~inv + 1;  // -(q^-1)
+    // R mod q: 2^256 - floor(2^256/q)*q; compute by repeated doubling of 1
+    u256 r{{1, 0, 0, 0}};
+    for (int i = 0; i < 256; i++) {
+        uint64_t carry = u256_add(r, r, r);
+        if (carry || u256_cmp(r, BQ) >= 0) u256_sub(r, r, BQ);
+    }
+    BQ_MONT_ONE = r;
+    // R^2 mod q: double 256 more times
+    u256 r2 = r;
+    for (int i = 0; i < 256; i++) {
+        uint64_t carry = u256_add(r2, r2, r2);
+        if (carry || u256_cmp(r2, BQ) >= 0) u256_sub(r2, r2, BQ);
+    }
+    BQ_R2 = r2;
+    // q - 2
+    u256 m2;
+    u256 two{{2, 0, 0, 0}};
+    u256_sub(m2, BQ, two);
+    std::memcpy(BQ_M2, m2.v, 32);
+    // frobenius gammas: 6 fq2 = 12 x 32 bytes (c0, c1 per element)
+    for (int i = 0; i < 6; i++) {
+        FROB_G1[i].c0 = bfq_frombytes(frob_g1_bytes + 64 * i);
+        FROB_G1[i].c1 = bfq_frombytes(frob_g1_bytes + 64 * i + 32);
+    }
+    BN_HARD_EXP.assign(hard_exp, hard_exp + hard_exp_len);
+}
+
+// ---- G1 Jacobian ----
+struct bg1 {
+    bfq X, Y, Z;
+};
+static bg1 bg1_inf() { return bg1{bfq_one(), bfq_one(), bfq_zero()}; }
+static inline bool bg1_is_inf(const bg1& p) { return bfq_is_zero(p.Z); }
+
+static bg1 bg1_double(const bg1& p) {
+    if (bg1_is_inf(p) || bfq_is_zero(p.Y)) {
+        if (bfq_is_zero(p.Y)) return bg1_inf();
+        return p;
+    }
+    bfq A = bfq_sq(p.X);
+    bfq B = bfq_sq(p.Y);
+    bfq C = bfq_sq(B);
+    bfq xb = bfq_add(p.X, B);
+    bfq D = bfq_sub(bfq_sub(bfq_sq(xb), A), C);
+    D = bfq_add(D, D);
+    bfq E = bfq_add(bfq_add(A, A), A);
+    bfq F = bfq_sq(E);
+    bfq X3 = bfq_sub(F, bfq_add(D, D));
+    bfq C8 = bfq_add(C, C);
+    C8 = bfq_add(C8, C8);
+    C8 = bfq_add(C8, C8);
+    bfq Y3 = bfq_sub(bfq_mul(E, bfq_sub(D, X3)), C8);
+    bfq Z3 = bfq_mul(p.Y, p.Z);
+    Z3 = bfq_add(Z3, Z3);
+    return bg1{X3, Y3, Z3};
+}
+
+static bg1 bg1_add(const bg1& p, const bg1& q) {
+    if (bg1_is_inf(p)) return q;
+    if (bg1_is_inf(q)) return p;
+    bfq Z1Z1 = bfq_sq(p.Z);
+    bfq Z2Z2 = bfq_sq(q.Z);
+    bfq U1 = bfq_mul(p.X, Z2Z2);
+    bfq U2 = bfq_mul(q.X, Z1Z1);
+    bfq S1 = bfq_mul(bfq_mul(p.Y, q.Z), Z2Z2);
+    bfq S2 = bfq_mul(bfq_mul(q.Y, p.Z), Z1Z1);
+    if (u256_cmp(U1.m, U2.m) == 0) {
+        if (u256_cmp(S1.m, S2.m) != 0) return bg1_inf();
+        return bg1_double(p);
+    }
+    bfq H = bfq_sub(U2, U1);
+    bfq I = bfq_sq(H);
+    I = bfq_add(I, I);
+    I = bfq_add(I, I);
+    bfq J = bfq_mul(H, I);
+    bfq rr = bfq_sub(S2, S1);
+    rr = bfq_add(rr, rr);
+    bfq V = bfq_mul(U1, I);
+    bfq X3 = bfq_sub(bfq_sub(bfq_sq(rr), J), bfq_add(V, V));
+    bfq SJ = bfq_mul(S1, J);
+    bfq Y3 = bfq_sub(bfq_mul(rr, bfq_sub(V, X3)), bfq_add(SJ, SJ));
+    bfq zz = bfq_add(p.Z, q.Z);
+    bfq Z3 = bfq_mul(bfq_sub(bfq_sub(bfq_sq(zz), Z1Z1), Z2Z2), H);
+    return bg1{X3, Y3, Z3};
+}
+
+// ---- G2 Jacobian (over Fq2) ----
+struct bg2 {
+    bfq2 X, Y, Z;
+};
+static bg2 bg2_inf() { return bg2{bfq2_one(), bfq2_one(), bfq2_zero()}; }
+static inline bool bg2_is_inf(const bg2& p) { return bfq2_is_zero(p.Z); }
+static inline bool bfq2_eq(const bfq2& a, const bfq2& b) {
+    return u256_cmp(a.c0.m, b.c0.m) == 0 && u256_cmp(a.c1.m, b.c1.m) == 0;
+}
+
+static bg2 bg2_double(const bg2& p) {
+    if (bg2_is_inf(p) || bfq2_is_zero(p.Y)) {
+        if (bfq2_is_zero(p.Y)) return bg2_inf();
+        return p;
+    }
+    bfq2 A = bfq2_sq(p.X);
+    bfq2 B = bfq2_sq(p.Y);
+    bfq2 C = bfq2_sq(B);
+    bfq2 D = bfq2_sub(bfq2_sub(bfq2_sq(bfq2_add(p.X, B)), A), C);
+    D = bfq2_add(D, D);
+    bfq2 E = bfq2_add(bfq2_add(A, A), A);
+    bfq2 F = bfq2_sq(E);
+    bfq2 X3 = bfq2_sub(F, bfq2_add(D, D));
+    bfq2 C8 = bfq2_add(C, C);
+    C8 = bfq2_add(C8, C8);
+    C8 = bfq2_add(C8, C8);
+    bfq2 Y3 = bfq2_sub(bfq2_mul(E, bfq2_sub(D, X3)), C8);
+    bfq2 Z3 = bfq2_mul(p.Y, p.Z);
+    Z3 = bfq2_add(Z3, Z3);
+    return bg2{X3, Y3, Z3};
+}
+
+static bg2 bg2_add(const bg2& p, const bg2& q) {
+    if (bg2_is_inf(p)) return q;
+    if (bg2_is_inf(q)) return p;
+    bfq2 Z1Z1 = bfq2_sq(p.Z);
+    bfq2 Z2Z2 = bfq2_sq(q.Z);
+    bfq2 U1 = bfq2_mul(p.X, Z2Z2);
+    bfq2 U2 = bfq2_mul(q.X, Z1Z1);
+    bfq2 S1 = bfq2_mul(bfq2_mul(p.Y, q.Z), Z2Z2);
+    bfq2 S2 = bfq2_mul(bfq2_mul(q.Y, p.Z), Z1Z1);
+    if (bfq2_eq(U1, U2)) {
+        if (!bfq2_eq(S1, S2)) return bg2_inf();
+        return bg2_double(p);
+    }
+    bfq2 H = bfq2_sub(U2, U1);
+    bfq2 I = bfq2_sq(H);
+    I = bfq2_add(I, I);
+    I = bfq2_add(I, I);
+    bfq2 J = bfq2_mul(H, I);
+    bfq2 rr = bfq2_sub(S2, S1);
+    rr = bfq2_add(rr, rr);
+    bfq2 V = bfq2_mul(U1, I);
+    bfq2 X3 = bfq2_sub(bfq2_sub(bfq2_sq(rr), J), bfq2_add(V, V));
+    bfq2 SJ = bfq2_mul(S1, J);
+    bfq2 Y3 = bfq2_sub(bfq2_mul(rr, bfq2_sub(V, X3)), bfq2_add(SJ, SJ));
+    bfq2 Z3 = bfq2_mul(bfq2_sub(bfq2_sub(bfq2_sq(bfq2_add(p.Z, q.Z)), Z1Z1), Z2Z2), H);
+    return bg2{X3, Y3, Z3};
+}
+
+// ---- wire codecs: fields canonical LE 32B; G1 = X||Y||Z (96B), G2 = 192B ----
+static bg1 bg1_from_wire(const uint8_t* b) {
+    return bg1{bfq_frombytes(b), bfq_frombytes(b + 32), bfq_frombytes(b + 64)};
+}
+static void bg1_to_wire(const bg1& p, uint8_t* b) {
+    bfq_tobytes(p.X, b);
+    bfq_tobytes(p.Y, b + 32);
+    bfq_tobytes(p.Z, b + 64);
+}
+static bfq2 bfq2_from_wire(const uint8_t* b) {
+    return bfq2{bfq_frombytes(b), bfq_frombytes(b + 32)};
+}
+static void bfq2_to_wire(const bfq2& a, uint8_t* b) {
+    bfq_tobytes(a.c0, b);
+    bfq_tobytes(a.c1, b + 32);
+}
+static bg2 bg2_from_wire(const uint8_t* b) {
+    return bg2{bfq2_from_wire(b), bfq2_from_wire(b + 64), bfq2_from_wire(b + 128)};
+}
+static void bg2_to_wire(const bg2& p, uint8_t* b) {
+    bfq2_to_wire(p.X, b);
+    bfq2_to_wire(p.Y, b + 64);
+    bfq2_to_wire(p.Z, b + 128);
+}
+
+// ---- Pippenger MSM (shared across G1/G2 via template) ----
+}  // extern "C" (template below needs C++ linkage)
+
+template <typename PT, PT (*ADD)(const PT&, const PT&), PT (*DBL)(const PT&), PT (*INF)()>
+static PT msm_impl(uint64_t n_in, const uint8_t* scalars, const PT* pts_in,
+                   const char* nonzero_pt) {
+    std::vector<PT> pts;
+    std::vector<const uint8_t*> sc;
+    static const uint8_t ZERO32[32] = {0};
+    for (uint64_t i = 0; i < n_in; i++) {
+        if (std::memcmp(scalars + 32 * i, ZERO32, 32) != 0 && nonzero_pt[i]) {
+            sc.push_back(scalars + 32 * i);
+            pts.push_back(pts_in[i]);
+        }
+    }
+    uint64_t n = pts.size();
+    if (n == 0) return INF();
+    int c = 1;
+    double best = 1e30;
+    for (int cand = 1; cand <= 16; cand++) {
+        double cost = (double)((254 + cand - 1) / cand) *
+                          ((double)n + (double)(2ULL << cand)) +
+                      254.0;
+        if (cost < best) {
+            best = cost;
+            c = cand;
+        }
+    }
+    int nwin = (254 + c - 1) / c;
+    uint64_t nbuckets = (1ULL << c) - 1;
+    std::vector<PT> buckets(nbuckets);
+    std::vector<bool> used(nbuckets);
+    PT acc = INF();
+    bool acc_set = false;
+    for (int w = nwin - 1; w >= 0; w--) {
+        if (acc_set)
+            for (int k = 0; k < c; k++) acc = DBL(acc);
+        std::fill(used.begin(), used.end(), false);
+        int shift = w * c;
+        for (uint64_t i = 0; i < n; i++) {
+            int byte = shift >> 3, bit = shift & 7;
+            const uint8_t* s = sc[i];
+            uint32_t frag = s[byte];
+            if (byte + 1 < 32) frag |= (uint32_t)s[byte + 1] << 8;
+            if (byte + 2 < 32) frag |= (uint32_t)s[byte + 2] << 16;
+            uint64_t idx = (frag >> bit) & nbuckets;
+            if (!idx) continue;
+            if (used[idx - 1])
+                buckets[idx - 1] = ADD(buckets[idx - 1], pts[i]);
+            else {
+                buckets[idx - 1] = pts[i];
+                used[idx - 1] = true;
+            }
+        }
+        PT running = INF(), total = INF();
+        bool run_set = false, tot_set = false;
+        for (int64_t idx = (int64_t)nbuckets - 1; idx >= 0; idx--) {
+            if (used[idx]) {
+                running = run_set ? ADD(running, buckets[idx]) : buckets[idx];
+                run_set = true;
+            }
+            if (run_set) {
+                total = tot_set ? ADD(total, running) : running;
+                tot_set = true;
+            }
+        }
+        if (tot_set) {
+            acc = acc_set ? ADD(acc, total) : total;
+            acc_set = true;
+        }
+    }
+    return acc;
+}
+
+extern "C" {
+
+void zkp_bn254_g1_msm(uint64_t n, const uint8_t* scalars, const uint8_t* points,
+                      uint8_t* out) {
+    std::vector<bg1> pts(n);
+    std::vector<char> nz(n);
+    for (uint64_t i = 0; i < n; i++) {
+        pts[i] = bg1_from_wire(points + 96 * i);
+        nz[i] = !bg1_is_inf(pts[i]);
+    }
+    bg1 r = msm_impl<bg1, bg1_add, bg1_double, bg1_inf>(n, scalars, pts.data(), nz.data());
+    bg1_to_wire(r, out);
+}
+
+void zkp_bn254_g2_msm(uint64_t n, const uint8_t* scalars, const uint8_t* points,
+                      uint8_t* out) {
+    std::vector<bg2> pts(n);
+    std::vector<char> nz(n);
+    for (uint64_t i = 0; i < n; i++) {
+        pts[i] = bg2_from_wire(points + 192 * i);
+        nz[i] = !bg2_is_inf(pts[i]);
+    }
+    bg2 r = msm_impl<bg2, bg2_add, bg2_double, bg2_inf>(n, scalars, pts.data(), nz.data());
+    bg2_to_wire(r, out);
+}
+
+void zkp_bn254_g1_scalar_mul(const uint8_t* scalar, const uint8_t* point, uint8_t* out) {
+    std::vector<char> nz(1);
+    bg1 p = bg1_from_wire(point);
+    nz[0] = !bg1_is_inf(p);
+    bg1 r = msm_impl<bg1, bg1_add, bg1_double, bg1_inf>(1, scalar, &p, nz.data());
+    bg1_to_wire(r, out);
+}
+
+void zkp_bn254_g2_scalar_mul(const uint8_t* scalar, const uint8_t* point, uint8_t* out) {
+    std::vector<char> nz(1);
+    bg2 p = bg2_from_wire(point);
+    nz[0] = !bg2_is_inf(p);
+    bg2 r = msm_impl<bg2, bg2_add, bg2_double, bg2_inf>(1, scalar, &p, nz.data());
+    bg2_to_wire(r, out);
+}
+
+// ---- pairing (mirrors ops/bn254.py: Fq12-lifted affine Miller loop) ----
+
+struct ec12 {
+    bfq12 x, y;
+};
+
+// w^2 = v, w^3 = v*w as Fq12 elements
+static bfq12 w2_elem() {
+    bfq12 r{bfq6_zero(), bfq6_zero()};
+    r.c0.c1 = bfq2_one();
+    return r;
+}
+static bfq12 w3_elem() {
+    bfq12 r{bfq6_zero(), bfq6_zero()};
+    r.c1.c1 = bfq2_one();
+    return r;
+}
+static bfq12 fq2_to_fq12(const bfq2& a) {
+    bfq12 r{bfq6_zero(), bfq6_zero()};
+    r.c0.c0 = a;
+    return r;
+}
+static bfq12 fq_to_fq12(const bfq& a) {
+    bfq12 r{bfq6_zero(), bfq6_zero()};
+    r.c0.c0.c0 = a;
+    return r;
+}
+
+static bfq12 line_eval(const ec12& p1, const ec12& p2, const ec12& t) {
+    bfq12 dx = bfq12_sub(p1.x, p2.x);
+    if (!bfq12_is_zero(dx)) {
+        bfq12 m = bfq12_mul(bfq12_sub(p2.y, p1.y), bfq12_inv(bfq12_sub(p2.x, p1.x)));
+        return bfq12_sub(bfq12_mul(m, bfq12_sub(t.x, p1.x)), bfq12_sub(t.y, p1.y));
+    }
+    if (bfq12_is_zero(bfq12_sub(p1.y, p2.y))) {
+        bfq12 x2 = bfq12_sq(p1.x);
+        bfq12 three_x2 = bfq12_add(bfq12_add(x2, x2), x2);
+        bfq12 two_y = bfq12_add(p1.y, p1.y);
+        bfq12 m = bfq12_mul(three_x2, bfq12_inv(two_y));
+        return bfq12_sub(bfq12_mul(m, bfq12_sub(t.x, p1.x)), bfq12_sub(t.y, p1.y));
+    }
+    return bfq12_sub(t.x, p1.x);
+}
+
+static ec12 ec12_double(const ec12& p) {
+    bfq12 x2 = bfq12_sq(p.x);
+    bfq12 three_x2 = bfq12_add(bfq12_add(x2, x2), x2);
+    bfq12 m = bfq12_mul(three_x2, bfq12_inv(bfq12_add(p.y, p.y)));
+    bfq12 xr = bfq12_sub(bfq12_sq(m), bfq12_add(p.x, p.x));
+    bfq12 yr = bfq12_sub(bfq12_mul(m, bfq12_sub(p.x, xr)), p.y);
+    return ec12{xr, yr};
+}
+
+static ec12 ec12_add(const ec12& p1, const ec12& p2) {
+    if (bfq12_is_zero(bfq12_sub(p1.x, p2.x)) && bfq12_is_zero(bfq12_sub(p1.y, p2.y)))
+        return ec12_double(p1);
+    bfq12 m = bfq12_mul(bfq12_sub(p2.y, p1.y), bfq12_inv(bfq12_sub(p2.x, p1.x)));
+    bfq12 xr = bfq12_sub(bfq12_sub(bfq12_sq(m), p1.x), p2.x);
+    bfq12 yr = bfq12_sub(bfq12_mul(m, bfq12_sub(p1.x, xr)), p1.y);
+    return ec12{xr, yr};
+}
+
+// 6x+2 with x = 4965661367192848881 is 65 bits — must be a u128
+static const u128 ATE_LOOP = (u128)6 * 4965661367192848881ULL + 2;
+
+// q2 affine (4 fq2 coords via to_affine done by caller in Python? no — caller
+// passes Jacobian wire; convert here)
+static bool bg1_to_affine(const bg1& p, bfq& x, bfq& y) {
+    if (bg1_is_inf(p)) return false;
+    bfq zi = bfq_inv(p.Z);
+    bfq zi2 = bfq_sq(zi);
+    x = bfq_mul(p.X, zi2);
+    y = bfq_mul(bfq_mul(p.Y, zi2), zi);
+    return true;
+}
+static bool bg2_to_affine(const bg2& p, bfq2& x, bfq2& y) {
+    if (bg2_is_inf(p)) return false;
+    bfq2 zi = bfq2_inv(p.Z);
+    bfq2 zi2 = bfq2_sq(zi);
+    x = bfq2_mul(p.X, zi2);
+    y = bfq2_mul(bfq2_mul(p.Y, zi2), zi);
+    return true;
+}
+
+static bfq12 miller(const bg2& qj, const bg1& pj) {
+    bfq qx, qy;
+    bfq2 q2x, q2y;
+    if (!bg1_to_affine(pj, qx, qy) || !bg2_to_affine(qj, q2x, q2y)) return bfq12_one();
+    bfq12 W2 = w2_elem(), W3 = w3_elem();
+    ec12 Q{bfq12_mul(fq2_to_fq12(q2x), W2), bfq12_mul(fq2_to_fq12(q2y), W3)};
+    ec12 Pt{fq_to_fq12(qx), fq_to_fq12(qy)};
+    ec12 T = Q;
+    bfq12 f = bfq12_one();
+    int top = 127;
+    while (!((ATE_LOOP >> top) & 1)) top--;
+    for (int i = top - 1; i >= 0; i--) {
+        f = bfq12_mul(bfq12_sq(f), line_eval(T, T, Pt));
+        T = ec12_double(T);
+        if ((ATE_LOOP >> i) & 1) {
+            f = bfq12_mul(f, line_eval(T, Q, Pt));
+            T = ec12_add(T, Q);
+        }
+    }
+    // frobenius steps: (x,y) -> (conj(x) g1[2], conj(y) g1[3]) per application
+    bfq2 q1x = bfq2_mul(bfq2_conj(q2x), FROB_G1[2]);
+    bfq2 q1y = bfq2_mul(bfq2_conj(q2y), FROB_G1[3]);
+    bfq2 q2x2 = bfq2_mul(bfq2_conj(q1x), FROB_G1[2]);
+    bfq2 q2y2 = bfq2_mul(bfq2_conj(q1y), FROB_G1[3]);
+    ec12 Q1{bfq12_mul(fq2_to_fq12(q1x), W2), bfq12_mul(fq2_to_fq12(q1y), W3)};
+    ec12 Q2{bfq12_mul(fq2_to_fq12(q2x2), W2),
+            bfq12_mul(fq2_to_fq12(bfq2_neg(q2y2)), W3)};
+    f = bfq12_mul(f, line_eval(T, Q1, Pt));
+    T = ec12_add(T, Q1);
+    f = bfq12_mul(f, line_eval(T, Q2, Pt));
+    return f;
+}
+
+static bfq12 final_exp(const bfq12& f) {
+    bfq12 f1 = bfq12_mul(bfq12_conj(f), bfq12_inv(f));
+    bfq12 f2 = bfq12_mul(bfq12_frob(bfq12_frob(f1)), f1);
+    return bfq12_pow_bytes(f2, BN_HARD_EXP.data(), (int)BN_HARD_EXP.size());
+}
+
+// pairs: n G1 (96B each) + n G2 (192B each); out: fq12 as 12 x 32B
+// ordered c0.c0.c0, c0.c0.c1, c0.c1.c0, ... (tower nesting, LE fields)
+static void bfq12_to_wire(const bfq12& a, uint8_t* out) {
+    const bfq* els[12] = {
+        &a.c0.c0.c0, &a.c0.c0.c1, &a.c0.c1.c0, &a.c0.c1.c1, &a.c0.c2.c0, &a.c0.c2.c1,
+        &a.c1.c0.c0, &a.c1.c0.c1, &a.c1.c1.c0, &a.c1.c1.c1, &a.c1.c2.c0, &a.c1.c2.c1,
+    };
+    for (int i = 0; i < 12; i++) bfq_tobytes(*els[i], out + 32 * i);
+}
+
+void zkp_bn254_multi_pairing(uint64_t n, const uint8_t* g1s, const uint8_t* g2s,
+                             uint8_t* out) {
+    bfq12 f = bfq12_one();
+    for (uint64_t i = 0; i < n; i++) {
+        bg1 p = bg1_from_wire(g1s + 96 * i);
+        bg2 q = bg2_from_wire(g2s + 192 * i);
+        if (bg1_is_inf(p) || bg2_is_inf(q)) continue;
+        f = bfq12_mul(f, miller(q, p));
+    }
+    bfq12_to_wire(final_exp(f), out);
+}
+
+}  // extern "C"

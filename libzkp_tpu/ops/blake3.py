@@ -141,3 +141,20 @@ def merge_digests(left: bytes, right: bytes) -> bytes:
     Matches winterfell's ``Blake3_256::merge`` (hash of two digests).
     """
     return blake3_256(left + right)
+
+
+# ---------------------------------------------------------------------------
+# Native tier: route through the C++ kernel when built (differentially tested
+# in tests/test_native.py).  Pure-Python goldens stay importable as *_py.
+# ---------------------------------------------------------------------------
+
+blake3_256_py = blake3_256
+merge_digests_py = merge_digests
+
+from .. import native as _native  # noqa: E402
+
+if _native.HAVE_NATIVE:
+    blake3_256 = _native.blake3_256
+
+    def merge_digests(left: bytes, right: bytes) -> bytes:  # noqa: F811
+        return _native.blake3_256(left + right)

@@ -619,3 +619,41 @@ def multi_pairing(pairs: Sequence[Tuple[G1, G2]]) -> Fq12:
             continue
         f = fq12_mul(f, miller_loop(q, p))
     return final_exponentiation(f)
+
+
+# ---------------------------------------------------------------------------
+# Native tier: C++ kernels (native/zkpcore.cpp) take over MSM/scalar-mul and
+# the pairing when built.  Curve constants are handed over from this module's
+# golden model at init so the C++ side transcribes nothing by hand.
+# Pure-Python goldens stay importable as *_py for the differential tests.
+# ---------------------------------------------------------------------------
+
+g1_msm_py = g1_msm
+g2_msm_py = g2_msm
+g1_scalar_mul_py = g1_scalar_mul
+g2_scalar_mul_py = g2_scalar_mul
+multi_pairing_py = multi_pairing
+pairing_py = pairing
+
+from .. import native as _native  # noqa: E402
+
+if _native.HAVE_NATIVE:
+    _native.bn254_init(P, R, _FROB_GAMMA1, (P**4 - P**2 + 1) // R)
+
+    def g1_msm(scalars, points, window: int = 6) -> G1:  # noqa: F811
+        return _native.bn254_g1_msm(scalars, points)
+
+    def g2_msm(scalars, points, window: int = 6) -> G2:  # noqa: F811
+        return _native.bn254_g2_msm(scalars, points)
+
+    def g1_scalar_mul(k: int, p: G1) -> G1:  # noqa: F811
+        return _native.bn254_g1_scalar_mul(k, p)
+
+    def g2_scalar_mul(k: int, p: G2) -> G2:  # noqa: F811
+        return _native.bn254_g2_scalar_mul(k, p)
+
+    def multi_pairing(pairs) -> Fq12:  # noqa: F811
+        return _native.bn254_multi_pairing(list(pairs))
+
+    def pairing(q: G2, p: G1) -> Fq12:  # noqa: F811
+        return _native.bn254_multi_pairing([(p, q)])

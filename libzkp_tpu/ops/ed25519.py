@@ -288,3 +288,32 @@ _BASE_Y = 4 * pow(5, -1, P) % P
 _BASE_X = 15112221349535400772501151409588531511454012693041857206046113283949847762202
 BASEPOINT: Point = (_BASE_X, _BASE_Y, 1, _BASE_X * _BASE_Y % P)
 RISTRETTO_BASEPOINT_COMPRESSED = compress(BASEPOINT)
+
+
+# ---------------------------------------------------------------------------
+# Native tier: the C++ kernel (native/zkpcore.cpp) takes over the hot group
+# ops when built; the pure-Python goldens above stay importable as *_py for
+# the differential tests.  Consumers access these through module attributes
+# (``ed.msm`` etc.), so rebinding here covers every call site.
+# ---------------------------------------------------------------------------
+
+msm_py = msm
+scalar_mul_py = scalar_mul
+compress_py = compress
+decompress_py = decompress
+
+from .. import native as _native  # noqa: E402
+
+if _native.HAVE_NATIVE:
+
+    def scalar_mul(k: int, p1: Point) -> Point:  # noqa: F811
+        return _native.ed_scalar_mul(k, p1, L)
+
+    def msm(scalars, points, window: int = 6) -> Point:  # noqa: F811
+        return _native.ed_msm(scalars, points, L)
+
+    def compress(p1: Point) -> bytes:  # noqa: F811
+        return _native.ristretto_compress(p1)
+
+    def decompress(data: bytes) -> Optional[Point]:  # noqa: F811
+        return _native.ristretto_decompress(data)

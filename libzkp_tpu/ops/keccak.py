@@ -62,3 +62,11 @@ def keccak_f1600_bytes(state: bytearray) -> None:
     keccak_f1600(lanes)
     for i, lane in enumerate(lanes):
         state[i * 8 : i * 8 + 8] = lane.to_bytes(8, "little")
+
+
+keccak_f1600_bytes_py = keccak_f1600_bytes
+
+from .. import native as _native  # noqa: E402
+
+if _native.HAVE_NATIVE:
+    keccak_f1600_bytes = _native.keccak_f1600_bytes

@@ -1,0 +1,99 @@
+"""Differential tests: native C++ kernels vs the pure-Python golden models.
+
+The native tier (``libzkp_tpu/native/zkpcore.cpp``) re-implements the
+host-side crypto the reference gets from compiled Rust crates (blake3,
+keccak-f1600, curve25519 group ops — SURVEY.md §2.2).  Every routine must
+agree bit-for-bit with the Python golden models in ``libzkp_tpu.ops``.
+"""
+
+from __future__ import annotations
+
+import random
+
+import pytest
+
+from libzkp_tpu import native
+from libzkp_tpu.ops import ed25519 as ed
+from libzkp_tpu.ops.blake3 import blake3_256_py
+from libzkp_tpu.ops.keccak import keccak_f1600_bytes_py
+
+pytestmark = pytest.mark.skipif(
+    not native.HAVE_NATIVE, reason="native kernel not built (no g++?)"
+)
+
+rng = random.Random(0xC0FFEE)
+
+
+def _rand_bytes(n: int) -> bytes:
+    return bytes(rng.getrandbits(8) for _ in range(n))
+
+
+def _rand_point() -> ed.Point:
+    return ed.scalar_mul_py(rng.randrange(1, ed.L), ed.BASEPOINT)
+
+
+def test_blake3_matches_python():
+    for n in (0, 1, 31, 32, 63, 64, 65, 512, 1023, 1024, 1025, 2048, 5000):
+        data = _rand_bytes(n)
+        assert native.blake3_256(data) == blake3_256_py(data)
+
+
+def test_blake3_batch_and_merkle_levels():
+    leaves = [_rand_bytes(32) for _ in range(8)]
+    assert native.blake3_batch(leaves, 32) == [blake3_256_py(l) for l in leaves]
+    levels = native.blake3_merkle_levels(leaves)
+    assert len(levels) == 3
+    expect = leaves
+    for lvl in levels:
+        expect = [blake3_256_py(expect[i] + expect[i + 1]) for i in range(0, len(expect), 2)]
+        assert lvl == expect
+    assert len(levels[-1]) == 1
+
+
+def test_keccak_matches_python():
+    state = bytearray(_rand_bytes(200))
+    ref = bytearray(state)
+    native.keccak_f1600_bytes(state)
+    keccak_f1600_bytes_py(ref)
+    assert bytes(state) == bytes(ref)
+
+
+def test_point_ops_match_python():
+    p, q = _rand_point(), _rand_point()
+    assert ed.point_equal(native.ed_point_add(p, q), ed.point_add(p, q))
+    for _ in range(4):
+        k = rng.randrange(0, ed.L)
+        assert ed.point_equal(native.ed_scalar_mul(k, p, ed.L), ed.scalar_mul_py(k, p))
+    assert ed.point_equal(native.ed_scalar_mul(0, p, ed.L), ed.IDENTITY)
+
+
+@pytest.mark.parametrize("n", [1, 2, 7, 33, 130])
+def test_msm_matches_python(n):
+    pts = [_rand_point() for _ in range(n)]
+    ks = [rng.randrange(0, ed.L) for _ in range(n)]
+    assert ed.point_equal(native.ed_msm(ks, pts, ed.L), ed.msm_py(ks, pts))
+
+
+def test_ristretto_roundtrip_matches_python():
+    for _ in range(8):
+        pt = _rand_point()
+        enc = native.ristretto_compress(pt)
+        assert enc == ed.compress_py(pt)
+        dec = native.ristretto_decompress(enc)
+        assert dec is not None
+        assert ed.ristretto_eq(dec, ed.decompress_py(enc))
+    # rejections: negative s, non-canonical, bad length
+    assert native.ristretto_decompress(b"\x01" + b"\x00" * 31) is None
+    assert native.ristretto_decompress(b"\xff" * 32) is None
+    assert native.ristretto_decompress(b"\x00" * 16) is None
+
+
+def test_wired_into_ops_layer():
+    """When native is available the ops-module entry points must be routed."""
+    data = b"wired-check"
+    from libzkp_tpu.ops import blake3 as b3mod
+
+    assert b3mod.blake3_256(data) == blake3_256_py(data)
+    pt = _rand_point()
+    assert ed.compress(pt) == ed.compress_py(pt)
+    assert ed.point_equal(ed.msm([3, 5], [pt, ed.BASEPOINT]), ed.msm_py([3, 5], [pt, ed.BASEPOINT]))
