@@ -34,14 +34,16 @@ def _build() -> Optional[str]:
     try:
         fd, tmp = tempfile.mkstemp(suffix=".so", dir=_DIR)
         os.close(fd)
-        subprocess.run(
-            ["g++", "-O3", "-std=c++17", "-shared", "-fPIC", "-o", tmp, _SRC],
-            check=True,
-            capture_output=True,
-            timeout=240,
-        )
-        os.replace(tmp, _SO)
-        return _SO
+        base = ["g++", "-O3", "-std=c++17", "-shared", "-fPIC", "-o", tmp, _SRC]
+        # prefer OpenMP (window-parallel MSM); fall back to serial build
+        for cmd in (base[:1] + ["-fopenmp"] + base[1:], base):
+            try:
+                subprocess.run(cmd, check=True, capture_output=True, timeout=240)
+                os.replace(tmp, _SO)
+                return _SO
+            except subprocess.SubprocessError:
+                continue
+        raise OSError("all compile attempts failed")
     except (OSError, subprocess.SubprocessError):
         try:
             os.unlink(tmp)
@@ -86,6 +88,7 @@ def _load() -> Optional[ctypes.CDLL]:
     lib.zkp_bn254_g1_scalar_mul.argtypes = [ctypes.c_char_p] * 3
     lib.zkp_bn254_g2_scalar_mul.argtypes = [ctypes.c_char_p] * 3
     lib.zkp_bn254_multi_pairing.argtypes = [u64, ctypes.c_char_p, ctypes.c_char_p, ctypes.c_char_p]
+    lib.zkp_ntt.argtypes = [u64, ctypes.c_char_p, ctypes.c_char_p, ctypes.c_char_p, ctypes.c_char_p]
     return lib
 
 
@@ -304,6 +307,18 @@ def bn254_g2_scalar_mul(k: int, p):
     out = ctypes.create_string_buffer(192)
     _lib.zkp_bn254_g2_scalar_mul((k % _bn254_r).to_bytes(32, "little"), _g2_to_wire(p), out)
     return _g2_from_wire(out.raw)
+
+
+def ntt(p: int, values: Sequence[int], root: int, scale: Optional[int]) -> List[int]:
+    """Radix-2 NTT over prime p (caller supplies the size-n root; for the
+    inverse transform pass the inverted root and scale = n^{-1} mod p)."""
+    n = len(values)
+    buf = ctypes.create_string_buffer(
+        b"".join((v % p).to_bytes(32, "little") for v in values), 32 * n
+    )
+    sc = (scale % p).to_bytes(32, "little") if scale is not None else None
+    _lib.zkp_ntt(n, buf, p.to_bytes(32, "little"), (root % p).to_bytes(32, "little"), sc)
+    return [int.from_bytes(buf.raw[i * 32 : (i + 1) * 32], "little") for i in range(n)]
 
 
 def bn254_multi_pairing(pairs):

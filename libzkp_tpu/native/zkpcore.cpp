@@ -368,6 +368,32 @@ static fe fe_pow22523(const fe& z) {
     return fe_mul(t0, z);
 }
 
+// z^(p-2) = z^(2^255 - 21): 2^250-1 chain from pow22523 pieces, then finish.
+static fe fe_invert(const fe& z) {
+    // p - 2 little-endian bytes
+    static const uint8_t PM2[32] = {
+        0xeb, 0xff, 0xff, 0xff, 0xff, 0xff, 0xff, 0xff, 0xff, 0xff, 0xff,
+        0xff, 0xff, 0xff, 0xff, 0xff, 0xff, 0xff, 0xff, 0xff, 0xff, 0xff,
+        0xff, 0xff, 0xff, 0xff, 0xff, 0xff, 0xff, 0xff, 0xff, 0x7f,
+    };
+    fe r = fe_one();
+    bool started = false;
+    for (int i = 31; i >= 0; i--) {
+        for (int bit = 7; bit >= 0; bit--) {
+            if (started) r = fe_sq(r);
+            if ((PM2[i] >> bit) & 1) {
+                if (started)
+                    r = fe_mul(r, z);
+                else {
+                    r = z;
+                    started = true;
+                }
+            }
+        }
+    }
+    return r;
+}
+
 // sqrt(-1): 2^((p-1)/4), the even root (matches dalek / ed25519.py SQRT_M1).
 static const uint8_t SQRT_M1_BYTES[32] = {
     0xb0, 0xa0, 0x0e, 0x4a, 0x27, 0x1b, 0xee, 0xc4, 0x78, 0xe4, 0x2f, 0xad, 0x06, 0x18, 0x43, 0x2f,
@@ -493,85 +519,13 @@ void zkp_ed_scalar_mul(const uint8_t* scalar, const uint8_t* point, uint8_t* out
     ge_to_wire(acc, out);
 }
 
-// Pippenger MSM. scalars: n*32 bytes LE (reduced mod l); points: n*128 bytes.
-void zkp_ed_msm(uint64_t n_in, const uint8_t* scalars_in, const uint8_t* points_in,
-                uint8_t* out) {
-    // compact away zero scalars first (the IPA rounds pass half-zero vectors)
-    std::vector<ge> pts;
-    std::vector<const uint8_t*> sc;
-    pts.reserve(n_in);
-    sc.reserve(n_in);
-    static const uint8_t ZERO32[32] = {0};
-    for (uint64_t i = 0; i < n_in; i++) {
-        if (std::memcmp(scalars_in + 32 * i, ZERO32, 32) != 0) {
-            sc.push_back(scalars_in + 32 * i);
-            pts.push_back(ge_from_wire(points_in + 128 * i));
-        }
-    }
-    uint64_t n = pts.size();
-    if (n == 0) {
-        ge_to_wire(ge_identity(), out);
-        return;
-    }
-    // window size minimizing ceil(253/c) * (n + 2^(c+1))
-    int c = 1;
-    double best = 1e30;
-    for (int cand = 1; cand <= 16; cand++) {
-        double cost = (double)((253 + cand - 1) / cand) *
-                      ((double)n + (double)(2ULL << cand)) +
-                      253.0;  // + final window doubles
-        if (cost < best) {
-            best = cost;
-            c = cand;
-        }
-    }
-    const int nbits = 253;
-    int nwin = (nbits + c - 1) / c;
-    uint64_t nbuckets = (1ULL << c) - 1;
-    std::vector<ge> buckets(nbuckets);
-    std::vector<bool> used(nbuckets);
-    ge acc = ge_identity();
-    bool acc_set = false;
-    for (int w = nwin - 1; w >= 0; w--) {
-        if (acc_set)
-            for (int k = 0; k < c; k++) acc = ge_double(acc);
-        std::fill(used.begin(), used.end(), false);
-        int shift = w * c;
-        for (uint64_t i = 0; i < n; i++) {
-            // extract c bits at `shift` from the 256-bit LE scalar
-            int byte = shift >> 3, bit = shift & 7;
-            const uint8_t* s = sc[i];
-            uint32_t frag = s[byte];
-            if (byte + 1 < 32) frag |= (uint32_t)s[byte + 1] << 8;
-            if (byte + 2 < 32) frag |= (uint32_t)s[byte + 2] << 16;
-            uint64_t idx = (frag >> bit) & nbuckets;
-            if (!idx) continue;
-            if (used[idx - 1])
-                buckets[idx - 1] = ge_add(buckets[idx - 1], pts[i]);
-            else {
-                buckets[idx - 1] = pts[i];
-                used[idx - 1] = true;
-            }
-        }
-        ge running = ge_identity(), total = ge_identity();
-        bool run_set = false, tot_set = false;
-        for (int64_t idx = (int64_t)nbuckets - 1; idx >= 0; idx--) {
-            if (used[idx]) {
-                running = run_set ? ge_add(running, buckets[idx]) : buckets[idx];
-                run_set = true;
-            }
-            if (run_set) {
-                total = tot_set ? ge_add(total, running) : running;
-                tot_set = true;
-            }
-        }
-        if (tot_set) {
-            acc = acc_set ? ge_add(acc, total) : total;
-            acc_set = true;
-        }
-    }
-    if (!acc_set) acc = ge_identity();
-    ge_to_wire(acc, out);
+// Pippenger MSM over the fixed-window-parallel shared engine (defined after
+// the template section below).
+static void ed_msm_native(uint64_t n, const uint8_t* scalars, const uint8_t* points,
+                          uint8_t* out);
+
+void zkp_ed_msm(uint64_t n, const uint8_t* scalars, const uint8_t* points, uint8_t* out) {
+    ed_msm_native(n, scalars, points, out);
 }
 
 // Ristretto255 compress (RFC 9496 ENCODE). in: 128-byte wire point.
@@ -774,7 +728,60 @@ static bfq bfq_pow_bytes(const bfq& a, const uint8_t* e, int elen) {
     return r;
 }
 
-static bfq bfq_inv(const bfq& a) { return bfq_pow_bytes(a, BQ_M2, 32); }
+// Binary extended GCD inversion (~10x faster than Fermat pow).
+// Works on the Montgomery representation r = aR: extgcd gives r^{-1},
+// then two extra Montgomery muls by R^2 give a^{-1}R.
+static inline bool u256_is_even(const u256& a) { return !(a.v[0] & 1); }
+static inline void u256_shr1(u256& a) {
+    a.v[0] = (a.v[0] >> 1) | (a.v[1] << 63);
+    a.v[1] = (a.v[1] >> 1) | (a.v[2] << 63);
+    a.v[2] = (a.v[2] >> 1) | (a.v[3] << 63);
+    a.v[3] >>= 1;
+}
+static inline void u256_shr1_carry(u256& a, uint64_t carry_in) {
+    a.v[0] = (a.v[0] >> 1) | (a.v[1] << 63);
+    a.v[1] = (a.v[1] >> 1) | (a.v[2] << 63);
+    a.v[2] = (a.v[2] >> 1) | (a.v[3] << 63);
+    a.v[3] = (a.v[3] >> 1) | (carry_in << 63);
+}
+
+static bfq bfq_inv(const bfq& a) {
+    if (bfq_is_zero(a)) return a;  // mirror pow-based behavior: 0 -> 0
+    u256 u = a.m, v = BQ;
+    u256 x1{{1, 0, 0, 0}}, x2{{0, 0, 0, 0}};
+    u256 one{{1, 0, 0, 0}};
+    while (u256_cmp(u, one) != 0 && u256_cmp(v, one) != 0) {
+        while (u256_is_even(u)) {
+            u256_shr1(u);
+            if (u256_is_even(x1))
+                u256_shr1(x1);
+            else {
+                uint64_t c = u256_add(x1, x1, BQ);
+                u256_shr1_carry(x1, c);
+            }
+        }
+        while (u256_is_even(v)) {
+            u256_shr1(v);
+            if (u256_is_even(x2))
+                u256_shr1(x2);
+            else {
+                uint64_t c = u256_add(x2, x2, BQ);
+                u256_shr1_carry(x2, c);
+            }
+        }
+        if (u256_cmp(u, v) >= 0) {
+            u256_sub(u, u, v);
+            if (u256_sub(x1, x1, x2)) u256_add(x1, x1, BQ);
+        } else {
+            u256_sub(v, v, u);
+            if (u256_sub(x2, x2, x1)) u256_add(x2, x2, BQ);
+        }
+    }
+    bfq raw;
+    raw.m = (u256_cmp(u, one) == 0) ? x1 : x2;
+    bfq r2{BQ_R2};
+    return bfq_mul(bfq_mul(raw, r2), r2);
+}
 
 // ---- Fq2 = Fq[u]/(u^2+1) ----
 struct bfq2 {
@@ -1105,22 +1112,18 @@ static void bg2_to_wire(const bg2& p, uint8_t* b) {
     bfq2_to_wire(p.Z, b + 128);
 }
 
-// ---- Pippenger MSM (shared across G1/G2 via template) ----
+// ---- Pippenger MSM: shared window-parallel engine ----
+// Points are batch-normalized to affine form once per call (one field
+// inversion via Montgomery's trick), so bucket accumulation uses cheap
+// mixed additions; windows run in parallel (OpenMP when compiled in).
 }  // extern "C" (template below needs C++ linkage)
 
-template <typename PT, PT (*ADD)(const PT&, const PT&), PT (*DBL)(const PT&), PT (*INF)()>
-static PT msm_impl(uint64_t n_in, const uint8_t* scalars, const PT* pts_in,
-                   const char* nonzero_pt) {
-    std::vector<PT> pts;
-    std::vector<const uint8_t*> sc;
-    static const uint8_t ZERO32[32] = {0};
-    for (uint64_t i = 0; i < n_in; i++) {
-        if (std::memcmp(scalars + 32 * i, ZERO32, 32) != 0 && nonzero_pt[i]) {
-            sc.push_back(scalars + 32 * i);
-            pts.push_back(pts_in[i]);
-        }
-    }
-    uint64_t n = pts.size();
+// PT: full point; AF: affine/cached form used for mixed adds.
+// MADD(bucket, aff): mixed add; pts_norm[i]: PT equivalent of affs[i].
+template <typename PT, typename AF, PT (*ADD)(const PT&, const PT&),
+          PT (*MADD)(const PT&, const AF&), PT (*DBL)(const PT&), PT (*INF)()>
+static PT msm_core(uint64_t n, const uint8_t* const* sc, const PT* pts_norm,
+                   const AF* affs) {
     if (n == 0) return INF();
     int c = 1;
     double best = 1e30;
@@ -1135,14 +1138,14 @@ static PT msm_impl(uint64_t n_in, const uint8_t* scalars, const PT* pts_in,
     }
     int nwin = (254 + c - 1) / c;
     uint64_t nbuckets = (1ULL << c) - 1;
-    std::vector<PT> buckets(nbuckets);
-    std::vector<bool> used(nbuckets);
-    PT acc = INF();
-    bool acc_set = false;
-    for (int w = nwin - 1; w >= 0; w--) {
-        if (acc_set)
-            for (int k = 0; k < c; k++) acc = DBL(acc);
-        std::fill(used.begin(), used.end(), false);
+    std::vector<PT> parts(nwin);
+    std::vector<char> part_set(nwin, 0);
+#ifdef _OPENMP
+#pragma omp parallel for schedule(dynamic, 1)
+#endif
+    for (int w = 0; w < nwin; w++) {
+        std::vector<PT> buckets(nbuckets);
+        std::vector<char> used(nbuckets, 0);
         int shift = w * c;
         for (uint64_t i = 0; i < n; i++) {
             int byte = shift >> 3, bit = shift & 7;
@@ -1153,9 +1156,9 @@ static PT msm_impl(uint64_t n_in, const uint8_t* scalars, const PT* pts_in,
             uint64_t idx = (frag >> bit) & nbuckets;
             if (!idx) continue;
             if (used[idx - 1])
-                buckets[idx - 1] = ADD(buckets[idx - 1], pts[i]);
+                buckets[idx - 1] = MADD(buckets[idx - 1], affs[i]);
             else {
-                buckets[idx - 1] = pts[i];
+                buckets[idx - 1] = pts_norm[i];
                 used[idx - 1] = true;
             }
         }
@@ -1171,54 +1174,243 @@ static PT msm_impl(uint64_t n_in, const uint8_t* scalars, const PT* pts_in,
                 tot_set = true;
             }
         }
-        if (tot_set) {
-            acc = acc_set ? ADD(acc, total) : total;
+        parts[w] = total;
+        part_set[w] = tot_set;
+    }
+    PT acc = INF();
+    bool acc_set = false;
+    for (int w = nwin - 1; w >= 0; w--) {
+        if (acc_set)
+            for (int k = 0; k < c; k++) acc = DBL(acc);
+        if (part_set[w]) {
+            acc = acc_set ? ADD(acc, parts[w]) : parts[w];
             acc_set = true;
         }
     }
     return acc;
 }
 
+// ---- BN254 G1 affine form + mixed add ----
+struct g1aff {
+    bfq x, y;
+};
+
+static bg1 bg1_madd(const bg1& p, const g1aff& q) {
+    if (bg1_is_inf(p)) return bg1{q.x, q.y, bfq_one()};
+    bfq Z1Z1 = bfq_sq(p.Z);
+    bfq U2 = bfq_mul(q.x, Z1Z1);
+    bfq S2 = bfq_mul(bfq_mul(q.y, p.Z), Z1Z1);
+    if (u256_cmp(p.X.m, U2.m) == 0) {
+        if (u256_cmp(p.Y.m, S2.m) != 0) return bg1_inf();
+        return bg1_double(p);
+    }
+    bfq H = bfq_sub(U2, p.X);
+    bfq I = bfq_sq(H);
+    I = bfq_add(I, I);
+    I = bfq_add(I, I);
+    bfq J = bfq_mul(H, I);
+    bfq rr = bfq_sub(S2, p.Y);
+    rr = bfq_add(rr, rr);
+    bfq V = bfq_mul(p.X, I);
+    bfq X3 = bfq_sub(bfq_sub(bfq_sq(rr), J), bfq_add(V, V));
+    bfq SJ = bfq_mul(p.Y, J);
+    bfq Y3 = bfq_sub(bfq_mul(rr, bfq_sub(V, X3)), bfq_add(SJ, SJ));
+    bfq Z3 = bfq_mul(p.Z, H);
+    Z3 = bfq_add(Z3, Z3);
+    return bg1{X3, Y3, Z3};
+}
+
+// batch-normalize Jacobian -> affine with one inversion
+static void bg1_normalize(std::vector<bg1>& pts, std::vector<g1aff>& affs) {
+    size_t n = pts.size();
+    affs.resize(n);
+    if (n == 0) return;
+    std::vector<bfq> pref(n);
+    bfq run = bfq_one();
+    for (size_t i = 0; i < n; i++) {
+        run = bfq_mul(run, pts[i].Z);
+        pref[i] = run;
+    }
+    bfq inv_all = bfq_inv(run);
+    for (size_t i = n; i-- > 0;) {
+        bfq zi = (i == 0) ? inv_all : bfq_mul(inv_all, pref[i - 1]);
+        inv_all = bfq_mul(inv_all, pts[i].Z);
+        bfq zi2 = bfq_sq(zi);
+        bfq x = bfq_mul(pts[i].X, zi2);
+        bfq y = bfq_mul(bfq_mul(pts[i].Y, zi2), zi);
+        affs[i] = g1aff{x, y};
+        pts[i] = bg1{x, y, bfq_one()};
+    }
+}
+
+// ---- BN254 G2 affine form + mixed add ----
+struct g2aff {
+    bfq2 x, y;
+};
+
+static bg2 bg2_madd(const bg2& p, const g2aff& q) {
+    if (bg2_is_inf(p)) return bg2{q.x, q.y, bfq2_one()};
+    bfq2 Z1Z1 = bfq2_sq(p.Z);
+    bfq2 U2 = bfq2_mul(q.x, Z1Z1);
+    bfq2 S2 = bfq2_mul(bfq2_mul(q.y, p.Z), Z1Z1);
+    if (bfq2_eq(p.X, U2)) {
+        if (!bfq2_eq(p.Y, S2)) return bg2_inf();
+        return bg2_double(p);
+    }
+    bfq2 H = bfq2_sub(U2, p.X);
+    bfq2 I = bfq2_sq(H);
+    I = bfq2_add(I, I);
+    I = bfq2_add(I, I);
+    bfq2 J = bfq2_mul(H, I);
+    bfq2 rr = bfq2_sub(S2, p.Y);
+    rr = bfq2_add(rr, rr);
+    bfq2 V = bfq2_mul(p.X, I);
+    bfq2 X3 = bfq2_sub(bfq2_sub(bfq2_sq(rr), J), bfq2_add(V, V));
+    bfq2 SJ = bfq2_mul(p.Y, J);
+    bfq2 Y3 = bfq2_sub(bfq2_mul(rr, bfq2_sub(V, X3)), bfq2_add(SJ, SJ));
+    bfq2 Z3 = bfq2_mul(p.Z, H);
+    Z3 = bfq2_add(Z3, Z3);
+    return bg2{X3, Y3, Z3};
+}
+
+static void bg2_normalize(std::vector<bg2>& pts, std::vector<g2aff>& affs) {
+    size_t n = pts.size();
+    affs.resize(n);
+    if (n == 0) return;
+    std::vector<bfq2> pref(n);
+    bfq2 run = bfq2_one();
+    for (size_t i = 0; i < n; i++) {
+        run = bfq2_mul(run, pts[i].Z);
+        pref[i] = run;
+    }
+    bfq2 inv_all = bfq2_inv(run);
+    for (size_t i = n; i-- > 0;) {
+        bfq2 zi = (i == 0) ? inv_all : bfq2_mul(inv_all, pref[i - 1]);
+        inv_all = bfq2_mul(inv_all, pts[i].Z);
+        bfq2 zi2 = bfq2_sq(zi);
+        bfq2 x = bfq2_mul(pts[i].X, zi2);
+        bfq2 y = bfq2_mul(bfq2_mul(pts[i].Y, zi2), zi);
+        affs[i] = g2aff{x, y};
+        pts[i] = bg2{x, y, bfq2_one()};
+    }
+}
+
+// ---- ed25519 cached-affine (Niels) form + mixed add ----
+struct edniels {
+    fe ymx, ypx, t2d;
+};
+
+static ge ge_madd(const ge& p, const edniels& q) {
+    fe A = fe_mul(fe_sub(p.Y, p.X), q.ymx);
+    fe B = fe_mul(fe_add(p.Y, p.X), q.ypx);
+    fe C = fe_mul(p.T, q.t2d);
+    fe D = fe_add(p.Z, p.Z);
+    fe E = fe_sub(B, A);
+    fe F = fe_sub(D, C);
+    fe G = fe_add(D, C);
+    fe H = fe_add(B, A);
+    return ge{fe_mul(E, F), fe_mul(G, H), fe_mul(F, G), fe_mul(E, H)};
+}
+
+static void ge_normalize(std::vector<ge>& pts, std::vector<edniels>& affs) {
+    size_t n = pts.size();
+    affs.resize(n);
+    if (n == 0) return;
+    fe two_d = fe_frombytes(TWO_D_BYTES);
+    std::vector<fe> pref(n);
+    fe run = fe_one();
+    for (size_t i = 0; i < n; i++) {
+        run = fe_mul(run, pts[i].Z);
+        pref[i] = run;
+    }
+    fe inv_all = fe_invert(run);
+    for (size_t i = n; i-- > 0;) {
+        fe zi = (i == 0) ? inv_all : fe_mul(inv_all, pref[i - 1]);
+        inv_all = fe_mul(inv_all, pts[i].Z);
+        fe x = fe_mul(pts[i].X, zi);
+        fe y = fe_mul(pts[i].Y, zi);
+        fe t = fe_mul(x, y);
+        affs[i] = edniels{fe_sub(y, x), fe_add(y, x), fe_mul(t, two_d)};
+        pts[i] = ge{x, y, fe_one(), t};
+    }
+}
+
+static void ed_msm_native(uint64_t n_in, const uint8_t* scalars, const uint8_t* points,
+                          uint8_t* out) {
+    std::vector<ge> pts;
+    std::vector<const uint8_t*> sc;
+    static const uint8_t ZERO32[32] = {0};
+    for (uint64_t i = 0; i < n_in; i++) {
+        if (std::memcmp(scalars + 32 * i, ZERO32, 32) != 0) {
+            sc.push_back(scalars + 32 * i);
+            pts.push_back(ge_from_wire(points + 128 * i));
+        }
+    }
+    if (pts.empty()) {
+        ge_to_wire(ge_identity(), out);
+        return;
+    }
+    std::vector<edniels> affs;
+    ge_normalize(pts, affs);
+    ge r = msm_core<ge, edniels, ge_add, ge_madd, ge_double, ge_identity>(
+        pts.size(), sc.data(), pts.data(), affs.data());
+    ge_to_wire(r, out);
+}
+
 extern "C" {
 
-void zkp_bn254_g1_msm(uint64_t n, const uint8_t* scalars, const uint8_t* points,
+void zkp_bn254_g1_msm(uint64_t n_in, const uint8_t* scalars, const uint8_t* points,
                       uint8_t* out) {
-    std::vector<bg1> pts(n);
-    std::vector<char> nz(n);
-    for (uint64_t i = 0; i < n; i++) {
-        pts[i] = bg1_from_wire(points + 96 * i);
-        nz[i] = !bg1_is_inf(pts[i]);
+    std::vector<bg1> pts;
+    std::vector<const uint8_t*> sc;
+    static const uint8_t ZERO32[32] = {0};
+    for (uint64_t i = 0; i < n_in; i++) {
+        bg1 p = bg1_from_wire(points + 96 * i);
+        if (std::memcmp(scalars + 32 * i, ZERO32, 32) != 0 && !bg1_is_inf(p)) {
+            sc.push_back(scalars + 32 * i);
+            pts.push_back(p);
+        }
     }
-    bg1 r = msm_impl<bg1, bg1_add, bg1_double, bg1_inf>(n, scalars, pts.data(), nz.data());
+    if (pts.empty()) {
+        bg1_to_wire(bg1_inf(), out);
+        return;
+    }
+    std::vector<g1aff> affs;
+    bg1_normalize(pts, affs);
+    bg1 r = msm_core<bg1, g1aff, bg1_add, bg1_madd, bg1_double, bg1_inf>(
+        pts.size(), sc.data(), pts.data(), affs.data());
     bg1_to_wire(r, out);
 }
 
-void zkp_bn254_g2_msm(uint64_t n, const uint8_t* scalars, const uint8_t* points,
+void zkp_bn254_g2_msm(uint64_t n_in, const uint8_t* scalars, const uint8_t* points,
                       uint8_t* out) {
-    std::vector<bg2> pts(n);
-    std::vector<char> nz(n);
-    for (uint64_t i = 0; i < n; i++) {
-        pts[i] = bg2_from_wire(points + 192 * i);
-        nz[i] = !bg2_is_inf(pts[i]);
+    std::vector<bg2> pts;
+    std::vector<const uint8_t*> sc;
+    static const uint8_t ZERO32[32] = {0};
+    for (uint64_t i = 0; i < n_in; i++) {
+        bg2 p = bg2_from_wire(points + 192 * i);
+        if (std::memcmp(scalars + 32 * i, ZERO32, 32) != 0 && !bg2_is_inf(p)) {
+            sc.push_back(scalars + 32 * i);
+            pts.push_back(p);
+        }
     }
-    bg2 r = msm_impl<bg2, bg2_add, bg2_double, bg2_inf>(n, scalars, pts.data(), nz.data());
+    if (pts.empty()) {
+        bg2_to_wire(bg2_inf(), out);
+        return;
+    }
+    std::vector<g2aff> affs;
+    bg2_normalize(pts, affs);
+    bg2 r = msm_core<bg2, g2aff, bg2_add, bg2_madd, bg2_double, bg2_inf>(
+        pts.size(), sc.data(), pts.data(), affs.data());
     bg2_to_wire(r, out);
 }
 
 void zkp_bn254_g1_scalar_mul(const uint8_t* scalar, const uint8_t* point, uint8_t* out) {
-    std::vector<char> nz(1);
-    bg1 p = bg1_from_wire(point);
-    nz[0] = !bg1_is_inf(p);
-    bg1 r = msm_impl<bg1, bg1_add, bg1_double, bg1_inf>(1, scalar, &p, nz.data());
-    bg1_to_wire(r, out);
+    zkp_bn254_g1_msm(1, scalar, point, out);
 }
 
 void zkp_bn254_g2_scalar_mul(const uint8_t* scalar, const uint8_t* point, uint8_t* out) {
-    std::vector<char> nz(1);
-    bg2 p = bg2_from_wire(point);
-    nz[0] = !bg2_is_inf(p);
-    bg2 r = msm_impl<bg2, bg2_add, bg2_double, bg2_inf>(1, scalar, &p, nz.data());
-    bg2_to_wire(r, out);
+    zkp_bn254_g2_msm(1, scalar, point, out);
 }
 
 // ---- pairing (mirrors ops/bn254.py: Fq12-lifted affine Miller loop) ----
@@ -1247,6 +1439,35 @@ static bfq12 fq_to_fq12(const bfq& a) {
     bfq12 r{bfq6_zero(), bfq6_zero()};
     r.c0.c0.c0 = a;
     return r;
+}
+
+// Fused step: compute the slope once, emit both the line evaluation at Pt
+// and the updated point (the Python golden model computes the same slope
+// twice, once in _line and once in _ec12_double/_ec12_add).
+static bfq12 dbl_step(ec12& T, const ec12& Pt) {
+    bfq12 x2 = bfq12_sq(T.x);
+    bfq12 three_x2 = bfq12_add(bfq12_add(x2, x2), x2);
+    bfq12 m = bfq12_mul(three_x2, bfq12_inv(bfq12_add(T.y, T.y)));
+    bfq12 line = bfq12_sub(bfq12_mul(m, bfq12_sub(Pt.x, T.x)), bfq12_sub(Pt.y, T.y));
+    bfq12 xr = bfq12_sub(bfq12_sq(m), bfq12_add(T.x, T.x));
+    bfq12 yr = bfq12_sub(bfq12_mul(m, bfq12_sub(T.x, xr)), T.y);
+    T = ec12{xr, yr};
+    return line;
+}
+
+static bfq12 add_step(ec12& T, const ec12& Q, const ec12& Pt) {
+    bfq12 dx = bfq12_sub(Q.x, T.x);
+    if (bfq12_is_zero(dx)) {
+        if (bfq12_is_zero(bfq12_sub(T.y, Q.y))) return dbl_step(T, Pt);
+        // vertical line (T + Q = infinity); matches the Python golden model
+        return bfq12_sub(Pt.x, T.x);
+    }
+    bfq12 m = bfq12_mul(bfq12_sub(Q.y, T.y), bfq12_inv(dx));
+    bfq12 line = bfq12_sub(bfq12_mul(m, bfq12_sub(Pt.x, T.x)), bfq12_sub(Pt.y, T.y));
+    bfq12 xr = bfq12_sub(bfq12_sub(bfq12_sq(m), T.x), Q.x);
+    bfq12 yr = bfq12_sub(bfq12_mul(m, bfq12_sub(T.x, xr)), T.y);
+    T = ec12{xr, yr};
+    return line;
 }
 
 static bfq12 line_eval(const ec12& p1, const ec12& p2, const ec12& t) {
@@ -1317,12 +1538,8 @@ static bfq12 miller(const bg2& qj, const bg1& pj) {
     int top = 127;
     while (!((ATE_LOOP >> top) & 1)) top--;
     for (int i = top - 1; i >= 0; i--) {
-        f = bfq12_mul(bfq12_sq(f), line_eval(T, T, Pt));
-        T = ec12_double(T);
-        if ((ATE_LOOP >> i) & 1) {
-            f = bfq12_mul(f, line_eval(T, Q, Pt));
-            T = ec12_add(T, Q);
-        }
+        f = bfq12_mul(bfq12_sq(f), dbl_step(T, Pt));
+        if ((ATE_LOOP >> i) & 1) f = bfq12_mul(f, add_step(T, Q, Pt));
     }
     // frobenius steps: (x,y) -> (conj(x) g1[2], conj(y) g1[3]) per application
     bfq2 q1x = bfq2_mul(bfq2_conj(q2x), FROB_G1[2]);
@@ -1332,9 +1549,8 @@ static bfq12 miller(const bg2& qj, const bg1& pj) {
     ec12 Q1{bfq12_mul(fq2_to_fq12(q1x), W2), bfq12_mul(fq2_to_fq12(q1y), W3)};
     ec12 Q2{bfq12_mul(fq2_to_fq12(q2x2), W2),
             bfq12_mul(fq2_to_fq12(bfq2_neg(q2y2)), W3)};
-    f = bfq12_mul(f, line_eval(T, Q1, Pt));
-    T = ec12_add(T, Q1);
-    f = bfq12_mul(f, line_eval(T, Q2, Pt));
+    f = bfq12_mul(f, add_step(T, Q1, Pt));
+    f = bfq12_mul(f, add_step(T, Q2, Pt));
     return f;
 }
 
@@ -1364,6 +1580,150 @@ void zkp_bn254_multi_pairing(uint64_t n, const uint8_t* g1s, const uint8_t* g2s,
         f = bfq12_mul(f, miller(q, p));
     }
     bfq12_to_wire(final_exp(f), out);
+}
+
+}  // extern "C"
+
+// ===========================================================================
+// Generic radix-2 NTT over a runtime ≤256-bit odd prime (used for BN254 Fr
+// QAP domains and the STARK f128 LDE — mirrors ops/ntt.py ntt()).
+// ===========================================================================
+
+namespace {
+
+struct mctx {
+    u256 q;
+    uint64_t ninv;
+    u256 r2;
+    u256 one_m;  // R mod q
+};
+
+void mctx_init(mctx& c, const uint8_t mod[32]) {
+    std::memcpy(c.q.v, mod, 32);
+    uint64_t q0 = c.q.v[0], inv = 1;
+    for (int i = 0; i < 6; i++) inv *= 2 - q0 * inv;
+    c.ninv = ~inv + 1;
+    u256 r{{1, 0, 0, 0}};
+    for (int i = 0; i < 256; i++) {
+        uint64_t carry = u256_add(r, r, r);
+        if (carry || u256_cmp(r, c.q) >= 0) u256_sub(r, r, c.q);
+    }
+    c.one_m = r;
+    u256 r2 = r;
+    for (int i = 0; i < 256; i++) {
+        uint64_t carry = u256_add(r2, r2, r2);
+        if (carry || u256_cmp(r2, c.q) >= 0) u256_sub(r2, r2, c.q);
+    }
+    c.r2 = r2;
+}
+
+u256 mx_mul(const mctx& c, const u256& a, const u256& b) {
+    uint64_t t[6] = {0, 0, 0, 0, 0, 0};
+    for (int i = 0; i < 4; i++) {
+        u128 cc = 0;
+        for (int j = 0; j < 4; j++) {
+            cc += (u128)t[j] + (u128)a.v[i] * b.v[j];
+            t[j] = (uint64_t)cc;
+            cc >>= 64;
+        }
+        cc += t[4];
+        t[4] = (uint64_t)cc;
+        t[5] = (uint64_t)(cc >> 64);
+        uint64_t m = t[0] * c.ninv;
+        cc = (u128)t[0] + (u128)m * c.q.v[0];
+        cc >>= 64;
+        for (int j = 1; j < 4; j++) {
+            cc += (u128)t[j] + (u128)m * c.q.v[j];
+            t[j - 1] = (uint64_t)cc;
+            cc >>= 64;
+        }
+        cc += t[4];
+        t[3] = (uint64_t)cc;
+        t[4] = t[5] + (uint64_t)(cc >> 64);
+    }
+    u256 r;
+    for (int i = 0; i < 4; i++) r.v[i] = t[i];
+    if (t[4] || u256_cmp(r, c.q) >= 0) u256_sub(r, r, c.q);
+    return r;
+}
+
+inline u256 mx_add(const mctx& c, const u256& a, const u256& b) {
+    u256 r;
+    uint64_t carry = u256_add(r, a, b);
+    if (carry || u256_cmp(r, c.q) >= 0) u256_sub(r, r, c.q);
+    return r;
+}
+
+inline u256 mx_sub(const mctx& c, const u256& a, const u256& b) {
+    u256 r;
+    if (u256_sub(r, a, b)) u256_add(r, r, c.q);
+    return r;
+}
+
+}  // namespace
+
+extern "C" {
+
+// data: n * 32B LE values (canonical), transformed in place.
+// root: the size-n root of unity to use (caller inverts it for the inverse
+// transform); scale: optional 32B multiplier applied at the end (n^{-1} for
+// the inverse transform) — pass NULL for none.
+void zkp_ntt(uint64_t n, uint8_t* data, const uint8_t* mod, const uint8_t* root,
+             const uint8_t* scale) {
+    mctx c;
+    mctx_init(c, mod);
+    std::vector<u256> a(n);
+    for (uint64_t i = 0; i < n; i++) {
+        u256 raw;
+        std::memcpy(raw.v, data + 32 * i, 32);
+        a[i] = mx_mul(c, raw, c.r2);  // to Montgomery
+    }
+    // bit-reverse permute
+    int bits = 0;
+    while ((1ULL << bits) < n) bits++;
+    for (uint64_t i = 0; i < n; i++) {
+        uint64_t j = 0;
+        for (int b = 0; b < bits; b++) j |= ((i >> b) & 1) << (bits - 1 - b);
+        if (j > i) std::swap(a[i], a[j]);
+    }
+    // stage twiddle bases: w_len(s) = root^(n / 2^(s+1)); the last stage uses
+    // root itself, each earlier stage is the square of the next.
+    u256 root_m;
+    {
+        u256 raw;
+        std::memcpy(raw.v, root, 32);
+        root_m = mx_mul(c, raw, c.r2);
+    }
+    std::vector<u256> wlen(bits);
+    if (bits > 0) {
+        wlen[bits - 1] = root_m;
+        for (int s = bits - 2; s >= 0; s--) wlen[s] = mx_mul(c, wlen[s + 1], wlen[s + 1]);
+    }
+    for (int s = 0; s < bits; s++) {
+        uint64_t length = 2ULL << s;
+        uint64_t half = length >> 1;
+        for (uint64_t start = 0; start < n; start += length) {
+            u256 w = c.one_m;
+            for (uint64_t k = start; k < start + half; k++) {
+                u256 u = a[k];
+                u256 v = mx_mul(c, a[k + half], w);
+                a[k] = mx_add(c, u, v);
+                a[k + half] = mx_sub(c, u, v);
+                w = mx_mul(c, w, wlen[s]);
+            }
+        }
+    }
+    if (scale) {
+        u256 raw;
+        std::memcpy(raw.v, scale, 32);
+        u256 sm = mx_mul(c, raw, c.r2);
+        for (uint64_t i = 0; i < n; i++) a[i] = mx_mul(c, a[i], sm);
+    }
+    u256 one_raw{{1, 0, 0, 0}};
+    for (uint64_t i = 0; i < n; i++) {
+        u256 out = mx_mul(c, a[i], one_raw);  // from Montgomery
+        std::memcpy(data + 32 * i, out.v, 32);
+    }
 }
 
 }  // extern "C"

@@ -65,6 +65,23 @@ def ntt(F: PrimeField, values: List[int], invert: bool = False) -> List[int]:
     return a
 
 
+ntt_py = ntt
+
+from .. import native as _native  # noqa: E402
+
+if _native.HAVE_NATIVE:
+
+    def ntt(F: PrimeField, values: List[int], invert: bool = False) -> List[int]:  # noqa: F811
+        n = len(values)
+        assert n & (n - 1) == 0, "size must be a power of two"
+        if n == 1:
+            return [values[0] % F.p]
+        root = F.root_of_unity(n)
+        if invert:
+            return _native.ntt(F.p, values, F.inv(root), F.inv(n))
+        return _native.ntt(F.p, values, root, None)
+
+
 def interpolate(F: PrimeField, evals: List[int]) -> List[int]:
     """Coefficients of the poly whose evaluations over the size-n domain are ``evals``."""
     return ntt(F, evals, invert=True)

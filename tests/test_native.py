@@ -97,3 +97,15 @@ def test_wired_into_ops_layer():
     pt = _rand_point()
     assert ed.compress(pt) == ed.compress_py(pt)
     assert ed.point_equal(ed.msm([3, 5], [pt, ed.BASEPOINT]), ed.msm_py([3, 5], [pt, ed.BASEPOINT]))
+
+
+def test_ntt_matches_python():
+    from libzkp_tpu.ops.field import BN254_FR, F128
+    from libzkp_tpu.ops.ntt import ntt, ntt_py
+
+    for F in (BN254_FR, F128):
+        for n in (2, 8, 64, 256):
+            vals = [rng.randrange(F.p) for _ in range(n)]
+            assert ntt(F, vals) == ntt_py(F, vals)
+            assert ntt(F, vals, invert=True) == ntt_py(F, vals, invert=True)
+            assert ntt(F, ntt(F, vals), invert=True) == [v % F.p for v in vals]
