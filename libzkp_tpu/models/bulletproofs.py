@@ -103,6 +103,8 @@ def ipp_create(
     H: List[ed.Point],
     a: List[int],
     b: List[int],
+    q_scalar: int = None,
+    B: ed.Point = None,
 ) -> InnerProductProof:
     """Inner-product argument prover.
 
@@ -137,7 +139,12 @@ def ipp_create(
                 g_scal[k] = a[i - half] * gc[k] % L
             else:  # H_L against b_R
                 h_scal[k] = b[half + i] * hc[k] % L
-        Lp = ed.msm(g_scal + h_scal + [cL], G + H + [Q])
+        # Q = q_scalar * B, so cL*Q folds into the process-constant basis
+        # G + H + [B] (the BGMW table); Q itself varies per transcript.
+        if q_scalar is not None:
+            Lp = ed.msm_fixed(g_scal + h_scal + [cL * q_scalar % L], G + H + [B])
+        else:
+            Lp = ed.msm(g_scal + h_scal + [cL], G + H + [Q])
         for k in range(n):
             i = k % m
             if i < half:
@@ -146,7 +153,10 @@ def ipp_create(
             else:
                 g_scal[k] = 0
                 h_scal[k] = b[i - half] * hc[k] % L
-        Rp = ed.msm(g_scal + h_scal + [cR], G + H + [Q])
+        if q_scalar is not None:
+            Rp = ed.msm_fixed(g_scal + h_scal + [cR * q_scalar % L], G + H + [B])
+        else:
+            Rp = ed.msm(g_scal + h_scal + [cR], G + H + [Q])
         Lc, Rc = ed.compress(Lp), ed.compress(Rp)
         L_vec.append(Lc)
         R_vec.append(Rc)
@@ -278,16 +288,14 @@ def prove_single(
 
     a_L = [(value >> i) & 1 for i in range(n)]
     a_blinding = _random_scalar()
-    A_pt = ed.scalar_mul(a_blinding, B_blinding)
-    for i in range(n):
-        if a_L[i]:
-            A_pt = ed.point_add(A_pt, G[i])
-        else:
-            A_pt = ed.point_add(A_pt, ed.point_neg(H[i]))
+    # A = a_blinding*B_b + sum(aL_i G_i) - sum((1-aL_i) H_i), one fixed-base MSM
+    A_pt = ed.msm_fixed(
+        [a_blinding] + a_L + [(b - 1) % L for b in a_L], [B_blinding] + G + H
+    )
     s_blinding = _random_scalar()
     s_L = [_random_scalar() for _ in range(n)]
     s_R = [_random_scalar() for _ in range(n)]
-    S_pt = ed.msm([s_blinding] + s_L + s_R, [B_blinding] + G + H)
+    S_pt = ed.msm_fixed([s_blinding] + s_L + s_R, [B_blinding] + G + H)
     A_c, S_c = ed.compress(A_pt), ed.compress(S_pt)
     _append_point(t, b"A", A_c)
     _append_point(t, b"S", S_c)
@@ -333,7 +341,7 @@ def prove_single(
     for _ in range(n):
         H_factors.append(yi)
         yi = yi * y_inv % L
-    ipp = ipp_create(t, Q, [1] * n, H_factors, G, H, l_vec, r_vec)
+    ipp = ipp_create(t, Q, [1] * n, H_factors, G, H, l_vec, r_vec, q_scalar=w, B=B)
     return RangeProof(A_c, S_c, T_1, T_2, t_x, t_x_blinding, e_blinding, ipp), V
 
 
@@ -410,13 +418,11 @@ def _verify_single_inner(proof: RangeProof, t: Transcript, V: bytes, n: int) -> 
         h_scalars.append((z + z2 * pow(2, i, L) % L * yi_inv - b * s_inv[i] % L * yi_inv) % L)
         yi_inv = yi_inv * y_inv % L
     basis_scalar = (w * ((proof.t_x - a * b) % L)) % L
-    scalars = (
-        [1, x, (-proof.e_blinding) % L, basis_scalar]
-        + g_scalars
-        + h_scalars
-        + u_sq
-        + u_inv_sq
+    # split: fixed generator basis (BGMW tables) + per-proof dynamic points
+    c_fixed = ed.msm_fixed(
+        [(-proof.e_blinding) % L, basis_scalar] + g_scalars + h_scalars,
+        [B_blinding, B] + G + H,
     )
-    points = [A_pt, S_pt, B_blinding, B] + G + H + Ls + Rs
-    c2 = ed.msm(scalars, points)
+    c_dyn = ed.msm([1, x] + u_sq + u_inv_sq, [A_pt, S_pt] + Ls + Rs)
+    c2 = ed.point_add(c_fixed, c_dyn)
     return ed.ristretto_eq(c2, ed.IDENTITY)

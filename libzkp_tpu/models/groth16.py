@@ -239,8 +239,44 @@ def setup(cs: ConstraintSystem) -> ProvingKey:
 # ---------------------------------------------------------------------------
 
 
-def _compute_h(cs: ConstraintSystem, n: int) -> List[int]:
+# CSR forms of the (witness-independent) constraint matrices, cached per
+# circuit shape so repeated proves skip the Python packing loop entirely.
+_csr_cache: dict = {}
+
+
+def _pack_csr(cs: ConstraintSystem, which: int):
+    from array import array
+
+    ptr = array("I", [0])
+    idx = array("I")
+    coef = bytearray()
+    for row in cs.constraints:
+        for tag, coeff in row[which].items():
+            idx.append(cs._resolve(tag))
+            coef += coeff.to_bytes(32, "little")
+        ptr.append(len(idx))
+    return (ptr.tobytes(), idx.tobytes(), bytes(coef), len(idx))
+
+
+def _compute_h_native(cs: ConstraintSystem, n: int, circuit_key) -> List[int]:
+    from .. import native
+
+    key = (circuit_key, n, len(cs.constraints), cs.num_variables)
+    csr = _csr_cache.get(key)
+    if csr is None:
+        csr = _csr_cache[key] = tuple(_pack_csr(cs, w) for w in range(3))
+    return native.groth16_h(
+        n, len(cs.constraints), cs.num_instance, R,
+        BN254_FR.root_of_unity(n), 5, csr, cs.full_assignment(),
+    )
+
+
+def _compute_h(cs: ConstraintSystem, n: int, circuit_key=None) -> List[int]:
     """Coefficients of h(x) = (A(x)B(x) - C(x)) / Z(x) via coset evaluation."""
+    from .. import native
+
+    if circuit_key is not None and native.HAVE_NATIVE:
+        return _compute_h_native(cs, n, circuit_key)
     F = BN254_FR
     z = cs.full_assignment()
     az = [0] * n
@@ -274,28 +310,31 @@ class Proof:
     c: bn.G1
 
 
-def prove(pk: ProvingKey, cs: ConstraintSystem) -> Proof:
-    assert cs.is_satisfied(), "constraint system not satisfied"
+def prove(pk: ProvingKey, cs: ConstraintSystem, circuit_key=None) -> Proof:
+    # full satisfaction re-check is debug-only (arkworks does the same);
+    # the h-pipeline still rejects unsatisfied systems via the degree check
+    if os.environ.get("LIBZKP_DEBUG_CS"):
+        assert cs.is_satisfied(), "constraint system not satisfied"
     g1b, _ = _bases()
     n = len(pk.h_query) + 1
     z = cs.full_assignment()
     r = _rand_fr()
     s = _rand_fr()
 
-    a_acc = bn.g1_msm(z, pk.a_query)
+    a_acc = bn.g1_msm_fixed(z, pk.a_query)
     a = bn.g1_add(bn.g1_add(pk.vk.alpha_g1, a_acc), bn.g1_scalar_mul(r, pk.delta_g1))
 
-    b_g2_acc = bn.g2_msm(z, pk.b_g2_query)
+    b_g2_acc = bn.g2_msm_fixed(z, pk.b_g2_query)
     delta_g2 = pk.vk.delta_g2
     b = bn.g2_add(bn.g2_add(pk.vk.beta_g2, b_g2_acc), bn.g2_scalar_mul(s, delta_g2))
 
-    b_g1_acc = bn.g1_msm(z, pk.b_g1_query)
+    b_g1_acc = bn.g1_msm_fixed(z, pk.b_g1_query)
     b_g1 = bn.g1_add(bn.g1_add(pk.beta_g1, b_g1_acc), bn.g1_scalar_mul(s, pk.delta_g1))
 
-    h = _compute_h(cs, n)
-    h_acc = bn.g1_msm(h, pk.h_query)
+    h = _compute_h(cs, n, circuit_key)
+    h_acc = bn.g1_msm_fixed(h, pk.h_query)
     wit = z[cs.num_instance :]
-    l_acc = bn.g1_msm(wit, pk.l_query)
+    l_acc = bn.g1_msm_fixed(wit, pk.l_query)
     c = bn.g1_add(h_acc, l_acc)
     c = bn.g1_add(c, bn.g1_scalar_mul(s, a))
     c = bn.g1_add(c, bn.g1_scalar_mul(r, b_g1))

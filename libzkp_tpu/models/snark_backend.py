@@ -229,7 +229,7 @@ class SnarkBackend:
         try:
             pk = _get_equality_setup()
             cs = build_equality_circuit(a, b, commitment_fr)
-            proof = groth16.prove(pk, cs)
+            proof = groth16.prove(pk, cs, circuit_key="equality")
             return groth16.proof_to_bytes(proof)
         except Exception:
             return b""
@@ -266,7 +266,7 @@ class SnarkBackend:
         try:
             pk = _get_membership_setup()
             cs = build_membership_circuit(value, sel, set_values, is_real, commitment_fr)
-            proof = groth16.prove(pk, cs)
+            proof = groth16.prove(pk, cs, circuit_key="membership")
             return groth16.proof_to_bytes(proof)
         except Exception:
             return b""

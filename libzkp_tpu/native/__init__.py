@@ -89,6 +89,24 @@ def _load() -> Optional[ctypes.CDLL]:
     lib.zkp_bn254_g2_scalar_mul.argtypes = [ctypes.c_char_p] * 3
     lib.zkp_bn254_multi_pairing.argtypes = [u64, ctypes.c_char_p, ctypes.c_char_p, ctypes.c_char_p]
     lib.zkp_ntt.argtypes = [u64, ctypes.c_char_p, ctypes.c_char_p, ctypes.c_char_p, ctypes.c_char_p]
+    lib.zkp_groth16_h.argtypes = [
+        u64, u64, u64, u64,
+        ctypes.c_char_p, ctypes.c_char_p, ctypes.c_char_p,
+        ctypes.c_char_p, ctypes.c_char_p, ctypes.c_char_p, u64,
+        ctypes.c_char_p, ctypes.c_char_p, ctypes.c_char_p, u64,
+        ctypes.c_char_p, ctypes.c_char_p, ctypes.c_char_p, u64,
+        ctypes.c_char_p, ctypes.c_char_p,
+    ]
+    lib.zkp_groth16_h.restype = ctypes.c_int
+    lib.zkp_ed_msm_register.argtypes = [u64, ctypes.c_char_p]
+    lib.zkp_ed_msm_register.restype = ctypes.c_int
+    lib.zkp_ed_msm_fixed.argtypes = [ctypes.c_int, ctypes.c_char_p, ctypes.c_char_p]
+    lib.zkp_bn254_g1_msm_register.argtypes = [u64, ctypes.c_char_p]
+    lib.zkp_bn254_g1_msm_register.restype = ctypes.c_int
+    lib.zkp_bn254_g1_msm_fixed.argtypes = [ctypes.c_int, ctypes.c_char_p, ctypes.c_char_p]
+    lib.zkp_bn254_g2_msm_register.argtypes = [u64, ctypes.c_char_p]
+    lib.zkp_bn254_g2_msm_register.restype = ctypes.c_int
+    lib.zkp_bn254_g2_msm_fixed.argtypes = [ctypes.c_int, ctypes.c_char_p, ctypes.c_char_p]
     return lib
 
 
@@ -193,6 +211,77 @@ def ed_msm(scalars: Sequence[int], points: Sequence[Point], order: int) -> Point
     out = ctypes.create_string_buffer(128)
     _lib.zkp_ed_msm(n, sc, pb, out)
     return _from_wire(out.raw)
+
+
+# Fixed-base (BGMW) MSM: the basis is registered once (precomputed shifted
+# affine tables in C++); subsequent calls pass only the scalar vector.
+# Registration is serialized — the C++ registries are std::vectors.
+import threading as _threading
+
+_reg_lock = _threading.Lock()
+_ed_handles: dict = {}
+_g1_handles: dict = {}
+_g2_handles: dict = {}
+
+
+# Precomputed tables are never evicted (the C++ registry only grows), so cap
+# how many distinct bases may register; callers fall back to the plain MSM
+# beyond the cap instead of leaking table memory.
+_MAX_FIXED_BASES = 64
+
+
+def _get_handle(cache: dict, key, register):
+    h = cache.get(key)
+    if h is None:
+        with _reg_lock:
+            h = cache.get(key)
+            if h is None:
+                if len(cache) >= _MAX_FIXED_BASES:
+                    return None
+                h = cache[key] = register()
+    return h
+
+
+def ed_msm_fixed(key, scalars: Sequence[int], points: Sequence[Point], order: int) -> Point:
+    h = _get_handle(
+        _ed_handles, key,
+        lambda: _lib.zkp_ed_msm_register(
+            len(points), b"".join(_to_wire(p) for p in points)),
+    )
+    if h is None:
+        return ed_msm(scalars, points, order)
+    sc = b"".join((s % order).to_bytes(32, "little") for s in scalars)
+    out = ctypes.create_string_buffer(128)
+    _lib.zkp_ed_msm_fixed(h, sc, out)
+    return _from_wire(out.raw)
+
+
+def bn254_g1_msm_fixed(key, scalars: Sequence[int], points):
+    h = _get_handle(
+        _g1_handles, key,
+        lambda: _lib.zkp_bn254_g1_msm_register(
+            len(points), b"".join(_g1_to_wire(p) for p in points)),
+    )
+    if h is None:
+        return bn254_g1_msm(scalars, points)
+    sc = b"".join((s % _bn254_r).to_bytes(32, "little") for s in scalars)
+    out = ctypes.create_string_buffer(96)
+    _lib.zkp_bn254_g1_msm_fixed(h, sc, out)
+    return _g1_from_wire(out.raw)
+
+
+def bn254_g2_msm_fixed(key, scalars: Sequence[int], points):
+    h = _get_handle(
+        _g2_handles, key,
+        lambda: _lib.zkp_bn254_g2_msm_register(
+            len(points), b"".join(_g2_to_wire(p) for p in points)),
+    )
+    if h is None:
+        return bn254_g2_msm(scalars, points)
+    sc = b"".join((s % _bn254_r).to_bytes(32, "little") for s in scalars)
+    out = ctypes.create_string_buffer(192)
+    _lib.zkp_bn254_g2_msm_fixed(h, sc, out)
+    return _g2_from_wire(out.raw)
 
 
 def ristretto_compress(pt: Point) -> bytes:
@@ -307,6 +396,32 @@ def bn254_g2_scalar_mul(k: int, p):
     out = ctypes.create_string_buffer(192)
     _lib.zkp_bn254_g2_scalar_mul((k % _bn254_r).to_bytes(32, "little"), _g2_to_wire(p), out)
     return _g2_from_wire(out.raw)
+
+
+def groth16_h(
+    n: int,
+    n_constraints: int,
+    n_instance: int,
+    p: int,
+    root: int,
+    coset_g: int,
+    csr,  # ((a_ptr, a_idx, a_coef, a_nnz), (b...), (c...)) as packed bytes
+    z: Sequence[int],
+) -> List[int]:
+    """Full h(x) pipeline: spmv + 7 NTTs + coset scaling in one native call."""
+    zb = b"".join((v % p).to_bytes(32, "little") for v in z)
+    out = ctypes.create_string_buffer(32 * (n - 1))
+    (ap, ai, ac, an), (bp, bi, bc, bn_), (cp, ci, cc, cn) = csr
+    rc = _lib.zkp_groth16_h(
+        n, n_constraints, n_instance, len(z),
+        p.to_bytes(32, "little"), (root % p).to_bytes(32, "little"),
+        (coset_g % p).to_bytes(32, "little"),
+        ap, ai, ac, an, bp, bi, bc, bn_, cp, ci, cc, cn,
+        zb, out,
+    )
+    if rc != 0:
+        raise AssertionError("h degree exceeds n-2: unsatisfied constraint system?")
+    return [int.from_bytes(out.raw[i * 32 : (i + 1) * 32], "little") for i in range(n - 1)]
 
 
 def ntt(p: int, values: Sequence[int], root: int, scale: Optional[int]) -> List[int]:

@@ -10,6 +10,7 @@
 // Build: g++ -O3 -std=c++17 -shared -fPIC -o _zkpcore.so zkpcore.cpp
 
 #include <cstdint>
+#include <deque>
 #include <cstring>
 #include <vector>
 
@@ -1724,6 +1725,392 @@ void zkp_ntt(uint64_t n, uint8_t* data, const uint8_t* mod, const uint8_t* root,
         u256 out = mx_mul(c, a[i], one_raw);  // from Montgomery
         std::memcpy(data + 32 * i, out.v, 32);
     }
+}
+
+}  // extern "C"
+
+// ===========================================================================
+// Fixed-base MSM (BGMW): for process-constant bases (Bulletproofs generator
+// vectors, Groth16 proving-key queries) precompute 2^(c*w)-shifted affine
+// tables once; every subsequent MSM is digit->shared-bucket mixed adds with
+// a single bucket reduction and no doublings.
+// ===========================================================================
+
+namespace {
+
+template <typename PT, typename AF>
+struct fixed_tab {
+    int c = 0, nwin = 0;
+    uint64_t n = 0;
+    std::vector<AF> tab;       // nwin * n cached-affine points
+    std::vector<PT> tab_pt;    // same, as full points (bucket first-assign)
+    std::vector<char> is_inf;  // per input point: skip (batch-inv can't norm)
+};
+
+int pick_window(uint64_t n) {
+    int c = 1;
+    double best = 1e30;
+    for (int cand = 1; cand <= 18; cand++) {
+        double cost = (double)((254 + cand - 1) / cand) * (double)n +
+                      (double)(2ULL << cand);
+        if (cost < best) {
+            best = cost;
+            c = cand;
+        }
+    }
+    return c;
+}
+
+template <typename PT, typename AF, PT (*ADD)(const PT&, const PT&),
+          PT (*MADD)(const PT&, const AF&), PT (*DBL)(const PT&), PT (*INF)(),
+          void (*NORM)(std::vector<PT>&, std::vector<AF>&), bool (*ISINF)(const PT&)>
+void build_fixed(fixed_tab<PT, AF>& ft, std::vector<PT>& pts) {
+    uint64_t n = pts.size();
+    ft.n = n;
+    ft.is_inf.resize(n);
+    // infinity inputs cannot be batch-normalized; park a placeholder there
+    // and mark the slot so the accumulate loop skips it.
+    PT placeholder = INF();
+    bool have = false;
+    for (uint64_t i = 0; i < n && !have; i++)
+        if (!ISINF(pts[i])) {
+            placeholder = pts[i];
+            have = true;
+        }
+    for (uint64_t i = 0; i < n; i++) {
+        ft.is_inf[i] = ISINF(pts[i]);
+        if (ft.is_inf[i]) pts[i] = placeholder;
+    }
+    if (!have) {  // all-infinity basis: degenerate, tables never used
+        ft.c = 1;
+        ft.nwin = 0;
+        return;
+    }
+    ft.c = pick_window(n);
+    ft.nwin = (254 + ft.c - 1) / ft.c;
+    ft.tab.reserve(ft.nwin * n);
+    ft.tab_pt.reserve(ft.nwin * n);
+    std::vector<PT> level = pts;
+    for (int w = 0; w < ft.nwin; w++) {
+        std::vector<AF> affs;
+        NORM(level, affs);  // normalizes level in place to Z=1 too
+        ft.tab.insert(ft.tab.end(), affs.begin(), affs.end());
+        ft.tab_pt.insert(ft.tab_pt.end(), level.begin(), level.end());
+        if (w + 1 < ft.nwin)
+            for (uint64_t i = 0; i < n; i++)
+                for (int k = 0; k < ft.c; k++) level[i] = DBL(level[i]);
+    }
+}
+
+template <typename PT, typename AF, PT (*ADD)(const PT&, const PT&),
+          PT (*MADD)(const PT&, const AF&), PT (*DBL)(const PT&), PT (*INF)()>
+PT fixed_msm(const fixed_tab<PT, AF>& ft, const uint8_t* scalars) {
+    uint64_t nbuckets = (1ULL << ft.c) - 1;
+    int nchunks = 1;
+#ifdef _OPENMP
+    nchunks = ft.nwin >= 8 ? 2 : 1;
+#endif
+    std::vector<PT> partial(nchunks);
+    std::vector<char> partial_set(nchunks, 0);
+#ifdef _OPENMP
+#pragma omp parallel for schedule(static, 1)
+#endif
+    for (int chunk = 0; chunk < nchunks; chunk++) {
+        std::vector<PT> buckets(nbuckets);
+        std::vector<char> used(nbuckets, 0);
+        int w_lo = chunk * ft.nwin / nchunks;
+        int w_hi = (chunk + 1) * ft.nwin / nchunks;
+        for (int w = w_lo; w < w_hi; w++) {
+            int shift = w * ft.c;
+            const AF* trow = ft.tab.data() + (size_t)w * ft.n;
+            const PT* prow = ft.tab_pt.data() + (size_t)w * ft.n;
+            for (uint64_t i = 0; i < ft.n; i++) {
+                int byte = shift >> 3, bit = shift & 7;
+                if (byte >= 32) continue;
+                const uint8_t* s = scalars + 32 * i;
+                uint32_t frag = s[byte];
+                if (byte + 1 < 32) frag |= (uint32_t)s[byte + 1] << 8;
+                if (byte + 2 < 32) frag |= (uint32_t)s[byte + 2] << 16;
+                uint64_t idx = (frag >> bit) & nbuckets;
+                if (!idx || ft.is_inf[i]) continue;
+                if (used[idx - 1])
+                    buckets[idx - 1] = MADD(buckets[idx - 1], trow[i]);
+                else {
+                    buckets[idx - 1] = prow[i];
+                    used[idx - 1] = true;
+                }
+            }
+        }
+        PT running = INF(), total = INF();
+        bool run_set = false, tot_set = false;
+        for (int64_t idx = (int64_t)nbuckets - 1; idx >= 0; idx--) {
+            if (used[idx]) {
+                running = run_set ? ADD(running, buckets[idx]) : buckets[idx];
+                run_set = true;
+            }
+            if (run_set) {
+                total = tot_set ? ADD(total, running) : running;
+                tot_set = true;
+            }
+        }
+        partial[chunk] = total;
+        partial_set[chunk] = tot_set;
+    }
+    PT acc = INF();
+    bool acc_set = false;
+    for (int chunk = 0; chunk < nchunks; chunk++) {
+        if (partial_set[chunk]) {
+            acc = acc_set ? ADD(acc, partial[chunk]) : partial[chunk];
+            acc_set = true;
+        }
+    }
+    return acc_set ? acc : INF();
+}
+
+bool ge_is_inf(const ge& p) { return fe_iszero(p.Z); }
+bool bg1_is_inf_f(const bg1& p) { return bfq_is_zero(p.Z); }
+bool bg2_is_inf_f(const bg2& p) { return bfq2_is_zero(p.Z); }
+
+std::deque<fixed_tab<ge, edniels>> ED_FIXED;
+std::deque<fixed_tab<bg1, g1aff>> G1_FIXED;
+std::deque<fixed_tab<bg2, g2aff>> G2_FIXED;
+
+}  // namespace
+
+extern "C" {
+
+int zkp_ed_msm_register(uint64_t n, const uint8_t* points) {
+    std::vector<ge> pts(n);
+    for (uint64_t i = 0; i < n; i++) pts[i] = ge_from_wire(points + 128 * i);
+    ED_FIXED.emplace_back();
+    build_fixed<ge, edniels, ge_add, ge_madd, ge_double, ge_identity, ge_normalize, ge_is_inf>(
+        ED_FIXED.back(), pts);
+    return (int)ED_FIXED.size() - 1;
+}
+
+// scalars: n*32B LE (zeros allowed); out: 128B wire point
+void zkp_ed_msm_fixed(int handle, const uint8_t* scalars, uint8_t* out) {
+    ge r = fixed_msm<ge, edniels, ge_add, ge_madd, ge_double, ge_identity>(
+        ED_FIXED[handle], scalars);
+    ge_to_wire(r, out);
+}
+
+int zkp_bn254_g1_msm_register(uint64_t n, const uint8_t* points) {
+    std::vector<bg1> pts(n);
+    for (uint64_t i = 0; i < n; i++) pts[i] = bg1_from_wire(points + 96 * i);
+    G1_FIXED.emplace_back();
+    build_fixed<bg1, g1aff, bg1_add, bg1_madd, bg1_double, bg1_inf, bg1_normalize, bg1_is_inf_f>(
+        G1_FIXED.back(), pts);
+    return (int)G1_FIXED.size() - 1;
+}
+
+void zkp_bn254_g1_msm_fixed(int handle, const uint8_t* scalars, uint8_t* out) {
+    bg1 r = fixed_msm<bg1, g1aff, bg1_add, bg1_madd, bg1_double, bg1_inf>(
+        G1_FIXED[handle], scalars);
+    bg1_to_wire(r, out);
+}
+
+int zkp_bn254_g2_msm_register(uint64_t n, const uint8_t* points) {
+    std::vector<bg2> pts(n);
+    for (uint64_t i = 0; i < n; i++) pts[i] = bg2_from_wire(points + 192 * i);
+    G2_FIXED.emplace_back();
+    build_fixed<bg2, g2aff, bg2_add, bg2_madd, bg2_double, bg2_inf, bg2_normalize, bg2_is_inf_f>(
+        G2_FIXED.back(), pts);
+    return (int)G2_FIXED.size() - 1;
+}
+
+void zkp_bn254_g2_msm_fixed(int handle, const uint8_t* scalars, uint8_t* out) {
+    bg2 r = fixed_msm<bg2, g2aff, bg2_add, bg2_madd, bg2_double, bg2_inf>(
+        G2_FIXED[handle], scalars);
+    bg2_to_wire(r, out);
+}
+
+}  // extern "C"
+
+// ===========================================================================
+// Groth16 h(x) pipeline: Az/Bz/Cz sparse matvec + 7 NTTs + coset scalings +
+// pointwise combine, all in one native call (mirrors groth16._compute_h).
+// ===========================================================================
+
+namespace {
+
+u256 mx_inv(const mctx& c, const u256& a_mont) {
+    // binary extgcd on the Montgomery representation, then * R^2 twice
+    u256 zero{{0, 0, 0, 0}};
+    if (u256_cmp(a_mont, zero) == 0) return a_mont;
+    u256 u = a_mont, v = c.q;
+    u256 x1{{1, 0, 0, 0}}, x2{{0, 0, 0, 0}};
+    u256 one{{1, 0, 0, 0}};
+    while (u256_cmp(u, one) != 0 && u256_cmp(v, one) != 0) {
+        while (u256_is_even(u)) {
+            u256_shr1(u);
+            if (u256_is_even(x1))
+                u256_shr1(x1);
+            else {
+                uint64_t cy = u256_add(x1, x1, c.q);
+                u256_shr1_carry(x1, cy);
+            }
+        }
+        while (u256_is_even(v)) {
+            u256_shr1(v);
+            if (u256_is_even(x2))
+                u256_shr1(x2);
+            else {
+                uint64_t cy = u256_add(x2, x2, c.q);
+                u256_shr1_carry(x2, cy);
+            }
+        }
+        if (u256_cmp(u, v) >= 0) {
+            u256_sub(u, u, v);
+            if (u256_sub(x1, x1, x2)) u256_add(x1, x1, c.q);
+        } else {
+            u256_sub(v, v, u);
+            if (u256_sub(x2, x2, x1)) u256_add(x2, x2, c.q);
+        }
+    }
+    u256 raw = (u256_cmp(u, one) == 0) ? x1 : x2;
+    return mx_mul(c, mx_mul(c, raw, c.r2), c.r2);
+}
+
+// in-place NTT on Montgomery values; root_m is the size-n root (Montgomery).
+void ntt_mont(const mctx& c, std::vector<u256>& a, const u256& root_m) {
+    uint64_t n = a.size();
+    int bits = 0;
+    while ((1ULL << bits) < n) bits++;
+    for (uint64_t i = 0; i < n; i++) {
+        uint64_t j = 0;
+        for (int b = 0; b < bits; b++) j |= ((i >> b) & 1) << (bits - 1 - b);
+        if (j > i) std::swap(a[i], a[j]);
+    }
+    std::vector<u256> wlen(bits);
+    if (bits > 0) {
+        wlen[bits - 1] = root_m;
+        for (int s = bits - 2; s >= 0; s--) wlen[s] = mx_mul(c, wlen[s + 1], wlen[s + 1]);
+    }
+    for (int s = 0; s < bits; s++) {
+        uint64_t length = 2ULL << s;
+        uint64_t half = length >> 1;
+        for (uint64_t start = 0; start < n; start += length) {
+            u256 w = c.one_m;
+            for (uint64_t k = start; k < start + half; k++) {
+                u256 u = a[k];
+                u256 v = mx_mul(c, a[k + half], w);
+                a[k] = mx_add(c, u, v);
+                a[k + half] = mx_sub(c, u, v);
+                w = mx_mul(c, w, wlen[s]);
+            }
+        }
+    }
+}
+
+u256 mx_from_u64(const mctx& c, uint64_t v) {
+    u256 raw{{v, 0, 0, 0}};
+    return mx_mul(c, raw, c.r2);
+}
+
+// sparse matvec rows: az[j] = sum idx/coeff over [ptr[j], ptr[j+1])
+void spmv(const mctx& c, uint64_t rows, const uint32_t* ptr, const uint32_t* idx,
+          const u256* coef_m, const u256* z_m, u256* out) {
+    for (uint64_t j = 0; j < rows; j++) {
+        u256 acc{{0, 0, 0, 0}};
+        for (uint32_t t = ptr[j]; t < ptr[j + 1]; t++)
+            acc = mx_add(c, acc, mx_mul(c, coef_m[t], z_m[idx[t]]));
+        out[j] = acc;
+    }
+}
+
+}  // namespace
+
+extern "C" {
+
+// Returns 0 on success, 1 if h has unexpected top coefficient (unsatisfied CS).
+int zkp_groth16_h(uint64_t n, uint64_t n_constraints, uint64_t n_instance,
+                  uint64_t n_vars, const uint8_t* mod, const uint8_t* root,
+                  const uint8_t* coset_g, const uint32_t* a_ptr,
+                  const uint32_t* a_idx, const uint8_t* a_coef, uint64_t a_nnz,
+                  const uint32_t* b_ptr, const uint32_t* b_idx,
+                  const uint8_t* b_coef, uint64_t b_nnz, const uint32_t* c_ptr,
+                  const uint32_t* c_idx, const uint8_t* c_coef, uint64_t c_nnz,
+                  const uint8_t* z, uint8_t* h_out) {
+    mctx c;
+    mctx_init(c, mod);
+    auto load_vec = [&](const uint8_t* src, uint64_t cnt) {
+        std::vector<u256> v(cnt);
+        for (uint64_t i = 0; i < cnt; i++) {
+            u256 raw;
+            std::memcpy(raw.v, src + 32 * i, 32);
+            v[i] = mx_mul(c, raw, c.r2);
+        }
+        return v;
+    };
+    std::vector<u256> z_m = load_vec(z, n_vars);
+    std::vector<u256> ac = load_vec(a_coef, a_nnz), bc = load_vec(b_coef, b_nnz),
+                      cc = load_vec(c_coef, c_nnz);
+    std::vector<u256> az(n, u256{{0, 0, 0, 0}}), bz(n, u256{{0, 0, 0, 0}}),
+        cz(n, u256{{0, 0, 0, 0}});
+    spmv(c, n_constraints, a_ptr, a_idx, ac.data(), z_m.data(), az.data());
+    spmv(c, n_constraints, b_ptr, b_idx, bc.data(), z_m.data(), bz.data());
+    spmv(c, n_constraints, c_ptr, c_idx, cc.data(), z_m.data(), cz.data());
+    for (uint64_t i = 0; i < n_instance; i++) az[n_constraints + i] = z_m[i];
+
+    u256 root_m;
+    {
+        u256 raw;
+        std::memcpy(raw.v, root, 32);
+        root_m = mx_mul(c, raw, c.r2);
+    }
+    u256 root_inv = mx_inv(c, root_m);
+    u256 n_inv = mx_inv(c, mx_from_u64(c, n));
+    u256 g_m;
+    {
+        u256 raw;
+        std::memcpy(raw.v, coset_g, 32);
+        g_m = mx_mul(c, raw, c.r2);
+    }
+    u256 g_inv = mx_inv(c, g_m);
+
+    // interpolate: inverse NTT + n^{-1}
+    auto interp = [&](std::vector<u256>& v) {
+        ntt_mont(c, v, root_inv);
+        for (auto& x : v) x = mx_mul(c, x, n_inv);
+    };
+    interp(az);
+    interp(bz);
+    interp(cz);
+    // evaluate on coset g<w>: scale coeff i by g^i, forward NTT
+    auto coset_eval = [&](std::vector<u256>& v) {
+        u256 pw = c.one_m;
+        for (uint64_t i = 0; i < n; i++) {
+            v[i] = mx_mul(c, v[i], pw);
+            pw = mx_mul(c, pw, g_m);
+        }
+        ntt_mont(c, v, root_m);
+    };
+    coset_eval(az);
+    coset_eval(bz);
+    coset_eval(cz);
+    // h_ev = (az*bz - cz) * (g^n - 1)^{-1}
+    u256 gn = c.one_m;
+    for (uint64_t i = 0; i < n; i++) gn = mx_mul(c, gn, g_m);
+    u256 zinv = mx_inv(c, mx_sub(c, gn, c.one_m));
+    std::vector<u256>& h = az;
+    for (uint64_t i = 0; i < n; i++)
+        h[i] = mx_mul(c, mx_sub(c, mx_mul(c, az[i], bz[i]), cz[i]), zinv);
+    // interpolate back off the coset: inverse NTT, n^{-1}, scale by g^{-i}
+    ntt_mont(c, h, root_inv);
+    u256 pw = c.one_m;
+    for (uint64_t i = 0; i < n; i++) {
+        h[i] = mx_mul(c, mx_mul(c, h[i], n_inv), pw);
+        pw = mx_mul(c, pw, g_inv);
+    }
+    u256 zero{{0, 0, 0, 0}};
+    int rc = (u256_cmp(mx_mul(c, h[n - 1], u256{{1, 0, 0, 0}}), zero) == 0) ? 0 : 1;
+    u256 one_raw{{1, 0, 0, 0}};
+    for (uint64_t i = 0; i + 1 < n; i++) {
+        u256 out = mx_mul(c, h[i], one_raw);
+        std::memcpy(h_out + 32 * i, out.v, 32);
+    }
+    return rc;
 }
 
 }  // extern "C"

@@ -635,6 +635,17 @@ g2_scalar_mul_py = g2_scalar_mul
 multi_pairing_py = multi_pairing
 pairing_py = pairing
 
+
+def g1_msm_fixed(scalars, points) -> G1:
+    """MSM over a process-constant basis (proving-key query vectors);
+    BGMW precomputed tables under the native tier."""
+    return g1_msm(scalars, points)
+
+
+def g2_msm_fixed(scalars, points) -> G2:
+    return g2_msm(scalars, points)
+
+
 from .. import native as _native  # noqa: E402
 
 if _native.HAVE_NATIVE:
@@ -645,6 +656,12 @@ if _native.HAVE_NATIVE:
 
     def g2_msm(scalars, points, window: int = 6) -> G2:  # noqa: F811
         return _native.bn254_g2_msm(scalars, points)
+
+    def g1_msm_fixed(scalars, points) -> G1:  # noqa: F811
+        return _native.bn254_g1_msm_fixed(tuple(points), scalars, points)
+
+    def g2_msm_fixed(scalars, points) -> G2:  # noqa: F811
+        return _native.bn254_g2_msm_fixed(tuple(points), scalars, points)
 
     def g1_scalar_mul(k: int, p: G1) -> G1:  # noqa: F811
         return _native.bn254_g1_scalar_mul(k, p)

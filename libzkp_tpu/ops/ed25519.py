@@ -302,6 +302,17 @@ scalar_mul_py = scalar_mul
 compress_py = compress
 decompress_py = decompress
 
+
+def msm_fixed(scalars, points) -> Point:
+    """MSM over a process-constant basis (generator vectors).
+
+    With the native tier, the basis is registered once and every later call
+    uses precomputed BGMW shifted-window affine tables — no doublings, one
+    bucket reduction. Falls back to the plain MSM otherwise.
+    """
+    return msm(scalars, points)
+
+
 from .. import native as _native  # noqa: E402
 
 if _native.HAVE_NATIVE:
@@ -311,6 +322,9 @@ if _native.HAVE_NATIVE:
 
     def msm(scalars, points, window: int = 6) -> Point:  # noqa: F811
         return _native.ed_msm(scalars, points, L)
+
+    def msm_fixed(scalars, points) -> Point:  # noqa: F811
+        return _native.ed_msm_fixed(tuple(points), scalars, points, L)
 
     def compress(p1: Point) -> bytes:  # noqa: F811
         return _native.ristretto_compress(p1)

@@ -39,14 +39,33 @@ def mimc_constants() -> tuple:
     return tuple(out)
 
 
+# Memo shared with the device-batched path: the batch prover primes it so
+# per-proof commitment recomputation is a dict hit.
+_native_memo: dict = {}
+
+
 def mimc_hash_native(value: int) -> int:
     """Host-scalar MiMC-5 (matches ``mimc_hash_native``, snark.rs:201-211)."""
     p = BN254_FR.p
-    x = value % p
+    x0 = value % p
+    hit = _native_memo.get(x0)
+    if hit is not None:
+        return hit
+    x = x0
     for c in mimc_constants():
         t = (x + c) % p
         x = pow(t, 5, p)
+    if len(_native_memo) > 1 << 16:
+        _native_memo.clear()
+    _native_memo[x0] = x
     return x
+
+
+def prime_mimc_memo(values, digests) -> None:
+    """Feed device-batch results into the host memo (batch prover hook)."""
+    p = BN254_FR.p
+    for v, d in zip(values, digests):
+        _native_memo[int(v) % p] = int(d)
 
 
 def fr_to_commitment(f: int) -> bytes:
@@ -101,12 +120,20 @@ def _mimc_batch_jit(x_canonical: jnp.ndarray, constants: jnp.ndarray) -> jnp.nda
 
 
 def mimc_hash_batch(values) -> list:
-    """Batched MiMC-5 of u64 values on the accelerator; returns Python ints."""
+    """Batched MiMC-5 of u64 values on the accelerator; returns Python ints.
+
+    The batch is zero-padded to the next power of two (min 16) so the jitted
+    kernel compiles once per size bucket instead of once per exact shape —
+    compiles over a TPU tunnel are expensive.
+    """
     ctx = get_context(BN254_FR.p, "bn254_fr")
-    x = ctx.encode([int(v) for v in values])
+    vals = [int(v) for v in values]
+    n = len(vals)
+    padded = max(16, 1 << (n - 1).bit_length()) if n else 16
+    x = ctx.encode(vals + [0] * (padded - n))
     consts = jnp.asarray(_mont_constants())
     out = _mimc_batch_jit(x, consts)
-    return ctx.decode(out)
+    return ctx.decode(out)[:n]
 
 
 def mimc_batch_device(x_canonical: jnp.ndarray) -> jnp.ndarray:

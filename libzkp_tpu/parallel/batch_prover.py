@@ -16,37 +16,47 @@ from __future__ import annotations
 
 from typing import Dict, List, Sequence
 
-from ..ops.mimc import fr_to_commitment, mimc_hash_batch
+from ..ops.mimc import fr_to_commitment, mimc_hash_batch, prime_mimc_memo
 from ..utils.composition import BatchOperation
 
 # Threshold below which batching the commitments on-device is not worth the
-# dispatch overhead.
-_MIN_DEVICE_BATCH = 4
+# dispatch/compile overhead (compiles travel over the TPU tunnel).
+_MIN_DEVICE_BATCH = 64
 
 
 def _precompute_snark_commitments(ops: Sequence[BatchOperation]) -> Dict[int, bytes]:
-    """Batch all MiMC commitments needed by equality/membership ops."""
-    values = []
-    for op in ops:
-        if op.kind == "equality":
-            values.append(op.args[0])
-        elif op.kind == "membership":
-            values.append(op.args[0])
+    """Batch all MiMC commitments needed by equality/membership ops on-device
+    and prime the host memo so each proof's commitment is a dict hit."""
+    values = sorted(
+        {op.args[0] for op in ops if op.kind in ("equality", "membership")}
+    )
     if len(values) < _MIN_DEVICE_BATCH:
         return {}
     digests = mimc_hash_batch(values)
+    prime_mimc_memo(values, digests)
     return {v: fr_to_commitment(d) for v, d in zip(values, digests)}
 
 
 def process_operations(ops: Sequence[BatchOperation]) -> List[bytes]:
-    """Prove every operation, in order. Raises on the first failure."""
+    """Prove every operation, in order. Raises on the first failure.
+
+    Thread-parallel over operations: the hot proving work runs inside the
+    native kernels (ctypes releases the GIL), so a thread pool is true
+    multi-core parallelism — the host-tier analogue of rayon's par_iter
+    (``batch.rs:123-131``); the ``dp`` mesh axis covers the TPU tier.
+    """
     from ..advanced.batch import process_batch_operation
 
-    # Warm the MiMC pipeline on-device for commitment-heavy batches. The
-    # scheme layer recomputes commitments via the (memoised) host path; this
-    # primes nothing semantically but keeps the device hot for the snark ops.
-    # Real win: scheme-level batched proving, wired per-type below as TPU
-    # kernels land.
+    # Batch the MiMC commitments for commitment-heavy workloads on-device.
     commitments = _precompute_snark_commitments(ops)
     del commitments
-    return [process_batch_operation(op) for op in ops]
+    items = list(ops)
+    if len(items) <= 1:
+        return [process_batch_operation(op) for op in items]
+    from concurrent.futures import ThreadPoolExecutor
+
+    import os
+
+    workers = min(len(items), (os.cpu_count() or 2) * 2)
+    with ThreadPoolExecutor(max_workers=workers) as pool:
+        return list(pool.map(process_batch_operation, items))
