@@ -1,13 +1,15 @@
 #!/usr/bin/env python
 """Benchmark driver hook: prints ONE JSON line.
 
-Headline metric (BASELINE.md): improvement-proof (STARK) generation
-throughput on one chip, vs the reference's ~15 ms/proof single-core number
-(README.md:330 of the reference).
+Headline (BASELINE.md): improvement-proof (STARK) throughput through the
+library's own batch path (``process_batch`` — thread-parallel host tier with
+native kernels), vs the reference's ~15 ms/proof single-core number
+(reference README.md:330).
 
-Also measures, and folds into the JSON line's `extra` field: MiMC commitment
-throughput on the accelerator (the TPU-batched kernel) and per-type
-single-proof latencies for the canonical workloads.
+``extra`` carries the full picture: per-type single-proof latencies on the
+reference's canonical workloads (advanced/mod.rs:93-103), the mixed-batch
+throughput, parallel verification throughput, and the TPU-batched MiMC
+commitment rate.
 """
 
 from __future__ import annotations
@@ -16,43 +18,90 @@ import json
 import time
 
 
+def _bench_ms(fn, n=8):
+    best = float("inf")
+    for _ in range(n):
+        t0 = time.monotonic()
+        fn()
+        best = min(best, time.monotonic() - t0)
+    return round(best * 1e3, 2)
+
+
 def main() -> None:
-    from libzkp_tpu.models.schemes.improvement_proof import (
-        prove_improvement,
-        verify_improvement,
-    )
+    import libzkp_tpu.api as zkp
     from libzkp_tpu.ops.mimc import mimc_hash_batch
 
-    # -- headline: STARK improvement proofs/sec (single chip) --------------
-    prove_improvement(30, 50)  # warm-up (caches generators, compiles nothing)
-    n = 20
+    # -- warm-up: provers, setups, fixed-base tables, device compiles -------
+    zkp.prove_range(50, 0, 100)
+    zkp.prove_equality(42, 42)
+    zkp.prove_threshold([10, 20, 30, 40], 50)
+    zkp.prove_membership(25, [10, 20, 25, 30, 40])
+    zkp.prove_improvement(30, 50)
+    zkp.prove_consistency([10, 20, 30, 40, 50])
+
+    # -- headline: improvement proofs/sec through the batch path ------------
+    n = 200
+    bid = zkp.create_proof_batch()
+    for i in range(n):
+        zkp.batch_add_improvement_proof(bid, 30, 50 + (i % 50))
     t0 = time.monotonic()
-    proofs = [prove_improvement(30, 50 + i) for i in range(n)]
+    proofs = zkp.process_batch(bid)
     gen_s = time.monotonic() - t0
-    pps = n / gen_s
+    pps = len(proofs) / gen_s
+    assert len(proofs) == n
 
     t0 = time.monotonic()
-    ok = all(verify_improvement(p, 30) for p in proofs)
-    ver_s = time.monotonic() - t0
+    ok = all(zkp.verify_improvement(p, 30) for p in proofs)
+    ver_pps = n / (time.monotonic() - t0)
     assert ok, "benchmark proofs failed to verify"
 
-    # -- TPU-batched MiMC commitments/s -------------------------------------
-    mimc_hash_batch([1, 2, 3, 4])  # compile
-    batch = 4096
-    t0 = time.monotonic()
-    mimc_hash_batch(list(range(batch)))
-    mimc_s = time.monotonic() - t0
-    mimc_per_s = batch / mimc_s
+    # -- per-type single-proof latencies (canonical workloads) --------------
+    lat = {}
+    lat["range_prove_ms"] = _bench_ms(lambda: zkp.prove_range(50, 0, 100))
+    pr = zkp.prove_range(50, 0, 100)
+    lat["range_verify_ms"] = _bench_ms(lambda: zkp.verify_range(pr, 0, 100))
+    lat["equality_prove_ms"] = _bench_ms(lambda: zkp.prove_equality(42, 42), 5)
+    pe = zkp.prove_equality(42, 42)
+    lat["equality_verify_ms"] = _bench_ms(lambda: zkp.verify_equality(pe, 42, 42), 5)
+    lat["threshold_prove_ms"] = _bench_ms(lambda: zkp.prove_threshold([10, 20, 30, 40], 50), 5)
+    lat["membership_prove_ms"] = _bench_ms(
+        lambda: zkp.prove_membership(25, [10, 20, 25, 30, 40]), 5
+    )
+    lat["improvement_prove_ms"] = _bench_ms(lambda: zkp.prove_improvement(30, 50))
+    lat["consistency_prove_ms"] = _bench_ms(
+        lambda: zkp.prove_consistency([10, 20, 30, 40, 50]), 5
+    )
 
-    baseline_pps = 1000.0 / 15.0  # reference ~15 ms/proof (README.md:330)
+    # -- mixed batch (canonical mix, BASELINE config #5 scaled down) --------
+    bid = zkp.create_proof_batch()
+    for i in range(20):
+        zkp.batch_add_range_proof(bid, 50, 0, 100)
+        zkp.batch_add_equality_proof(bid, 42, 42)
+        zkp.batch_add_threshold_proof(bid, [10, 20, 30, 40], 50)
+        zkp.batch_add_membership_proof(bid, 25, [10, 20, 25, 30, 40])
+        zkp.batch_add_improvement_proof(bid, 30, 50)
+        zkp.batch_add_consistency_proof(bid, [10, 20, 30, 40, 50])
+    t0 = time.monotonic()
+    mixed = zkp.process_batch(bid)
+    mixed_pps = len(mixed) / (time.monotonic() - t0)
+
+    # -- TPU-batched MiMC commitments/s -------------------------------------
+    mimc_hash_batch(list(range(4096)))  # compile
+    t0 = time.monotonic()
+    mimc_hash_batch(list(range(1, 4097)))
+    mimc_per_s = 4096 / (time.monotonic() - t0)
+
+    baseline_pps = 1000.0 / 15.0  # reference ~15 ms/improvement proof
     result = {
         "metric": "improvement_proofs_per_sec_per_chip",
         "value": round(pps, 3),
         "unit": "proofs/s",
         "vs_baseline": round(pps / baseline_pps, 4),
         "extra": {
-            "verify_proofs_per_sec": round(n / ver_s, 3),
+            "improvement_verify_proofs_per_sec": round(ver_pps, 1),
+            "mixed_batch_proofs_per_sec": round(mixed_pps, 1),
             "mimc_commitments_per_sec_batched": round(mimc_per_s, 1),
+            **lat,
         },
     }
     print(json.dumps(result))

@@ -151,3 +151,17 @@ def hash_elements(F, elements: Sequence[int]) -> bytes:
     """
     data = b"".join(int(e).to_bytes(F.nbytes, "little") for e in elements)
     return blake3_256(data)
+
+
+def hash_element_rows(F, rows: Sequence[Sequence[int]]) -> List[bytes]:
+    """hash_elements over many equal-length rows, one native batch call."""
+    if not rows:
+        return []
+    width = len(rows[0])
+    if native.HAVE_NATIVE and all(len(r) == width for r in rows):
+        nb = F.nbytes
+        items = [
+            b"".join(int(e).to_bytes(nb, "little") for e in row) for row in rows
+        ]
+        return native.blake3_batch(items, width * nb)
+    return [hash_elements(F, row) for row in rows]

@@ -24,7 +24,7 @@ from typing import List, Sequence, Tuple
 
 from ..ops import ntt as poly
 from ..ops.field import F128, PrimeField
-from .merkle import MerkleTree, hash_elements
+from .merkle import MerkleTree, hash_element_rows, hash_elements
 from .random_coin import RandomCoin
 
 # LDE coset offset; any element outside the 2-adic subgroups works. We pin 3
@@ -229,7 +229,7 @@ def prove(air: Air, trace_columns: List[List[int]]) -> bytes:
     trace_lde = [poly.evaluate_coset(F, c, N, offset) for c in trace_polys]
 
     # 2. trace commitment
-    trace_leaves = [hash_elements(F, [trace_lde[i][r] for i in range(w)]) for r in range(N)]
+    trace_leaves = hash_element_rows(F, [[trace_lde[i][r] for i in range(w)] for r in range(N)])
     trace_tree = MerkleTree(trace_leaves)
 
     coin = RandomCoin(air.context_bytes())
@@ -272,7 +272,7 @@ def prove(air: Air, trace_columns: List[List[int]]) -> bytes:
     comp_chunks = [comp_coeffs[j * n : (j + 1) * n] for j in range(k)]
     comp_chunks = [c + [0] * (n - len(c)) for c in comp_chunks]
     comp_lde = [poly.evaluate_coset(F, c, N, offset) for c in comp_chunks]
-    comp_leaves = [hash_elements(F, [comp_lde[j][r] for j in range(k)]) for r in range(N)]
+    comp_leaves = hash_element_rows(F, [[comp_lde[j][r] for j in range(k)] for r in range(N)])
     comp_tree = MerkleTree(comp_leaves)
     coin.reseed(comp_tree.root)
 
@@ -310,7 +310,7 @@ def prove(air: Air, trace_columns: List[List[int]]) -> bytes:
         f = opts.folding
         stride = cur_size // f
         rows = [[evals[r + t * stride] for t in range(f)] for r in range(stride)]
-        tree = MerkleTree([hash_elements(F, row) for row in rows])
+        tree = MerkleTree(hash_element_rows(F, rows))
         fri_trees.append(tree)
         fri_rows.append(rows)
         coin.reseed(tree.root)

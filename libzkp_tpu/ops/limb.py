@@ -128,18 +128,44 @@ class LimbContext:
 
         Output value in (-p, 2p) for |inputs| < sqrt(p*R)/2 — every caller is
         orders of magnitude below that.
+
+        Compile-friendly formulation: the schoolbook columns are shifted pads
+        summed in one shot (no scatters) and the REDC sweep is a fori_loop of
+        dynamic-slice updates, so the HLO stays small whatever n is — big
+        unrolled scatter chains made XLA:CPU compilation pathological.
         """
         n = self.n
         a, b = jnp.broadcast_arrays(a, b)
-        batch_shape = a.shape[:-1]
-        T = jnp.zeros(batch_shape + (2 * n,), dtype=jnp.int32)
-        for j in range(n):
-            T = T.at[..., j : j + n].add(a * b[..., j : j + 1])
+        nb = a.ndim - 1
         ninv = jnp.int32(self.ninv)
-        for i in range(n):
-            m = ((T[..., i] & LIMB_MASK) * ninv) & LIMB_MASK
-            T = T.at[..., i : i + n].add(m[..., None] * self.p_limbs)
-            T = T.at[..., i + 1].add(T[..., i] >> LIMB_BITS)
+        p_limbs = self.p_limbs
+
+        # columns T_k = sum_{i+j=k} a_i b_j (pad-sum, no scatter)
+        T = sum(
+            jnp.pad(a * b[..., j : j + 1], [(0, 0)] * nb + [(j, n - j)])
+            for j in range(n)
+        )
+        if jax.default_backend() == "cpu":
+            # XLA:CPU compiles long unrolled update chains pathologically
+            # slowly; a rolled fori_loop keeps the HLO tiny.
+            def redc_step(i, T):
+                ti = jax.lax.dynamic_slice_in_dim(T, i, 1, axis=-1)
+                m = ((ti & LIMB_MASK) * ninv) & LIMB_MASK
+                window = jax.lax.dynamic_slice_in_dim(T, i, n, axis=-1)
+                window = window + m * p_limbs
+                T = jax.lax.dynamic_update_slice_in_dim(T, window, i, axis=-1)
+                carry = window[..., :1] >> LIMB_BITS
+                nxt = jax.lax.dynamic_slice_in_dim(T, i + 1, 1, axis=-1) + carry
+                return jax.lax.dynamic_update_slice_in_dim(T, nxt, i + 1, axis=-1)
+
+            T = jax.lax.fori_loop(0, n, redc_step, T)
+        else:
+            # TPU: static unrolled scatter-updates fuse well; the
+            # dynamic-slice loop is the slower path there.
+            for i in range(n):
+                m = ((T[..., i] & LIMB_MASK) * ninv) & LIMB_MASK
+                T = T.at[..., i : i + n].add(m[..., None] * p_limbs)
+                T = T.at[..., i + 1].add(T[..., i] >> LIMB_BITS)
         return self._relax(T[..., n : 2 * n])
 
     def mont_square(self, a: jnp.ndarray) -> jnp.ndarray:

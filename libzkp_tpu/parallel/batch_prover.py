@@ -51,12 +51,25 @@ def process_operations(ops: Sequence[BatchOperation]) -> List[bytes]:
     commitments = _precompute_snark_commitments(ops)
     del commitments
     items = list(ops)
-    if len(items) <= 1:
-        return [process_batch_operation(op) for op in items]
-    from concurrent.futures import ThreadPoolExecutor
+    # Curve-backed ops spend ~80% of their time inside GIL-releasing native
+    # kernels -> threads are real parallelism. STARK improvement proofs are
+    # short and Python-heavy -> threads only add GIL contention; keep them on
+    # the main thread.
+    threaded_idx = [i for i, op in enumerate(items) if op.kind != "improvement"]
+    inline_idx = [i for i, op in enumerate(items) if op.kind == "improvement"]
+    results: List[bytes] = [b""] * len(items)
+    if len(threaded_idx) > 1:
+        import os
+        from concurrent.futures import ThreadPoolExecutor
 
-    import os
-
-    workers = min(len(items), (os.cpu_count() or 2) * 2)
-    with ThreadPoolExecutor(max_workers=workers) as pool:
-        return list(pool.map(process_batch_operation, items))
+        workers = min(len(threaded_idx), os.cpu_count() or 2)
+        with ThreadPoolExecutor(max_workers=workers) as pool:
+            futs = {i: pool.submit(process_batch_operation, items[i]) for i in threaded_idx}
+            for i in inline_idx:
+                results[i] = process_batch_operation(items[i])
+            for i, f in futs.items():
+                results[i] = f.result()
+    else:
+        for i in range(len(items)):
+            results[i] = process_batch_operation(items[i])
+    return results
