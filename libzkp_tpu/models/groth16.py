@@ -354,17 +354,33 @@ def verify(vk: VerifyingKey, public_inputs: List[int], proof: Proof) -> bool:
         ic = vk.gamma_abc_g1[0]
         for x, base in zip(public_inputs, vk.gamma_abc_g1[1:]):
             ic = bn.g1_add(ic, bn.g1_scalar_mul(x % R, base))
-        out = bn.multi_pairing(
-            [
-                (proof.a, proof.b),
-                (bn.g1_neg(vk.alpha_g1), vk.beta_g2),
-                (bn.g1_neg(ic), vk.gamma_g2),
-                (bn.g1_neg(proof.c), vk.delta_g2),
-            ]
-        )
+        pairs = [
+            (proof.a, proof.b),
+            (bn.g1_neg(ic), vk.gamma_g2),
+            (bn.g1_neg(proof.c), vk.delta_g2),
+        ]
+        from .. import native
+
+        if native.HAVE_NATIVE:
+            # the (-alpha, beta) Miller value is constant per vk — cache it
+            key = id(vk)
+            cached = _vk_miller_cache.get(key)
+            if cached is None:
+                if len(_vk_miller_cache) > 64:
+                    _vk_miller_cache.clear()
+                cached = native.bn254_miller_bytes(bn.g1_neg(vk.alpha_g1), vk.beta_g2)
+                _vk_miller_cache[key] = (cached, vk)  # keep vk alive for id()
+            else:
+                cached = cached[0]
+            out = native.bn254_multi_pairing_premul(cached, pairs)
+        else:
+            out = bn.multi_pairing(pairs + [(bn.g1_neg(vk.alpha_g1), vk.beta_g2)])
         return out == bn.FQ12_ONE
     except Exception:
         return False
+
+
+_vk_miller_cache: dict = {}
 
 
 # ---------------------------------------------------------------------------

@@ -88,6 +88,9 @@ def _load() -> Optional[ctypes.CDLL]:
     lib.zkp_bn254_g1_scalar_mul.argtypes = [ctypes.c_char_p] * 3
     lib.zkp_bn254_g2_scalar_mul.argtypes = [ctypes.c_char_p] * 3
     lib.zkp_bn254_multi_pairing.argtypes = [u64, ctypes.c_char_p, ctypes.c_char_p, ctypes.c_char_p]
+    lib.zkp_bn254_miller.argtypes = [ctypes.c_char_p] * 3
+    lib.zkp_bn254_multi_pairing_premul.argtypes = [
+        ctypes.c_char_p, u64, ctypes.c_char_p, ctypes.c_char_p, ctypes.c_char_p]
     lib.zkp_ntt.argtypes = [u64, ctypes.c_char_p, ctypes.c_char_p, ctypes.c_char_p, ctypes.c_char_p]
     lib.zkp_groth16_h.argtypes = [
         u64, u64, u64, u64,
@@ -436,6 +439,14 @@ def ntt(p: int, values: Sequence[int], root: int, scale: Optional[int]) -> List[
     return [int.from_bytes(buf.raw[i * 32 : (i + 1) * 32], "little") for i in range(n)]
 
 
+def _fq12_from_wire(raw: bytes):
+    v = [int.from_bytes(raw[i * 32 : (i + 1) * 32], "little") for i in range(12)]
+    return (
+        ((v[0], v[1]), (v[2], v[3]), (v[4], v[5])),
+        ((v[6], v[7]), (v[8], v[9]), (v[10], v[11])),
+    )
+
+
 def bn254_multi_pairing(pairs):
     """pairs: [(G1 jacobian, G2 jacobian)] -> Fq12 nested tuple."""
     n = len(pairs)
@@ -443,8 +454,21 @@ def bn254_multi_pairing(pairs):
     g2b = b"".join(_g2_to_wire(q) for _, q in pairs)
     out = ctypes.create_string_buffer(384)
     _lib.zkp_bn254_multi_pairing(n, g1b, g2b, out)
-    v = [int.from_bytes(out.raw[i * 32 : (i + 1) * 32], "little") for i in range(12)]
-    return (
-        ((v[0], v[1]), (v[2], v[3]), (v[4], v[5])),
-        ((v[6], v[7]), (v[8], v[9]), (v[10], v[11])),
-    )
+    return _fq12_from_wire(out.raw)
+
+
+def bn254_miller_bytes(g1, g2) -> bytes:
+    """Pre-final-exp Miller value as wire bytes (for caching constant pairs)."""
+    out = ctypes.create_string_buffer(384)
+    _lib.zkp_bn254_miller(_g1_to_wire(g1), _g2_to_wire(g2), out)
+    return out.raw
+
+
+def bn254_multi_pairing_premul(f_pre: bytes, pairs):
+    """multi_pairing with a cached extra Miller factor folded in."""
+    n = len(pairs)
+    g1b = b"".join(_g1_to_wire(p) for p, _ in pairs)
+    g2b = b"".join(_g2_to_wire(q) for _, q in pairs)
+    out = ctypes.create_string_buffer(384)
+    _lib.zkp_bn254_multi_pairing_premul(f_pre, n, g1b, g2b, out)
+    return _fq12_from_wire(out.raw)
