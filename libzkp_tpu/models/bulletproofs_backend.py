@@ -84,10 +84,18 @@ class BulletproofsBackend:
         blinding = _random_blinding()
         value_commit = ed.compress(pedersen_commit(value % L, blinding))
 
-        t_min = Transcript(b"libzkp_range_min")
-        rp_min, c_min = prove_single(t_min, diff_min, blinding, n_bits)
-        t_max = Transcript(b"libzkp_range_max")
-        rp_max, c_max = prove_single(t_max, diff_max, (L - blinding) % L, n_bits)
+        # the two single proofs are independent (separate transcripts) and
+        # ~80% native-kernel time -> run them on two threads
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(max_workers=2) as pool:
+            f_min = pool.submit(
+                prove_single, Transcript(b"libzkp_range_min"), diff_min, blinding, n_bits
+            )
+            rp_max, c_max = prove_single(
+                Transcript(b"libzkp_range_max"), diff_max, (L - blinding) % L, n_bits
+            )
+            rp_min, c_min = f_min.result()
 
         body = bytearray()
         body += u64_le(min_v)
@@ -161,11 +169,17 @@ class BulletproofsBackend:
         if expected_min != c_min_bytes or expected_max != c_max_bytes:
             return False
 
-        t_min = Transcript(b"libzkp_range_min")
-        if not verify_single(rp_min, t_min, expected_min, n_bits):
-            return False
-        t_max = Transcript(b"libzkp_range_max")
-        return verify_single(rp_max, t_max, expected_max, n_bits)
+        # the two sides verify independently -> two threads (native-heavy)
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(max_workers=2) as pool:
+            f_min = pool.submit(
+                verify_single, rp_min, Transcript(b"libzkp_range_min"), expected_min, n_bits
+            )
+            ok_max = verify_single(
+                rp_max, Transcript(b"libzkp_range_max"), expected_max, n_bits
+            )
+            return f_min.result() and ok_max
 
     # -- threshold ---------------------------------------------------------
     @staticmethod
@@ -249,15 +263,23 @@ class BulletproofsBackend:
         commitments = [
             ed.compress(pedersen_commit(v % L, b)) for v, b in zip(data, blindings)
         ]
-        range_proofs = []
-        diff_commits = []
-        for i in range(1, len(data)):
+        # the n-1 delta proofs are independent (fresh transcripts) and
+        # native-kernel-dominated -> prove them on a thread pool
+        def _one(i: int):
             diff = data[i] - data[i - 1]
             diff_blinding = (blindings[i] - blindings[i - 1]) % L
-            t = Transcript(b"libzkp_consistency")
-            rp, dc = prove_single(t, diff, diff_blinding, 64)
-            range_proofs.append(rp)
-            diff_commits.append(dc)
+            return prove_single(Transcript(b"libzkp_consistency"), diff, diff_blinding, 64)
+
+        if len(data) > 2:
+            import os
+            from concurrent.futures import ThreadPoolExecutor
+
+            with ThreadPoolExecutor(max_workers=min(len(data) - 1, os.cpu_count() or 2)) as pool:
+                results = list(pool.map(_one, range(1, len(data))))
+        else:
+            results = [_one(i) for i in range(1, len(data))]
+        range_proofs = [rp for rp, _ in results]
+        diff_commits = [dc for _, dc in results]
         body = bytearray()
         body += u32_le(len(data))
         for c in commitments:
@@ -305,6 +327,7 @@ class BulletproofsBackend:
                     return False
                 range_proofs.append(rp)
                 pos += rp_len
+            diff_commits = []
             for i in range(1, num):
                 if len(body) < pos + 32:
                     return False
@@ -315,10 +338,22 @@ class BulletproofsBackend:
                 )
                 if expected != diff_commit:
                     return False
-                t = Transcript(b"libzkp_consistency")
-                if not verify_single(range_proofs[i - 1], t, diff_commit, 64):
-                    return False
-            return pos == len(body)
+                diff_commits.append(diff_commit)
+            if pos != len(body):
+                return False
+            # the n-1 delta proofs verify independently -> thread pool
+            def _check(i: int) -> bool:
+                return verify_single(
+                    range_proofs[i], Transcript(b"libzkp_consistency"), diff_commits[i], 64
+                )
+
+            if num > 2:
+                import os
+                from concurrent.futures import ThreadPoolExecutor
+
+                with ThreadPoolExecutor(max_workers=min(num - 1, os.cpu_count() or 2)) as pool:
+                    return all(pool.map(_check, range(num - 1)))
+            return all(_check(i) for i in range(num - 1))
         except Exception:
             return False
 
