@@ -33,6 +33,23 @@ def prove_improvement(old: int, new: int) -> bytes:
     return Proof.new(SCHEME_ID, payload, commitment).to_bytes()
 
 
+def prove_improvement_batch(pairs) -> list:
+    """Batched variant: the STARK trace LDEs for the whole batch run as one
+    device call (see stark_backend.prove_improvement_batch)."""
+    from ..stark_backend import prove_improvement_batch as _backend_batch
+
+    for old, new in pairs:
+        validate_improvement_params(old, new)
+    stark_proofs = _backend_batch(pairs)
+    out = []
+    for (old, new), sp in zip(pairs, stark_proofs):
+        if not sp:
+            raise ProofGenerationFailed("STARK proof generation failed")
+        payload = u64_le(old) + u64_le(new) + sp
+        out.append(Proof.new(SCHEME_ID, payload, commit_improvement(old, new)).to_bytes())
+    return out
+
+
 def verify_improvement(proof: bytes, old: int) -> bool:
     try:
         p = parse_and_validate_proof(proof, SCHEME_ID)

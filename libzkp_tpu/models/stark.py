@@ -210,7 +210,9 @@ def _lagrange_eval(F: PrimeField, xs: List[int], ys: List[int], at: int) -> int:
 # ---------------------------------------------------------------------------
 
 
-def prove(air: Air, trace_columns: List[List[int]]) -> bytes:
+def prove(air: Air, trace_columns: List[List[int]], precomputed=None) -> bytes:
+    """``precomputed``: optional (trace_polys, trace_lde) pair — the batch
+    prover computes those for many proofs at once on the TPU."""
     F = air.field
     p = F.p
     n = air.trace_length
@@ -225,8 +227,11 @@ def prove(air: Air, trace_columns: List[List[int]]) -> bytes:
     assert pow(offset, N, p) != 1, "domain offset lies in the LDE subgroup"
 
     # 1. trace polynomials + LDE
-    trace_polys = [poly.interpolate(F, col) for col in trace_columns]
-    trace_lde = [poly.evaluate_coset(F, c, N, offset) for c in trace_polys]
+    if precomputed is not None:
+        trace_polys, trace_lde = precomputed
+    else:
+        trace_polys = [poly.interpolate(F, col) for col in trace_columns]
+        trace_lde = [poly.evaluate_coset(F, c, N, offset) for c in trace_polys]
 
     # 2. trace commitment
     trace_leaves = hash_element_rows(F, [[trace_lde[i][r] for i in range(w)] for r in range(N)])

@@ -74,6 +74,49 @@ def prove_improvement(old: int, new: int) -> bytes:
     return stark.prove(air, [col])
 
 
+def _build_trace(air: ImprovementAir, old: int) -> List[int]:
+    F = F128
+    col = []
+    cur = old % F.p
+    for i in range(TRACE_LENGTH):
+        col.append(cur)
+        if i < TRACE_LENGTH - 1:
+            cur = F.add(cur, air.step_size)
+    return col
+
+
+# Below this batch size the device round-trip outweighs the host NTTs.
+# Overridable: deployments with slow compile paths (remote-tunnel TPUs) can
+# raise it; CI/dryrun lower it.
+import os as _os
+
+_MIN_DEVICE_LDE_BATCH = int(_os.environ.get("LIBZKP_DEVICE_LDE_MIN", "64"))
+
+
+def prove_improvement_batch(pairs) -> List[bytes]:
+    """Batch prover: all trace interpolations + coset LDEs run as ONE jitted
+    device call sharded over the mesh ``dp`` axis; per-proof transcript/
+    Merkle/FRI assembly stays on the host (SURVEY.md §2.3 batch prover)."""
+    airs, cols = [], []
+    for old, new in pairs:
+        if new <= old:
+            raise ValueError("new value must be greater than old value")
+        air = ImprovementAir(TRACE_LENGTH, [old, new], DEFAULT_OPTIONS)
+        airs.append(air)
+        cols.append(_build_trace(air, old))
+    if len(pairs) >= _MIN_DEVICE_LDE_BATCH:
+        from ..ops.ntt import coset_lde_batch
+
+        polys, ldes = coset_lde_batch(
+            F128.p, cols, DEFAULT_OPTIONS.blowup, stark.DOMAIN_OFFSET
+        )
+        return [
+            stark.prove(air, [col], precomputed=([poly], [lde]))
+            for air, col, poly, lde in zip(airs, cols, polys, ldes)
+        ]
+    return [stark.prove(air, [col]) for air, col in zip(airs, cols)]
+
+
 def verify_improvement(proof_bytes: bytes, old: int, new: int) -> bool:
     """Verify with public inputs [old, new] (stark.rs:894-918). Never raises."""
     try:

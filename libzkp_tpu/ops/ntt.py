@@ -229,3 +229,48 @@ def _ntt_jitted(p: int, invert: bool):
 def ntt_batch(ctx: LimbContext, values_mont: jnp.ndarray, invert: bool = False) -> jnp.ndarray:
     """Jit-compiled batched NTT (compiled once per (field, direction, shape))."""
     return _ntt_jitted(ctx.p, invert)(values_mont)
+
+
+@functools.lru_cache(maxsize=None)
+def _coset_lde_jitted(p: int, n: int, blowup: int, offset: int):
+    """Batched interpolate -> coset-shift -> low-degree-extend, one jit."""
+    import numpy as np
+
+    from .limb import _int_to_limbs
+
+    ctx = get_context(p)
+    off_pows = np.stack(
+        [_int_to_limbs(pow(offset, i, p) * ctx.R % p, ctx.n) for i in range(n)]
+    )  # (n, limbs) Montgomery
+
+    def run(x_canonical: jnp.ndarray):  # (B, n, limbs)
+        xm = ctx.to_mont(x_canonical)
+        coeffs_m = ntt_device(ctx, xm, invert=True)
+        shifted = ctx.mont_mul(coeffs_m, jnp.asarray(off_pows))
+        padded = jnp.pad(shifted, ((0, 0), (0, n * (blowup - 1)), (0, 0)))
+        lde_m = ntt_device(ctx, padded, invert=False)
+        return ctx.from_mont(coeffs_m), ctx.from_mont(lde_m)
+
+    return jax.jit(run)
+
+
+def coset_lde_batch(p: int, traces, blowup: int, offset: int):
+    """Batch of size-n traces -> ([coeff lists], [LDE lists]) in one device
+    round-trip (the STARK batch prover's hot op, SURVEY.md §2.3 "NTT engine").
+
+    The batch axis is padded to a power of two so the kernel compiles once
+    per size bucket; leading axes shard over the mesh ``dp`` axis.
+    """
+    ctx = get_context(p)
+    B = len(traces)
+    n = len(traces[0])
+    padded_b = max(16, 1 << (B - 1).bit_length())
+    flat = [v for t in traces for v in t] + [0] * (n * (padded_b - B))
+    x = ctx.encode(flat).reshape(padded_b, n, ctx.n)
+    coeffs, lde = _coset_lde_jitted(p, n, blowup, offset)(x)
+    coeff_ints = ctx.decode(coeffs)
+    lde_ints = ctx.decode(lde)
+    N = n * blowup
+    polys = [coeff_ints[i * n : (i + 1) * n] for i in range(B)]
+    ldes = [lde_ints[i * N : (i + 1) * N] for i in range(B)]
+    return polys, ldes

@@ -58,6 +58,19 @@ def process_operations(ops: Sequence[BatchOperation]) -> List[bytes]:
     threaded_idx = [i for i, op in enumerate(items) if op.kind != "improvement"]
     inline_idx = [i for i, op in enumerate(items) if op.kind == "improvement"]
     results: List[bytes] = [b""] * len(items)
+
+    def _run_improvements() -> None:
+        # Large improvement groups: all trace LDEs in ONE device call.
+        if len(inline_idx) >= 64:
+            from ..models.schemes.improvement_proof import prove_improvement_batch
+
+            pairs = [(items[i].args[0], items[i].args[1]) for i in inline_idx]
+            for i, proof in zip(inline_idx, prove_improvement_batch(pairs)):
+                results[i] = proof
+        else:
+            for i in inline_idx:
+                results[i] = process_batch_operation(items[i])
+
     if len(threaded_idx) > 1:
         import os
         from concurrent.futures import ThreadPoolExecutor
@@ -65,11 +78,11 @@ def process_operations(ops: Sequence[BatchOperation]) -> List[bytes]:
         workers = min(len(threaded_idx), os.cpu_count() or 2)
         with ThreadPoolExecutor(max_workers=workers) as pool:
             futs = {i: pool.submit(process_batch_operation, items[i]) for i in threaded_idx}
-            for i in inline_idx:
-                results[i] = process_batch_operation(items[i])
+            _run_improvements()
             for i, f in futs.items():
                 results[i] = f.result()
     else:
-        for i in range(len(items)):
+        _run_improvements()
+        for i in threaded_idx:
             results[i] = process_batch_operation(items[i])
     return results

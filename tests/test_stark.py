@@ -81,3 +81,33 @@ def test_improvement_wrong_options_rejected(monkeypatch):
 def test_large_values():
     p = prove_improvement(0, 2**64 - 1)
     assert verify_improvement(p, 0)
+
+
+def test_prove_improvement_batch_device_path():
+    """Batched prover (>=64 ops -> one device LDE call) must agree with the
+    per-proof path and produce verifying proofs."""
+    from libzkp_tpu.models.schemes.improvement_proof import (
+        prove_improvement_batch,
+        verify_improvement,
+    )
+
+    pairs = [(i, i + 3 + (i % 5)) for i in range(64)]
+    proofs = prove_improvement_batch(pairs)
+    assert len(proofs) == 64
+    assert all(verify_improvement(p, old) for p, (old, _) in zip(proofs, pairs))
+    # wrong old rejected
+    assert not verify_improvement(proofs[0], pairs[0][0] + 1)
+
+
+def test_coset_lde_batch_matches_host():
+    import random
+
+    from libzkp_tpu.ops import ntt as poly
+    from libzkp_tpu.ops.field import F128
+
+    rng = random.Random(3)
+    traces = [[rng.randrange(F128.p) for _ in range(8)] for _ in range(5)]
+    polys, ldes = poly.coset_lde_batch(F128.p, traces, 8, 3)
+    for t, c, l in zip(traces, polys, ldes):
+        assert c == poly.interpolate(F128, t)
+        assert l == poly.evaluate_coset(F128, c, 64, 3)
