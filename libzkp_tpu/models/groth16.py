@@ -310,14 +310,7 @@ class Proof:
     c: bn.G1
 
 
-def prove(pk: ProvingKey, cs: ConstraintSystem, circuit_key=None) -> Proof:
-    # full satisfaction re-check is debug-only (arkworks does the same);
-    # the h-pipeline still rejects unsatisfied systems via the degree check
-    if os.environ.get("LIBZKP_DEBUG_CS"):
-        assert cs.is_satisfied(), "constraint system not satisfied"
-    g1b, _ = _bases()
-    n = len(pk.h_query) + 1
-    z = cs.full_assignment()
+def _prove_core(pk: ProvingKey, z: List[int], num_instance: int, h: List[int]) -> Proof:
     r = _rand_fr()
     s = _rand_fr()
 
@@ -331,15 +324,51 @@ def prove(pk: ProvingKey, cs: ConstraintSystem, circuit_key=None) -> Proof:
     b_g1_acc = bn.g1_msm_fixed(z, pk.b_g1_query)
     b_g1 = bn.g1_add(bn.g1_add(pk.beta_g1, b_g1_acc), bn.g1_scalar_mul(s, pk.delta_g1))
 
-    h = _compute_h(cs, n, circuit_key)
     h_acc = bn.g1_msm_fixed(h, pk.h_query)
-    wit = z[cs.num_instance :]
+    wit = z[num_instance:]
     l_acc = bn.g1_msm_fixed(wit, pk.l_query)
     c = bn.g1_add(h_acc, l_acc)
     c = bn.g1_add(c, bn.g1_scalar_mul(s, a))
     c = bn.g1_add(c, bn.g1_scalar_mul(r, b_g1))
     c = bn.g1_add(c, bn.g1_neg(bn.g1_scalar_mul(r * s % R, pk.delta_g1)))
     return Proof(a=a, b=b, c=c)
+
+
+def prove(pk: ProvingKey, cs: ConstraintSystem, circuit_key=None) -> Proof:
+    # full satisfaction re-check is debug-only (arkworks does the same);
+    # the h-pipeline still rejects unsatisfied systems via the degree check
+    if os.environ.get("LIBZKP_DEBUG_CS"):
+        assert cs.is_satisfied(), "constraint system not satisfied"
+    n = len(pk.h_query) + 1
+    z = cs.full_assignment()
+    h = _compute_h(cs, n, circuit_key)
+    return _prove_core(pk, z, cs.num_instance, h)
+
+
+def prove_assigned(
+    pk: ProvingKey,
+    z: List[int],
+    num_instance: int,
+    n_constraints: int,
+    circuit_key,
+) -> Optional[Proof]:
+    """Prove from a pre-built assignment vector, skipping constraint-system
+    construction entirely — valid once the circuit's CSR matrices are cached
+    (the first prove with the full ConstraintSystem seeds the cache). Returns
+    None when the fast path is unavailable; callers fall back to prove()."""
+    from .. import native
+
+    if not native.HAVE_NATIVE:
+        return None
+    n = len(pk.h_query) + 1
+    key = (circuit_key, n, n_constraints, len(z))
+    csr = _csr_cache.get(key)
+    if csr is None:
+        return None
+    h = native.groth16_h(
+        n, n_constraints, num_instance, R, BN254_FR.root_of_unity(n), 5, csr, z
+    )
+    return _prove_core(pk, z, num_instance, h)
 
 
 def verify(vk: VerifyingKey, public_inputs: List[int], proof: Proof) -> bool:

@@ -214,6 +214,50 @@ def _get_membership_setup() -> groth16.ProvingKey:
         return _membership_setup
 
 
+# ===== Fast witness-only assignment builders =====
+#
+# The constraint matrices are witness-independent and cached (groth16 CSR
+# cache) after the first full prove, so later proves only need the
+# assignment vector z. These builders replicate the gadget allocation order
+# exactly (differentially tested against ConstraintSystem.full_assignment()).
+
+_circuit_meta: dict = {}  # circuit_key -> (num_instance, n_constraints)
+
+
+def _mimc_wires(x: int) -> List[int]:
+    """Witness wires of the MiMC gadget: (t2, t4, x5) per round."""
+    wires: List[int] = []
+    cur = x % R
+    for c in mimc_constants():
+        t = (cur + c) % R
+        t2 = t * t % R
+        t4 = t2 * t2 % R
+        x5 = t4 * t % R
+        wires += [t2, t4, x5]
+        cur = x5
+    return wires
+
+
+def _equality_assignment(a: int, b: int, commitment_fr: int) -> List[int]:
+    return [1, commitment_fr % R, a % R, b % R] + _mimc_wires(a)
+
+
+def _membership_assignment(
+    value: int, sel, set_values, is_real, commitment_fr: int
+) -> List[int]:
+    z = [1, commitment_fr % R]
+    z += [v % R for v in set_values]
+    z += [1 if b else 0 for b in is_real]
+    z.append(value % R)
+    z += _mimc_wires(value)
+    z += [1 if s else 0 for s in sel]
+    z += [
+        (1 if sel[i] else 0) * ((value - set_values[i]) % R) % R
+        for i in range(len(sel))
+    ]
+    return z
+
+
 # ===== Backend API (snark.rs:343-495) =====
 
 
@@ -228,8 +272,17 @@ class SnarkBackend:
             return b""
         try:
             pk = _get_equality_setup()
-            cs = build_equality_circuit(a, b, commitment_fr)
-            proof = groth16.prove(pk, cs, circuit_key="equality")
+            proof = None
+            meta = _circuit_meta.get("equality")
+            if meta is not None:
+                proof = groth16.prove_assigned(
+                    pk, _equality_assignment(a, b, commitment_fr),
+                    meta[0], meta[1], "equality",
+                )
+            if proof is None:
+                cs = build_equality_circuit(a, b, commitment_fr)
+                proof = groth16.prove(pk, cs, circuit_key="equality")
+                _circuit_meta["equality"] = (cs.num_instance, len(cs.constraints))
             return groth16.proof_to_bytes(proof)
         except Exception:
             return b""
@@ -265,8 +318,18 @@ class SnarkBackend:
         sel[pos] = True
         try:
             pk = _get_membership_setup()
-            cs = build_membership_circuit(value, sel, set_values, is_real, commitment_fr)
-            proof = groth16.prove(pk, cs, circuit_key="membership")
+            proof = None
+            meta = _circuit_meta.get("membership")
+            if meta is not None:
+                proof = groth16.prove_assigned(
+                    pk,
+                    _membership_assignment(value, sel, set_values, is_real, commitment_fr),
+                    meta[0], meta[1], "membership",
+                )
+            if proof is None:
+                cs = build_membership_circuit(value, sel, set_values, is_real, commitment_fr)
+                proof = groth16.prove(pk, cs, circuit_key="membership")
+                _circuit_meta["membership"] = (cs.num_instance, len(cs.constraints))
             return groth16.proof_to_bytes(proof)
         except Exception:
             return b""

@@ -109,3 +109,38 @@ def test_key_persistence(tmp_path, monkeypatch):
     with pytest.raises(ConfigError):
         sb.set_snark_key_dir("/other/dir")
     sb._reset_for_tests()  # leave clean state for other tests
+
+
+def test_fast_assignment_matches_constraint_system():
+    """Witness-only assignment builders must equal full_assignment() of the
+    gadget-built circuits, element for element."""
+    from libzkp_tpu.models import snark_backend as sb
+
+    com = 123456789
+    cs = sb.build_equality_circuit(7, 7, com)
+    assert sb._equality_assignment(7, 7, com) == cs.full_assignment()
+
+    value, the_set = 25, [10, 20, 25, 30, 40]
+    set_values = list(the_set) + [0] * (sb.MAX_SET_SIZE - len(the_set))
+    is_real = [True] * len(the_set) + [False] * (sb.MAX_SET_SIZE - len(the_set))
+    sel = [False] * sb.MAX_SET_SIZE
+    sel[2] = True
+    cs = sb.build_membership_circuit(value, sel, set_values, is_real, com)
+    assert (
+        sb._membership_assignment(value, sel, set_values, is_real, com)
+        == cs.full_assignment()
+    )
+
+
+def test_fast_path_proofs_verify():
+    """Second and later proves (fast assignment path) must verify."""
+    from libzkp_tpu.models.schemes.equality_proof import prove_equality, verify_equality
+    from libzkp_tpu.models.schemes.set_membership import (
+        prove_membership,
+        verify_membership,
+    )
+
+    for v in (5, 9, 123):
+        assert verify_equality(prove_equality(v, v), v, v)
+    for v, s in ((25, [10, 25, 40]), (7, [7]), (3, list(range(1, 65)))):
+        assert verify_membership(prove_membership(v, s), s)
