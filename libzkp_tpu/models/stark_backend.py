@@ -86,11 +86,13 @@ def _build_trace(air: ImprovementAir, old: int) -> List[int]:
 
 
 # Below this batch size the device round-trip outweighs the host NTTs.
-# Overridable: deployments with slow compile paths (remote-tunnel TPUs) can
-# raise it; CI/dryrun lower it.
+# The first device call per process also pays a one-time XLA compile, which
+# is seconds on a locally attached TPU but can be minutes over a remote
+# tunnel — so the default is conservative; persistent TPU deployments should
+# lower LIBZKP_DEVICE_LDE_MIN (e.g. to 64) to engage the device path sooner.
 import os as _os
 
-_MIN_DEVICE_LDE_BATCH = int(_os.environ.get("LIBZKP_DEVICE_LDE_MIN", "64"))
+_MIN_DEVICE_LDE_BATCH = int(_os.environ.get("LIBZKP_DEVICE_LDE_MIN", "256"))
 
 
 def prove_improvement_batch(pairs) -> List[bytes]:

@@ -83,14 +83,16 @@ def test_large_values():
     assert verify_improvement(p, 0)
 
 
-def test_prove_improvement_batch_device_path():
-    """Batched prover (>=64 ops -> one device LDE call) must agree with the
-    per-proof path and produce verifying proofs."""
+def test_prove_improvement_batch_device_path(monkeypatch):
+    """Batched prover (device LDE path forced) must agree with the per-proof
+    path and produce verifying proofs."""
+    from libzkp_tpu.models import stark_backend
     from libzkp_tpu.models.schemes.improvement_proof import (
         prove_improvement_batch,
         verify_improvement,
     )
 
+    monkeypatch.setattr(stark_backend, "_MIN_DEVICE_LDE_BATCH", 32)
     pairs = [(i, i + 3 + (i % 5)) for i in range(64)]
     proofs = prove_improvement_batch(pairs)
     assert len(proofs) == 64
