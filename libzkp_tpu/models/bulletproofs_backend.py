@@ -25,6 +25,7 @@ import os
 from typing import List, Optional, Tuple
 
 from ..ops import ed25519 as ed
+from ..utils import threads
 from ..utils.encoding import read_u64_le, u32_le, u64_le
 from .bp_generators import pedersen_commit, pedersen_gens
 from .bulletproofs import RangeProof, prove_single, verify_single
@@ -85,17 +86,16 @@ class BulletproofsBackend:
         value_commit = ed.compress(pedersen_commit(value % L, blinding))
 
         # the two single proofs are independent (separate transcripts) and
-        # ~80% native-kernel time -> run them on two threads
-        from concurrent.futures import ThreadPoolExecutor
-
-        with ThreadPoolExecutor(max_workers=2) as pool:
-            f_min = pool.submit(
-                prove_single, Transcript(b"libzkp_range_min"), diff_min, blinding, n_bits
-            )
-            rp_max, c_max = prove_single(
+        # ~80% native-kernel time -> run them on two threads when the
+        # process-wide budget allows (utils.threads)
+        (rp_min, c_min), (rp_max, c_max) = threads.run_pair(
+            lambda: prove_single(
+                Transcript(b"libzkp_range_min"), diff_min, blinding, n_bits
+            ),
+            lambda: prove_single(
                 Transcript(b"libzkp_range_max"), diff_max, (L - blinding) % L, n_bits
-            )
-            rp_min, c_min = f_min.result()
+            ),
+        )
 
         body = bytearray()
         body += u64_le(min_v)
@@ -170,16 +170,15 @@ class BulletproofsBackend:
             return False
 
         # the two sides verify independently -> two threads (native-heavy)
-        from concurrent.futures import ThreadPoolExecutor
-
-        with ThreadPoolExecutor(max_workers=2) as pool:
-            f_min = pool.submit(
-                verify_single, rp_min, Transcript(b"libzkp_range_min"), expected_min, n_bits
-            )
-            ok_max = verify_single(
+        ok_min, ok_max = threads.run_pair(
+            lambda: verify_single(
+                rp_min, Transcript(b"libzkp_range_min"), expected_min, n_bits
+            ),
+            lambda: verify_single(
                 rp_max, Transcript(b"libzkp_range_max"), expected_max, n_bits
-            )
-            return f_min.result() and ok_max
+            ),
+        )
+        return ok_min and ok_max
 
     # -- threshold ---------------------------------------------------------
     @staticmethod
@@ -270,14 +269,7 @@ class BulletproofsBackend:
             diff_blinding = (blindings[i] - blindings[i - 1]) % L
             return prove_single(Transcript(b"libzkp_consistency"), diff, diff_blinding, 64)
 
-        if len(data) > 2:
-            import os
-            from concurrent.futures import ThreadPoolExecutor
-
-            with ThreadPoolExecutor(max_workers=min(len(data) - 1, os.cpu_count() or 2)) as pool:
-                results = list(pool.map(_one, range(1, len(data))))
-        else:
-            results = [_one(i) for i in range(1, len(data))]
+        results = threads.run_many(_one, range(1, len(data)))
         range_proofs = [rp for rp, _ in results]
         diff_commits = [dc for _, dc in results]
         body = bytearray()
@@ -347,13 +339,7 @@ class BulletproofsBackend:
                     range_proofs[i], Transcript(b"libzkp_consistency"), diff_commits[i], 64
                 )
 
-            if num > 2:
-                import os
-                from concurrent.futures import ThreadPoolExecutor
-
-                with ThreadPoolExecutor(max_workers=min(num - 1, os.cpu_count() or 2)) as pool:
-                    return all(pool.map(_check, range(num - 1)))
-            return all(_check(i) for i in range(num - 1))
+            return all(threads.run_many(_check, range(num - 1)))
         except Exception:
             return False
 

@@ -314,19 +314,22 @@ def _prove_core(pk: ProvingKey, z: List[int], num_instance: int, h: List[int]) -
     r = _rand_fr()
     s = _rand_fr()
 
+    # The five query MSMs run sequentially: each one already spans the cores
+    # via its OpenMP window chunks (A/B measured faster than a Python-level
+    # task pool, whose per-MSM serialization work is GIL-bound).
+    wit = z[num_instance:]
+    b_g2_acc = bn.g2_msm_fixed(z, pk.b_g2_query)
     a_acc = bn.g1_msm_fixed(z, pk.a_query)
+    b_g1_acc = bn.g1_msm_fixed(z, pk.b_g1_query)
+    h_acc = bn.g1_msm_fixed(h, pk.h_query)
+    l_acc = bn.g1_msm_fixed(wit, pk.l_query)
+
     a = bn.g1_add(bn.g1_add(pk.vk.alpha_g1, a_acc), bn.g1_scalar_mul(r, pk.delta_g1))
 
-    b_g2_acc = bn.g2_msm_fixed(z, pk.b_g2_query)
     delta_g2 = pk.vk.delta_g2
     b = bn.g2_add(bn.g2_add(pk.vk.beta_g2, b_g2_acc), bn.g2_scalar_mul(s, delta_g2))
 
-    b_g1_acc = bn.g1_msm_fixed(z, pk.b_g1_query)
     b_g1 = bn.g1_add(bn.g1_add(pk.beta_g1, b_g1_acc), bn.g1_scalar_mul(s, pk.delta_g1))
-
-    h_acc = bn.g1_msm_fixed(h, pk.h_query)
-    wit = z[num_instance:]
-    l_acc = bn.g1_msm_fixed(wit, pk.l_query)
     c = bn.g1_add(h_acc, l_acc)
     c = bn.g1_add(c, bn.g1_scalar_mul(s, a))
     c = bn.g1_add(c, bn.g1_scalar_mul(r, b_g1))

@@ -20,6 +20,8 @@ import subprocess
 import tempfile
 from typing import List, Optional, Sequence, Tuple
 
+from ..utils.threads import msm_chunks as _msm_chunks
+
 _DIR = os.path.dirname(os.path.abspath(__file__))
 _SRC = os.path.join(_DIR, "zkpcore.cpp")
 _SO = os.path.join(_DIR, "_zkpcore.so")
@@ -104,12 +106,18 @@ def _load() -> Optional[ctypes.CDLL]:
     lib.zkp_ed_msm_register.argtypes = [u64, ctypes.c_char_p]
     lib.zkp_ed_msm_register.restype = ctypes.c_int
     lib.zkp_ed_msm_fixed.argtypes = [ctypes.c_int, ctypes.c_char_p, ctypes.c_char_p]
+    lib.zkp_ed_msm_fixed_mt.argtypes = [
+        ctypes.c_int, ctypes.c_char_p, ctypes.c_char_p, ctypes.c_int]
     lib.zkp_bn254_g1_msm_register.argtypes = [u64, ctypes.c_char_p]
     lib.zkp_bn254_g1_msm_register.restype = ctypes.c_int
     lib.zkp_bn254_g1_msm_fixed.argtypes = [ctypes.c_int, ctypes.c_char_p, ctypes.c_char_p]
+    lib.zkp_bn254_g1_msm_fixed_mt.argtypes = [
+        ctypes.c_int, ctypes.c_char_p, ctypes.c_char_p, ctypes.c_int]
     lib.zkp_bn254_g2_msm_register.argtypes = [u64, ctypes.c_char_p]
     lib.zkp_bn254_g2_msm_register.restype = ctypes.c_int
     lib.zkp_bn254_g2_msm_fixed.argtypes = [ctypes.c_int, ctypes.c_char_p, ctypes.c_char_p]
+    lib.zkp_bn254_g2_msm_fixed_mt.argtypes = [
+        ctypes.c_int, ctypes.c_char_p, ctypes.c_char_p, ctypes.c_int]
     return lib
 
 
@@ -255,7 +263,7 @@ def ed_msm_fixed(key, scalars: Sequence[int], points: Sequence[Point], order: in
         return ed_msm(scalars, points, order)
     sc = b"".join((s % order).to_bytes(32, "little") for s in scalars)
     out = ctypes.create_string_buffer(128)
-    _lib.zkp_ed_msm_fixed(h, sc, out)
+    _lib.zkp_ed_msm_fixed_mt(h, sc, out, _msm_chunks())
     return _from_wire(out.raw)
 
 
@@ -269,7 +277,7 @@ def bn254_g1_msm_fixed(key, scalars: Sequence[int], points):
         return bn254_g1_msm(scalars, points)
     sc = b"".join((s % _bn254_r).to_bytes(32, "little") for s in scalars)
     out = ctypes.create_string_buffer(96)
-    _lib.zkp_bn254_g1_msm_fixed(h, sc, out)
+    _lib.zkp_bn254_g1_msm_fixed_mt(h, sc, out, _msm_chunks())
     return _g1_from_wire(out.raw)
 
 
@@ -283,7 +291,7 @@ def bn254_g2_msm_fixed(key, scalars: Sequence[int], points):
         return bn254_g2_msm(scalars, points)
     sc = b"".join((s % _bn254_r).to_bytes(32, "little") for s in scalars)
     out = ctypes.create_string_buffer(192)
-    _lib.zkp_bn254_g2_msm_fixed(h, sc, out)
+    _lib.zkp_bn254_g2_msm_fixed_mt(h, sc, out, _msm_chunks())
     return _g2_from_wire(out.raw)
 
 

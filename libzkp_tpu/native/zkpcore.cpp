@@ -1968,13 +1968,21 @@ void build_fixed(fixed_tab<PT, AF>& ft, std::vector<PT>& pts) {
     }
 }
 
+// want_chunks: 0 = auto (2 when OpenMP and enough windows), 1 = serial
+// (caller is already running under higher-level parallelism), N = that many
+// window chunks. Exists because on small hosts nested OpenMP under Python
+// thread pools oversubscribes the cores and is slower than serial.
 template <typename PT, typename AF, PT (*ADD)(const PT&, const PT&),
           PT (*MADD)(const PT&, const AF&), PT (*DBL)(const PT&), PT (*INF)()>
-PT fixed_msm(const fixed_tab<PT, AF>& ft, const uint8_t* scalars) {
+PT fixed_msm(const fixed_tab<PT, AF>& ft, const uint8_t* scalars,
+             int want_chunks = 0) {
     uint64_t nbuckets = (1ULL << ft.c) - 1;
     int nchunks = 1;
 #ifdef _OPENMP
-    nchunks = ft.nwin >= 8 ? 2 : 1;
+    nchunks = want_chunks > 0 ? want_chunks : (ft.nwin >= 8 ? 2 : 1);
+    if (nchunks > ft.nwin) nchunks = ft.nwin > 0 ? ft.nwin : 1;
+#else
+    (void)want_chunks;
 #endif
     std::vector<PT> partial(nchunks);
     std::vector<char> partial_set(nchunks, 0);
@@ -2061,6 +2069,14 @@ void zkp_ed_msm_fixed(int handle, const uint8_t* scalars, uint8_t* out) {
     ge_to_wire(r, out);
 }
 
+// nchunks: 0 auto, 1 serial, N window-chunks (see fixed_msm).
+void zkp_ed_msm_fixed_mt(int handle, const uint8_t* scalars, uint8_t* out,
+                         int nchunks) {
+    ge r = fixed_msm<ge, edniels, ge_add, ge_madd, ge_double, ge_identity>(
+        ED_FIXED[handle], scalars, nchunks);
+    ge_to_wire(r, out);
+}
+
 int zkp_bn254_g1_msm_register(uint64_t n, const uint8_t* points) {
     std::vector<bg1> pts(n);
     for (uint64_t i = 0; i < n; i++) pts[i] = bg1_from_wire(points + 96 * i);
@@ -2076,6 +2092,13 @@ void zkp_bn254_g1_msm_fixed(int handle, const uint8_t* scalars, uint8_t* out) {
     bg1_to_wire(r, out);
 }
 
+void zkp_bn254_g1_msm_fixed_mt(int handle, const uint8_t* scalars, uint8_t* out,
+                               int nchunks) {
+    bg1 r = fixed_msm<bg1, g1aff, bg1_add, bg1_madd, bg1_double, bg1_inf>(
+        G1_FIXED[handle], scalars, nchunks);
+    bg1_to_wire(r, out);
+}
+
 int zkp_bn254_g2_msm_register(uint64_t n, const uint8_t* points) {
     std::vector<bg2> pts(n);
     for (uint64_t i = 0; i < n; i++) pts[i] = bg2_from_wire(points + 192 * i);
@@ -2088,6 +2111,13 @@ int zkp_bn254_g2_msm_register(uint64_t n, const uint8_t* points) {
 void zkp_bn254_g2_msm_fixed(int handle, const uint8_t* scalars, uint8_t* out) {
     bg2 r = fixed_msm<bg2, g2aff, bg2_add, bg2_madd, bg2_double, bg2_inf>(
         G2_FIXED[handle], scalars);
+    bg2_to_wire(r, out);
+}
+
+void zkp_bn254_g2_msm_fixed_mt(int handle, const uint8_t* scalars, uint8_t* out,
+                               int nchunks) {
+    bg2 r = fixed_msm<bg2, g2aff, bg2_add, bg2_madd, bg2_double, bg2_inf>(
+        G2_FIXED[handle], scalars, nchunks);
     bg2_to_wire(r, out);
 }
 

@@ -75,10 +75,17 @@ def process_operations(ops: Sequence[BatchOperation]) -> List[bytes]:
         import os
         from concurrent.futures import ThreadPoolExecutor
 
+        from ..utils import threads
+
+        # Workers are marked as parallel-region threads so the per-proof
+        # layers below (sub-proof pools, OpenMP MSM chunks) stay serial —
+        # op-level parallelism owns the cores here (utils.threads).
+        worker = threads.wrap_worker(process_batch_operation)
         workers = min(len(threaded_idx), os.cpu_count() or 2)
         with ThreadPoolExecutor(max_workers=workers) as pool:
-            futs = {i: pool.submit(process_batch_operation, items[i]) for i in threaded_idx}
-            _run_improvements()
+            futs = {i: pool.submit(worker, items[i]) for i in threaded_idx}
+            with threads.enter_parallel():
+                _run_improvements()
             for i, f in futs.items():
                 results[i] = f.result()
     else:

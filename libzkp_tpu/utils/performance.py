@@ -192,7 +192,11 @@ def verify_proofs_parallel(proofs: Sequence[Tuple[bytes, str]]) -> List[bool]:
     items = list(proofs)
     if len(items) <= 1:
         return [_verify_single_proof(d, t) for d, t in items]
+    import os
     from concurrent.futures import ThreadPoolExecutor
 
-    with ThreadPoolExecutor(max_workers=min(8, len(items))) as pool:
-        return list(pool.map(lambda it: _verify_single_proof(it[0], it[1]), items))
+    from . import threads
+
+    worker = threads.wrap_worker(lambda it: _verify_single_proof(it[0], it[1]))
+    with ThreadPoolExecutor(max_workers=min(os.cpu_count() or 2, len(items))) as pool:
+        return list(pool.map(worker, items))
