@@ -345,27 +345,47 @@ def prove_single(
     return RangeProof(A_c, S_c, T_1, T_2, t_x, t_x_blinding, e_blinding, ipp), V
 
 
-def verify_single(proof: RangeProof, t: Transcript, V: bytes, n: int) -> bool:
-    """Verify a single-value range proof against compressed commitment V."""
-    try:
-        return _verify_single_inner(proof, t, V, n)
-    except Exception:
-        return False
+@dataclass
+class VerificationTerms:
+    """One range-proof verification, reduced to MSM coefficients.
+
+    The two checks of the single-proof verification (the t-commitment check
+    and the folded IPP check) are linear relations over the shared fixed
+    basis ``[B_blinding, B] + G + H`` plus per-proof dynamic points. Any
+    random linear combination of many such relations is a single MSM whose
+    result must be the identity — the standard batch-verification trick
+    (also how dalek's ``RangeProof::verify_batch`` amortizes the generator
+    MSM). A caller combines instances with independent 128-bit weights
+    ``rho`` (IPP check) and ``sigma`` (t check) via :func:`check_terms`.
+    """
+
+    n: int
+    c1_b: int  # coefficient on B in the t-commitment check
+    c1_bb: int  # coefficient on B_blinding in the t-commitment check
+    c1_dyn: List[Tuple[int, object]]  # (scalar, point): V, T1, T2
+    c2_b: int  # coefficient on B in the IPP check
+    c2_bb: int  # coefficient on B_blinding in the IPP check
+    g_scalars: List[int]  # per-generator coefficients, length n
+    h_scalars: List[int]
+    c2_dyn: List[Tuple[int, object]]  # (scalar, point): A, S, L_j, R_j
 
 
-def _verify_single_inner(proof: RangeProof, t: Transcript, V: bytes, n: int) -> bool:
+def verification_terms(
+    proof: RangeProof, t: Transcript, V: bytes, n: int
+) -> Optional[VerificationTerms]:
+    """Replay the transcript and derive all verification scalars.
+
+    Returns None on any structural failure (bad points, identity V, wrong
+    IPP length) — the caller maps that to a plain ``False``.
+    """
     if not (0 < n <= 64 and n & (n - 1) == 0):
-        return False
-    B, B_blinding = pedersen_gens()
-    G, H = bp_gens(n)
-    G = list(G)
-    H = list(H)
+        return None
 
     t.append_message(b"dom-sep", b"rangeproof v1")
     t.append_u64(b"n", n)
     t.append_u64(b"m", 1)
     if not _validate_and_append_point(t, b"V", V):
-        return False
+        return None
     _append_point(t, b"A", proof.A)
     _append_point(t, b"S", proof.S)
     y = _challenge_scalar(t, b"y")
@@ -380,7 +400,7 @@ def _verify_single_inner(proof: RangeProof, t: Transcript, V: bytes, n: int) -> 
 
     out = ipp_verification_scalars(proof.ipp, n, t)
     if out is None:
-        return False
+        return None
     u_sq, u_inv_sq, s = out
 
     V_pt = ed.decompress(V)
@@ -391,38 +411,136 @@ def _verify_single_inner(proof: RangeProof, t: Transcript, V: bytes, n: int) -> 
     Ls = [ed.decompress(c) for c in proof.ipp.L_vec]
     Rs = [ed.decompress(c) for c in proof.ipp.R_vec]
     if any(p is None for p in [V_pt, A_pt, S_pt, T1_pt, T2_pt] + Ls + Rs):
-        return False
+        return None
 
     z2 = z * z % L
     x2 = x * x % L
 
-    # Check 1: t commitment — (t_x - delta)B + t_x_blinding*B_b - z^2 V - x T1 - x^2 T2 == 0
-    c1 = ed.msm(
-        [(proof.t_x - _delta(n, y, z)) % L, proof.t_x_blinding, (-z2) % L, (-x) % L, (-x2) % L],
-        [B, B_blinding, V_pt, T1_pt, T2_pt],
-    )
-    if not ed.ristretto_eq(c1, ed.IDENTITY):
-        return False
-
-    # Check 2: the folded IPP equation
     a, b = proof.ipp.a, proof.ipp.b
     y_inv = pow(y, -1, L)
     g_scalars = [(-z - a * s[i]) % L for i in range(n)]
+    # s is a product of u_j^{±1} with exponent signs given by the bits of i;
+    # flipping every bit inverts every factor, so s_inv[i] == s[n-1-i].
+    s_inv = s[::-1]
     h_scalars = []
     yi_inv = 1
-    s_inv = list(reversed(s))  # s_i^{-1} = s_{n-1-i} * prod... (dalek trick)
-    # note: s_inv[i] equals inverse of s[i] only up to the product of all u^2;
-    # compute exact inverses instead for clarity:
-    s_inv = [pow(si, -1, L) for si in s]
+    pow2 = 1
     for i in range(n):
-        h_scalars.append((z + z2 * pow(2, i, L) % L * yi_inv - b * s_inv[i] % L * yi_inv) % L)
+        h_scalars.append((z + (z2 * pow2 - b * s_inv[i]) % L * yi_inv) % L)
         yi_inv = yi_inv * y_inv % L
-    basis_scalar = (w * ((proof.t_x - a * b) % L)) % L
-    # split: fixed generator basis (BGMW tables) + per-proof dynamic points
-    c_fixed = ed.msm_fixed(
-        [(-proof.e_blinding) % L, basis_scalar] + g_scalars + h_scalars,
-        [B_blinding, B] + G + H,
+        pow2 = pow2 * 2 % L
+    return VerificationTerms(
+        n=n,
+        c1_b=(proof.t_x - _delta(n, y, z)) % L,
+        c1_bb=proof.t_x_blinding,
+        c1_dyn=[((-z2) % L, V_pt), ((-x) % L, T1_pt), ((-x2) % L, T2_pt)],
+        c2_b=w * ((proof.t_x - a * b) % L) % L,
+        c2_bb=(-proof.e_blinding) % L,
+        g_scalars=g_scalars,
+        h_scalars=h_scalars,
+        c2_dyn=[(1, A_pt), (x % L, S_pt)]
+        + list(zip(u_sq, Ls))
+        + list(zip(u_inv_sq, Rs)),
     )
-    c_dyn = ed.msm([1, x] + u_sq + u_inv_sq, [A_pt, S_pt] + Ls + Rs)
-    c2 = ed.point_add(c_fixed, c_dyn)
-    return ed.ristretto_eq(c2, ed.IDENTITY)
+
+
+def check_terms(weighted: List[Tuple[VerificationTerms, int, int]]) -> bool:
+    """Evaluate a random linear combination of verification relations.
+
+    ``weighted`` is ``[(terms, rho, sigma)]`` — rho weights the IPP check,
+    sigma the t check. Soundness: a proof that fails either check passes the
+    combined relation with probability ~2^-128 over the weights. The fixed
+    ``[B_blinding, B] + G(64) + H(64)`` basis is shared across all instances
+    (one BGMW-table MSM) regardless of batch size; dynamic points cost ~17
+    per instance in one variable-base Pippenger call.
+    """
+    if not weighted:
+        return True
+    n_max = max(t.n for t, _, _ in weighted)
+    B, B_blinding = pedersen_gens()
+    G, H = bp_gens(64)  # superset chain; n<64 instances use a prefix
+    acc_b = 0
+    acc_bb = 0
+    g_acc = [0] * 64
+    h_acc = [0] * 64
+    dyn_s: List[int] = []
+    dyn_p: List[object] = []
+    for terms, rho, sigma in weighted:
+        acc_b = (acc_b + rho * terms.c2_b + sigma * terms.c1_b) % L
+        acc_bb = (acc_bb + rho * terms.c2_bb + sigma * terms.c1_bb) % L
+        for i, gs in enumerate(terms.g_scalars):
+            g_acc[i] = (g_acc[i] + rho * gs) % L
+        for i, hs in enumerate(terms.h_scalars):
+            h_acc[i] = (h_acc[i] + rho * hs) % L
+        for sc, pt in terms.c2_dyn:
+            dyn_s.append(sc * rho % L)
+            dyn_p.append(pt)
+        for sc, pt in terms.c1_dyn:
+            dyn_s.append(sc * sigma % L)
+            dyn_p.append(pt)
+    del n_max
+    c_fixed = ed.msm_fixed(
+        [acc_bb, acc_b] + g_acc + h_acc, [B_blinding, B] + list(G) + list(H)
+    )
+    c_dyn = ed.msm(dyn_s, dyn_p)
+    return ed.ristretto_eq(ed.point_add(c_fixed, c_dyn), ed.IDENTITY)
+
+
+def _rlc_weight() -> int:
+    """128-bit nonzero random weight for batch combination."""
+    w = 0
+    while w == 0:
+        w = int.from_bytes(os.urandom(16), "little")
+    return w
+
+
+def verify_single(proof: RangeProof, t: Transcript, V: bytes, n: int) -> bool:
+    """Verify a single-value range proof against compressed commitment V."""
+    try:
+        terms = verification_terms(proof, t, V, n)
+        if terms is None:
+            return False
+        # combine the two checks with a random weight: one MSM total
+        return check_terms([(terms, 1, _rlc_weight())])
+    except Exception:
+        return False
+
+
+def batch_verify_groups(groups: List[List[Tuple[RangeProof, Transcript, bytes, int]]]) -> List[bool]:
+    """Verify groups of range-proof instances, one grand MSM for the batch.
+
+    Each group is the set of single-proof instances belonging to one
+    envelope-level proof (a range proof contributes two, a consistency proof
+    len-1, a threshold proof one); the group verdict is all-instances-pass.
+    On a combined-check failure the batch bisects, so a few bad proofs cost
+    O(log n) extra MSMs instead of losing amortization entirely.
+    """
+    results = [False] * len(groups)
+    term_groups: List[Optional[List[VerificationTerms]]] = []
+    for g in groups:
+        try:
+            terms = [verification_terms(p, t, V, n) for p, t, V, n in g]
+        except Exception:
+            terms = [None]
+        term_groups.append(None if any(x is None for x in terms) else terms)
+
+    def _check(idxs: List[int]) -> None:
+        weighted = [
+            (t, _rlc_weight(), _rlc_weight()) for i in idxs for t in term_groups[i]
+        ]
+        try:
+            ok = check_terms(weighted)
+        except Exception:
+            ok = False
+        if ok:
+            for i in idxs:
+                results[i] = True
+        elif len(idxs) > 1:
+            mid = len(idxs) // 2
+            _check(idxs[:mid])
+            _check(idxs[mid:])
+
+    live = [i for i, tg in enumerate(term_groups) if tg is not None]
+    if live:
+        _check(live)
+    return results

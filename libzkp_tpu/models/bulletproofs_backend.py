@@ -28,7 +28,7 @@ from ..ops import ed25519 as ed
 from ..utils import threads
 from ..utils.encoding import read_u64_le, u32_le, u64_le
 from .bp_generators import pedersen_commit, pedersen_gens
-from .bulletproofs import RangeProof, prove_single, verify_single
+from .bulletproofs import RangeProof, batch_verify_groups, prove_single, verify_single
 from .strobe import Transcript
 
 L = ed.L
@@ -116,45 +116,52 @@ class BulletproofsBackend:
     @staticmethod
     def verify_range_with_bounds_bits(proof_data: bytes, min_v: int, max_v: int) -> bool:
         try:
-            return BulletproofsBackend._verify_range_inner(proof_data, min_v, max_v)
+            insts = BulletproofsBackend.range_instances(proof_data, min_v, max_v)
+            if insts is None:
+                return False
+            return batch_verify_groups([insts])[0]
         except Exception:
             return False
 
     @staticmethod
-    def _verify_range_inner(proof_data: bytes, min_v: int, max_v: int) -> bool:
+    def range_instances(proof_data: bytes, min_v: int, max_v: int):
+        """Structural + homomorphic checks; returns the two single-proof
+        verification instances ``(RangeProof, Transcript, V, n_bits)`` or
+        None. Instances from many proofs batch into one MSM
+        (:func:`..models.bulletproofs.batch_verify_groups`)."""
         decoded = decode_proof_body_and_commit(proof_data)
         if decoded is None:
-            return False
+            return None
         body, commit_bytes = decoded
         value_commit = ed.decompress(commit_bytes)
         if value_commit is None:
-            return False
+            return None
         if len(body) < 20:
-            return False
+            return None
         proof_min = read_u64_le(body, 0)
         proof_max = read_u64_le(body, 8)
         if proof_min != min_v or proof_max != max_v:
-            return False
+            return None
         n_bits = int.from_bytes(body[16:20], "little")
         pos = 20
         if len(body) < pos + 4:
-            return False
+            return None
         l1 = int.from_bytes(body[pos : pos + 4], "little")
         pos += 4
         if len(body) < pos + l1:
-            return False
+            return None
         rp_min = RangeProof.from_bytes(body[pos : pos + l1])
         pos += l1
         if rp_min is None or len(body) < pos + 4:
-            return False
+            return None
         l2 = int.from_bytes(body[pos : pos + 4], "little")
         pos += 4
         if len(body) < pos + l2:
-            return False
+            return None
         rp_max = RangeProof.from_bytes(body[pos : pos + l2])
         pos += l2
         if rp_max is None or len(body) != pos + 64:
-            return False
+            return None
         c_min_bytes = body[pos : pos + 32]
         c_max_bytes = body[pos + 32 : pos + 64]
 
@@ -167,18 +174,12 @@ class BulletproofsBackend:
             ed.point_add(ed.scalar_mul(max_v % L, B), ed.point_neg(value_commit))
         )
         if expected_min != c_min_bytes or expected_max != c_max_bytes:
-            return False
+            return None
 
-        # the two sides verify independently -> two threads (native-heavy)
-        ok_min, ok_max = threads.run_pair(
-            lambda: verify_single(
-                rp_min, Transcript(b"libzkp_range_min"), expected_min, n_bits
-            ),
-            lambda: verify_single(
-                rp_max, Transcript(b"libzkp_range_max"), expected_max, n_bits
-            ),
-        )
-        return ok_min and ok_max
+        return [
+            (rp_min, Transcript(b"libzkp_range_min"), expected_min, n_bits),
+            (rp_max, Transcript(b"libzkp_range_max"), expected_max, n_bits),
+        ]
 
     # -- threshold ---------------------------------------------------------
     @staticmethod
@@ -216,40 +217,48 @@ class BulletproofsBackend:
     @staticmethod
     def verify_threshold(proof_data: bytes, threshold: int) -> bool:
         try:
-            decoded = decode_proof_body_and_commit(proof_data)
-            if decoded is None:
+            insts = BulletproofsBackend.threshold_instances(proof_data, threshold)
+            if insts is None:
                 return False
-            body, sum_commit_bytes = decoded
-            if len(body) < 12:
-                return False
-            if read_u64_le(body, 0) != threshold:
-                return False
-            n_bits = int.from_bytes(body[8:12], "little")
-            pos = 12
-            if len(body) < pos + 4:
-                return False
-            rp_len = int.from_bytes(body[pos : pos + 4], "little")
-            pos += 4
-            if len(body) < pos + rp_len:
-                return False
-            rp = RangeProof.from_bytes(body[pos : pos + rp_len])
-            pos += rp_len
-            if rp is None or len(body) != pos + 32:
-                return False
-            diff_commit = body[pos : pos + 32]
-            sum_commit = ed.decompress(sum_commit_bytes)
-            if sum_commit is None:
-                return False
-            B, _ = pedersen_gens()
-            expected_diff = ed.compress(
-                ed.point_add(sum_commit, ed.point_neg(ed.scalar_mul(threshold % L, B)))
-            )
-            if expected_diff != diff_commit:
-                return False
-            t = Transcript(b"libzkp_threshold")
-            return verify_single(rp, t, expected_diff, n_bits)
+            return batch_verify_groups([insts])[0]
         except Exception:
             return False
+
+    @staticmethod
+    def threshold_instances(proof_data: bytes, threshold: int):
+        """Structural checks; returns the single verification instance or
+        None (see :meth:`range_instances`)."""
+        decoded = decode_proof_body_and_commit(proof_data)
+        if decoded is None:
+            return None
+        body, sum_commit_bytes = decoded
+        if len(body) < 12:
+            return None
+        if read_u64_le(body, 0) != threshold:
+            return None
+        n_bits = int.from_bytes(body[8:12], "little")
+        pos = 12
+        if len(body) < pos + 4:
+            return None
+        rp_len = int.from_bytes(body[pos : pos + 4], "little")
+        pos += 4
+        if len(body) < pos + rp_len:
+            return None
+        rp = RangeProof.from_bytes(body[pos : pos + rp_len])
+        pos += rp_len
+        if rp is None or len(body) != pos + 32:
+            return None
+        diff_commit = body[pos : pos + 32]
+        sum_commit = ed.decompress(sum_commit_bytes)
+        if sum_commit is None:
+            return None
+        B, _ = pedersen_gens()
+        expected_diff = ed.compress(
+            ed.point_add(sum_commit, ed.point_neg(ed.scalar_mul(threshold % L, B)))
+        )
+        if expected_diff != diff_commit:
+            return None
+        return [(rp, Transcript(b"libzkp_threshold"), expected_diff, n_bits)]
 
     # -- consistency (monotonic non-decreasing) ----------------------------
     @staticmethod
@@ -287,61 +296,67 @@ class BulletproofsBackend:
     @staticmethod
     def verify_consistency(proof_data: bytes) -> bool:
         try:
-            decoded = decode_proof_body_and_commit(proof_data)
-            if decoded is None:
+            insts = BulletproofsBackend.consistency_instances(proof_data)
+            if insts is None:
                 return False
-            body, commitment_hash = decoded
-            if len(commitment_hash) != 32 or len(body) < 4:
-                return False
-            num = int.from_bytes(body[0:4], "little")
-            if num == 0:
-                return False
-            pos = 4
-            if len(body) < pos + num * 32:
-                return False
-            commit_bytes = [body[pos + i * 32 : pos + (i + 1) * 32] for i in range(num)]
-            pos += num * 32
-            if hashlib.sha256(b"".join(commit_bytes)).digest() != commitment_hash:
-                return False
-            commitments = [ed.decompress(c) for c in commit_bytes]
-            if any(c is None for c in commitments):
-                return False
-            range_proofs = []
-            for _ in range(1, num):
-                if len(body) < pos + 4:
-                    return False
-                rp_len = int.from_bytes(body[pos : pos + 4], "little")
-                pos += 4
-                if len(body) < pos + rp_len:
-                    return False
-                rp = RangeProof.from_bytes(body[pos : pos + rp_len])
-                if rp is None:
-                    return False
-                range_proofs.append(rp)
-                pos += rp_len
-            diff_commits = []
-            for i in range(1, num):
-                if len(body) < pos + 32:
-                    return False
-                diff_commit = body[pos : pos + 32]
-                pos += 32
-                expected = ed.compress(
-                    ed.point_add(commitments[i], ed.point_neg(commitments[i - 1]))
-                )
-                if expected != diff_commit:
-                    return False
-                diff_commits.append(diff_commit)
-            if pos != len(body):
-                return False
-            # the n-1 delta proofs verify independently -> thread pool
-            def _check(i: int) -> bool:
-                return verify_single(
-                    range_proofs[i], Transcript(b"libzkp_consistency"), diff_commits[i], 64
-                )
-
-            return all(threads.run_many(_check, range(num - 1)))
+            return batch_verify_groups([insts])[0]
         except Exception:
             return False
+
+    @staticmethod
+    def consistency_instances(proof_data: bytes):
+        """Structural + commitment-chain checks; returns the num-1 delta
+        verification instances or None (see :meth:`range_instances`)."""
+        decoded = decode_proof_body_and_commit(proof_data)
+        if decoded is None:
+            return None
+        body, commitment_hash = decoded
+        if len(commitment_hash) != 32 or len(body) < 4:
+            return None
+        num = int.from_bytes(body[0:4], "little")
+        if num == 0:
+            return None
+        pos = 4
+        if len(body) < pos + num * 32:
+            return None
+        commit_bytes = [body[pos + i * 32 : pos + (i + 1) * 32] for i in range(num)]
+        pos += num * 32
+        if hashlib.sha256(b"".join(commit_bytes)).digest() != commitment_hash:
+            return None
+        commitments = [ed.decompress(c) for c in commit_bytes]
+        if any(c is None for c in commitments):
+            return None
+        range_proofs = []
+        for _ in range(1, num):
+            if len(body) < pos + 4:
+                return None
+            rp_len = int.from_bytes(body[pos : pos + 4], "little")
+            pos += 4
+            if len(body) < pos + rp_len:
+                return None
+            rp = RangeProof.from_bytes(body[pos : pos + rp_len])
+            if rp is None:
+                return None
+            range_proofs.append(rp)
+            pos += rp_len
+        diff_commits = []
+        for i in range(1, num):
+            if len(body) < pos + 32:
+                return None
+            diff_commit = body[pos : pos + 32]
+            pos += 32
+            expected = ed.compress(
+                ed.point_add(commitments[i], ed.point_neg(commitments[i - 1]))
+            )
+            if expected != diff_commit:
+                return None
+            diff_commits.append(diff_commit)
+        if pos != len(body):
+            return None
+        return [
+            (range_proofs[i], Transcript(b"libzkp_consistency"), diff_commits[i], 64)
+            for i in range(num - 1)
+        ]
 
     # -- raw ZkpBackend trait interface (bulletproofs.rs:629-684) ----------
     @staticmethod

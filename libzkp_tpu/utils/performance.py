@@ -192,11 +192,81 @@ def verify_proofs_parallel(proofs: Sequence[Tuple[bytes, str]]) -> List[bool]:
     items = list(proofs)
     if len(items) <= 1:
         return [_verify_single_proof(d, t) for d, t in items]
-    import os
-    from concurrent.futures import ThreadPoolExecutor
 
-    from . import threads
+    # Bulletproofs-backed schemes (range/threshold/consistency) batch into a
+    # single random-linear-combination MSM over the shared generator basis —
+    # the dominant cost of N separate verifications collapses into one
+    # amortized multi-exponentiation (plus a bisection retry on failures).
+    results: List[Optional[bool]] = [None] * len(items)
+    bp_idx: List[int] = []
+    bp_groups = []
+    rest: List[int] = []
+    for i, (data, ptype) in enumerate(items):
+        insts = None
+        if ptype in ("range", "threshold", "consistency"):
+            try:
+                proof = Proof.from_bytes(data)
+                expected = _PROOF_TYPE_TO_SCHEME[ptype]
+                if proof.version == PROOF_VERSION and proof.scheme == expected:
+                    insts = _bulletproof_instances(proof)
+            except Exception:
+                insts = None
+            if insts is None:
+                results[i] = False
+            else:
+                bp_idx.append(i)
+                bp_groups.append(insts)
+        else:
+            rest.append(i)
 
-    worker = threads.wrap_worker(lambda it: _verify_single_proof(it[0], it[1]))
-    with ThreadPoolExecutor(max_workers=min(os.cpu_count() or 2, len(items))) as pool:
-        return list(pool.map(worker, items))
+    if bp_groups:
+        from ..models.bulletproofs import batch_verify_groups
+
+        for i, ok in zip(bp_idx, batch_verify_groups(bp_groups)):
+            results[i] = ok
+
+    if rest:
+        import os
+        from concurrent.futures import ThreadPoolExecutor
+
+        from . import threads
+
+        worker = threads.wrap_worker(
+            lambda i: _verify_single_proof(items[i][0], items[i][1])
+        )
+        if len(rest) == 1:
+            results[rest[0]] = worker(rest[0])
+        else:
+            with ThreadPoolExecutor(
+                max_workers=min(os.cpu_count() or 2, len(rest))
+            ) as pool:
+                for i, ok in zip(rest, pool.map(worker, rest)):
+                    results[i] = ok
+    return [bool(r) for r in results]
+
+
+def _bulletproof_instances(proof: Proof):
+    """Instance groups for the RLC batch verifier (schemes 1, 3, 6)."""
+    from ..models.bulletproofs_backend import BulletproofsBackend
+    from ..models.schemes.common import reconstruct_bulletproofs_proof
+
+    payload, commitment = proof.proof, proof.commitment
+    if len(commitment) != 32:
+        return None
+    backend = reconstruct_bulletproofs_proof(payload, commitment)
+    if proof.scheme == 1:
+        if len(payload) < 20:
+            return None
+        min_v = int.from_bytes(payload[0:8], "little")
+        max_v = int.from_bytes(payload[8:16], "little")
+        if min_v > max_v:
+            return None
+        return BulletproofsBackend.range_instances(backend, min_v, max_v)
+    if proof.scheme == 3:
+        if len(payload) < 12:
+            return None
+        threshold = int.from_bytes(payload[0:8], "little")
+        return BulletproofsBackend.threshold_instances(backend, threshold)
+    if proof.scheme == 6:
+        return BulletproofsBackend.consistency_instances(backend)
+    return None
