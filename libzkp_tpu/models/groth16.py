@@ -415,6 +415,84 @@ def verify(vk: VerifyingKey, public_inputs: List[int], proof: Proof) -> bool:
 _vk_miller_cache: dict = {}
 
 
+def verify_batch(vk: VerifyingKey, items: List[Tuple[List[int], Proof]]) -> List[bool]:
+    """Batch-verify proofs sharing one verifying key.
+
+    Random-linear-combination of the N pairing equations: with 128-bit
+    weights r_i the grand check is
+
+        prod_i e(r_i A_i, B_i) * e(-sum_i r_i IC_i, gamma)
+             * e(-sum_i r_i C_i, delta) * e(-(sum_i r_i) alpha, beta) == 1
+
+    — one multi-Miller loop over N+3 pairs and ONE final exponentiation,
+    versus N x (3 Miller loops + a final exp) for independent verifies. The
+    IC sum collapses into a single fixed-base MSM over gamma_abc (weighted
+    public inputs accumulated per column). Bisects on failure so a few bad
+    proofs still yield exact per-proof verdicts.
+    """
+    results = [False] * len(items)
+    n_pub = len(vk.gamma_abc_g1) - 1
+    live: List[int] = []
+    for i, (public_inputs, proof) in enumerate(items):
+        try:
+            if len(public_inputs) != n_pub:
+                continue
+            if not (bn.g1_is_on_curve(proof.a) and bn.g1_is_on_curve(proof.c)):
+                continue
+            if not bn.g2_is_on_curve(proof.b) or not bn.g2_in_subgroup(proof.b):
+                continue
+            live.append(i)
+        except Exception:
+            continue
+
+    gamma_abc = list(vk.gamma_abc_g1)
+    neg_alpha = bn.g1_neg(vk.alpha_g1)
+
+    def _check(idxs: List[int]) -> None:
+        try:
+            weights = [_rlc_weight() for _ in idxs]
+            pairs = []
+            ic_scalars = [0] * (n_pub + 1)
+            c_scalars = []
+            c_points = []
+            for w, i in zip(weights, idxs):
+                public_inputs, proof = items[i]
+                pairs.append((bn.g1_scalar_mul(w, proof.a), proof.b))
+                ic_scalars[0] = (ic_scalars[0] + w) % R
+                for j, x in enumerate(public_inputs):
+                    ic_scalars[j + 1] = (ic_scalars[j + 1] + w * (x % R)) % R
+                c_scalars.append(w)
+                c_points.append(proof.c)
+            ic = bn.g1_msm_fixed(ic_scalars, gamma_abc)
+            c_sum = bn.g1_msm(c_scalars, c_points)
+            w_sum = sum(weights) % R
+            pairs.append((bn.g1_neg(ic), vk.gamma_g2))
+            pairs.append((bn.g1_neg(c_sum), vk.delta_g2))
+            pairs.append((bn.g1_scalar_mul(w_sum, neg_alpha), vk.beta_g2))
+            ok = bn.multi_pairing(pairs) == bn.FQ12_ONE
+        except Exception:
+            ok = False
+        if ok:
+            for i in idxs:
+                results[i] = True
+        elif len(idxs) > 1:
+            mid = len(idxs) // 2
+            _check(idxs[:mid])
+            _check(idxs[mid:])
+
+    if live:
+        _check(live)
+    return results
+
+
+def _rlc_weight() -> int:
+    """Nonzero 128-bit random weight for batch combination."""
+    w = 0
+    while w == 0:
+        w = int.from_bytes(os.urandom(16), "little")
+    return w
+
+
 # ---------------------------------------------------------------------------
 # Serialization (uncompressed, little-endian; our own versioned layout —
 # same element order/sizes as arkworks uncompressed: G1 = x||y 64B,

@@ -358,6 +358,61 @@ class SnarkBackend:
             return False
         return groth16.verify(pk.vk, public, proof)
 
+    @staticmethod
+    def verify_equality_batch(entries: List[Tuple[bytes, bytes]]) -> List[bool]:
+        """Batch-verify ``(proof_data, commitment)`` equality entries.
+
+        Same per-entry checks as :meth:`verify_equality_zk`, but the pairing
+        equations combine into one multi-Miller loop + final exponentiation
+        (:func:`..models.groth16.verify_batch`).
+        """
+        results = [False] * len(entries)
+        try:
+            pk = _get_equality_setup()
+        except Exception:
+            return results
+        idx, items = [], []
+        for i, (proof_data, commitment) in enumerate(entries):
+            proof = groth16.proof_from_bytes(proof_data)
+            commitment_fr = fr_from_commitment(bytes(commitment))
+            if proof is None or commitment_fr is None:
+                continue
+            idx.append(i)
+            items.append(([commitment_fr], proof))
+        for i, ok in zip(idx, groth16.verify_batch(pk.vk, items)):
+            results[i] = ok
+        return results
+
+    @staticmethod
+    def verify_membership_batch(
+        entries: List[Tuple[bytes, List[int], bytes]]
+    ) -> List[bool]:
+        """Batch-verify ``(proof_data, the_set, commitment)`` membership
+        entries (checks mirror :meth:`verify_membership_zk`)."""
+        results = [False] * len(entries)
+        try:
+            pk = _get_membership_setup()
+        except Exception:
+            return results
+        idx, items = [], []
+        for i, (proof_data, the_set, commitment) in enumerate(entries):
+            if not the_set or len(the_set) > MAX_SET_SIZE or len(commitment) != 32:
+                continue
+            proof = groth16.proof_from_bytes(proof_data)
+            commitment_fr = fr_from_commitment(bytes(commitment))
+            if proof is None or commitment_fr is None:
+                continue
+            public = [commitment_fr]
+            for j in range(MAX_SET_SIZE):
+                public.append(the_set[j] if j < len(the_set) else 0)
+            for j in range(MAX_SET_SIZE):
+                public.append(1 if j < len(the_set) else 0)
+            idx.append(i)
+            items.append((public, proof))
+        for i, ok in zip(idx, groth16.verify_batch(pk.vk, items)):
+            results[i] = ok
+        return results
+
     # -- raw ZkpBackend trait interface (snark.rs:588-616) -----------------
     @staticmethod
     def prove(data: bytes) -> bytes:

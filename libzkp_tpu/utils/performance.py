@@ -225,7 +225,55 @@ def verify_proofs_parallel(proofs: Sequence[Tuple[bytes, str]]) -> List[bool]:
         for i, ok in zip(bp_idx, batch_verify_groups(bp_groups)):
             results[i] = ok
 
-    if rest:
+    # Groth16 schemes batch per verifying key: one multi-Miller loop + one
+    # final exponentiation for the whole bucket instead of N pairings each.
+    eq_idx: List[int] = []
+    eq_entries = []
+    mem_idx: List[int] = []
+    mem_entries = []
+    other: List[int] = []
+    for i in rest:
+        data, ptype = items[i]
+        if ptype not in ("equality", "membership"):
+            other.append(i)
+            continue
+        try:
+            proof = Proof.from_bytes(data)
+            if proof.version != PROOF_VERSION or len(proof.commitment) != 32:
+                results[i] = False
+                continue
+            if ptype == "equality" and proof.scheme == 2:
+                eq_idx.append(i)
+                eq_entries.append((proof.proof, proof.commitment))
+            elif ptype == "membership" and proof.scheme == 4:
+                from ..models.schemes.common import deserialize_embedded_set_prefix
+                from ..models.snark_backend import MAX_SET_SIZE
+
+                parsed = deserialize_embedded_set_prefix(proof.proof, MAX_SET_SIZE)
+                if parsed is None or not parsed[1]:
+                    results[i] = False
+                    continue
+                the_set, snark_bytes = parsed
+                mem_idx.append(i)
+                mem_entries.append((snark_bytes, the_set, proof.commitment))
+            else:
+                results[i] = False
+        except Exception:
+            results[i] = False
+
+    if eq_entries or mem_entries:
+        from ..models.snark_backend import SnarkBackend
+
+        if eq_entries:
+            for i, ok in zip(eq_idx, SnarkBackend.verify_equality_batch(eq_entries)):
+                results[i] = ok
+        if mem_entries:
+            for i, ok in zip(
+                mem_idx, SnarkBackend.verify_membership_batch(mem_entries)
+            ):
+                results[i] = ok
+
+    if other:
         import os
         from concurrent.futures import ThreadPoolExecutor
 
@@ -234,13 +282,13 @@ def verify_proofs_parallel(proofs: Sequence[Tuple[bytes, str]]) -> List[bool]:
         worker = threads.wrap_worker(
             lambda i: _verify_single_proof(items[i][0], items[i][1])
         )
-        if len(rest) == 1:
-            results[rest[0]] = worker(rest[0])
+        if len(other) == 1:
+            results[other[0]] = worker(other[0])
         else:
             with ThreadPoolExecutor(
-                max_workers=min(os.cpu_count() or 2, len(rest))
+                max_workers=min(os.cpu_count() or 2, len(other))
             ) as pool:
-                for i, ok in zip(rest, pool.map(worker, rest)):
+                for i, ok in zip(other, pool.map(worker, other)):
                     results[i] = ok
     return [bool(r) for r in results]
 
