@@ -18,6 +18,7 @@ TPU via :mod:`libzkp_tpu.ops.ntt`.
 
 from __future__ import annotations
 
+import functools
 import struct
 from dataclasses import dataclass, field as dc_field
 from typing import List, Sequence, Tuple
@@ -210,6 +211,39 @@ def _lagrange_eval(F: PrimeField, xs: List[int], ys: List[int], at: int) -> int:
 # ---------------------------------------------------------------------------
 
 
+@functools.lru_cache(maxsize=32)
+def _domain_ctx(F: PrimeField, n: int, N: int, offset: int, steps: Tuple[int, ...]):
+    """Proof-independent evaluation-domain constants, cached per AIR shape.
+
+    xs (the coset points), the inverted transition zerofier with its
+    last-step exemption folded in, and the inverted boundary zerofiers for
+    the assertion steps depend only on (field, trace shape, offset) — one
+    proof pays for them, every later proof of the same shape reuses them.
+    """
+    p = F.p
+    g_n = F.root_of_unity(n)
+    g_N = F.root_of_unity(N)
+    xs = [offset % p]
+    for _ in range(N - 1):
+        xs.append(xs[-1] * g_N % p)
+    exemption = pow(g_n, n - 1, p)
+    zerofier_den = []
+    for x in xs:
+        xn = x
+        m = n
+        while m > 1:  # n is a power of two: square-chain instead of pow()
+            xn = xn * xn % p
+            m >>= 1
+        zerofier_den.append((xn - 1) % p)
+    inv_zerofier = F.batch_inv(zerofier_den)
+    zinv = [inv_zerofier[r] * ((xs[r] - exemption) % p) % p for r in range(N)]
+    inv_boundary = []
+    for step in steps:
+        pt = pow(g_n, step, p)
+        inv_boundary.append(F.batch_inv([(x - pt) % p for x in xs]))
+    return xs, zinv, inv_boundary
+
+
 def prove(air: Air, trace_columns: List[List[int]], precomputed=None) -> bytes:
     """``precomputed``: optional (trace_polys, trace_lde) pair — the batch
     prover computes those for many proofs at once on the TPU."""
@@ -246,16 +280,10 @@ def prove(air: Air, trace_columns: List[List[int]], precomputed=None) -> bytes:
     alphas = coin.draw_felts(F, len(t_degrees))
     betas = coin.draw_felts(F, len(assertions))
 
-    # 4. composition evaluations over the LDE domain
-    xs = [offset * pow(g_N, r, p) % p for r in range(N)]
-    exemption = pow(g_n, n - 1, p)
-    zerofier_den = [(pow(x, n, p) - 1) % p for x in xs]
-    inv_zerofier = F.batch_inv(zerofier_den)
-    boundary_dens = []
-    for (_, step, _) in assertions:
-        pt = pow(g_n, step, p)
-        boundary_dens.append([(x - pt) % p for x in xs])
-    inv_boundary = [F.batch_inv(d) for d in boundary_dens]
+    # 4. composition evaluations over the LDE domain (cached domain consts)
+    xs, zinv_all, inv_boundary = _domain_ctx(
+        F, n, N, offset, tuple(step for (_, step, _) in assertions)
+    )
 
     comp_evals = []
     for r in range(N):
@@ -263,7 +291,7 @@ def prove(air: Air, trace_columns: List[List[int]], precomputed=None) -> bytes:
         nxt = [trace_lde[i][(r + opts.blowup) % N] for i in range(w)]
         t_evals = air.evaluate_transition(cur, nxt)
         acc = 0
-        zinv = inv_zerofier[r] * ((xs[r] - exemption) % p) % p
+        zinv = zinv_all[r]
         for a, ev in zip(alphas, t_evals):
             acc = (acc + a * ev % p * zinv) % p
         for j, (col, _, value) in enumerate(assertions):
