@@ -273,7 +273,27 @@ static inline fe fe_mul(const fe& f, const fe& g) {
     return out;
 }
 
-static inline fe fe_sq(const fe& f) { return fe_mul(f, f); }
+// Dedicated squaring: 15 wide products instead of 25 (ref10 layout).
+static inline fe fe_sq(const fe& f) {
+    uint64_t f0 = f.v[0], f1 = f.v[1], f2 = f.v[2], f3 = f.v[3], f4 = f.v[4];
+    uint64_t f0_2 = f0 * 2, f1_2 = f1 * 2, f2_2 = f2 * 2, f3_2 = f3 * 2;
+    uint64_t f3_19 = f3 * 19, f4_19 = f4 * 19;
+    u128 r0 = (u128)f0 * f0 + (u128)f1_2 * f4_19 + (u128)f2_2 * f3_19;
+    u128 r1 = (u128)f0_2 * f1 + (u128)f2_2 * f4_19 + (u128)f3 * f3_19;
+    u128 r2 = (u128)f0_2 * f2 + (u128)f1 * f1 + (u128)f3_2 * f4_19;
+    u128 r3 = (u128)f0_2 * f3 + (u128)f1_2 * f2 + (u128)f4 * f4_19;
+    u128 r4 = (u128)f0_2 * f4 + (u128)f1_2 * f3 + (u128)f2 * f2;
+    fe out;
+    uint64_t c;
+    c = (uint64_t)(r0 >> 51); out.v[0] = (uint64_t)r0 & MASK51; r1 += c;
+    c = (uint64_t)(r1 >> 51); out.v[1] = (uint64_t)r1 & MASK51; r2 += c;
+    c = (uint64_t)(r2 >> 51); out.v[2] = (uint64_t)r2 & MASK51; r3 += c;
+    c = (uint64_t)(r3 >> 51); out.v[3] = (uint64_t)r3 & MASK51; r4 += c;
+    c = (uint64_t)(r4 >> 51); out.v[4] = (uint64_t)r4 & MASK51;
+    out.v[0] += c * 19;
+    c = out.v[0] >> 51; out.v[0] &= MASK51; out.v[1] += c;
+    return out;
+}
 
 static fe fe_frombytes(const uint8_t s[32]) {
     uint64_t w[4];
@@ -691,7 +711,58 @@ static bfq bfq_mul(const bfq& a, const bfq& b) {
     return r;
 }
 
-static inline bfq bfq_sq(const bfq& a) { return bfq_mul(a, a); }
+// Dedicated Montgomery squaring (SOS with doubled cross products): 10 wide
+// products in the multiply phase instead of CIOS's 16.
+static bfq bfq_sq(const bfq& a) {
+    const uint64_t* x = a.m.v;
+    uint64_t t[9] = {0, 0, 0, 0, 0, 0, 0, 0, 0};
+    for (int i = 0; i < 4; i++) {
+        u128 c = 0;
+        for (int j = i + 1; j < 4; j++) {
+            c += (u128)t[i + j] + (u128)x[i] * x[j];
+            t[i + j] = (uint64_t)c;
+            c >>= 64;
+        }
+        t[i + 4] = (uint64_t)c;
+    }
+    uint64_t carry = 0;
+    for (int k = 1; k < 8; k++) {
+        uint64_t nc = t[k] >> 63;
+        t[k] = (t[k] << 1) | carry;
+        carry = nc;
+    }
+    t[8] = carry;
+    u128 c2 = 0;
+    for (int i = 0; i < 4; i++) {
+        u128 sq = (u128)x[i] * x[i];
+        c2 += (u128)t[2 * i] + (uint64_t)sq;
+        t[2 * i] = (uint64_t)c2;
+        c2 >>= 64;
+        c2 += (u128)t[2 * i + 1] + (uint64_t)(sq >> 64);
+        t[2 * i + 1] = (uint64_t)c2;
+        c2 >>= 64;
+    }
+    t[8] += (uint64_t)c2;
+    for (int i = 0; i < 4; i++) {
+        uint64_t m = t[i] * BQ_NINV;
+        u128 c = (u128)t[i] + (u128)m * BQ.v[0];
+        c >>= 64;
+        for (int j = 1; j < 4; j++) {
+            c += (u128)t[i + j] + (u128)m * BQ.v[j];
+            t[i + j] = (uint64_t)c;
+            c >>= 64;
+        }
+        for (int k = i + 4; k < 9 && c; k++) {
+            c += t[k];
+            t[k] = (uint64_t)c;
+            c >>= 64;
+        }
+    }
+    bfq r;
+    for (int i = 0; i < 4; i++) r.m.v[i] = t[i + 4];
+    if (t[8] || u256_cmp(r.m, BQ) >= 0) u256_sub(r.m, r.m, BQ);
+    return r;
+}
 
 static bfq bfq_zero() { return bfq{{{0, 0, 0, 0}}}; }
 static bfq bfq_one() { return bfq{BQ_MONT_ONE}; }
