@@ -334,15 +334,232 @@ def prove_single(
     _append_scalar(t, b"e_blinding", e_blinding)
 
     w = _challenge_scalar(t, b"w")
-    Q = ed.scalar_mul(w, B)
     y_inv = pow(y, -1, L)
     H_factors = []
     yi = 1
     for _ in range(n):
         H_factors.append(yi)
         yi = yi * y_inv % L
-    ipp = ipp_create(t, Q, [1] * n, H_factors, G, H, l_vec, r_vec, q_scalar=w, B=B)
+    # Q = w*B is never materialized: the q_scalar path folds cL*w onto the
+    # process-constant basis point B inside every IPP round's MSM.
+    ipp = ipp_create(t, B, [1] * n, H_factors, G, H, l_vec, r_vec, q_scalar=w, B=B)
     return RangeProof(A_c, S_c, T_1, T_2, t_x, t_x_blinding, e_blinding, ipp), V
+
+
+def prove_single_batch(
+    instances: List[Tuple[Transcript, int, int, int]]
+) -> List[Tuple[RangeProof, bytes]]:
+    """Lockstep batch prover: many independent single range proofs advanced
+    phase by phase, so every fixed-basis MSM (V/A/S/T commitments and each
+    IPP round's L/R) runs as ONE native batch call, OMP-parallel across
+    proofs. Transcripts stay strictly per-proof — byte-identical schedule to
+    :func:`prove_single`. Instances are ``(transcript, value, blinding, n)``
+    in any mix of bit-widths (grouped internally).
+    """
+    out: List[Optional[Tuple[RangeProof, bytes]]] = [None] * len(instances)
+    by_n: dict = {}
+    for i, inst in enumerate(instances):
+        by_n.setdefault(inst[3], []).append(i)
+    for n, idxs in by_n.items():
+        for i, res in zip(idxs, _prove_batch_fixed_n([instances[i] for i in idxs], n)):
+            out[i] = res
+    return out  # type: ignore[return-value]
+
+
+def _prove_batch_fixed_n(insts, n: int) -> List[Tuple[RangeProof, bytes]]:
+    assert 0 < n <= 64 and n & (n - 1) == 0
+    B, B_blinding = pedersen_gens()
+    G, H = bp_gens(n)
+    G = list(G)
+    H = list(H)
+    basis_vs = [B, B_blinding]
+    basis_as = [B_blinding] + G + H
+    basis_ipp = G + H + [B]
+    m0 = len(insts)
+
+    # -- phase 1: value commitments -----------------------------------------
+    gammas = []
+    a_Ls = []
+    for t, value, blinding, _ in insts:
+        assert value < (1 << n)
+        gammas.append(blinding % L)
+        a_Ls.append([(value >> i) & 1 for i in range(n)])
+    V_pts = ed.msm_fixed_many(
+        [[value % L, g] for (_, value, _, _), g in zip(insts, gammas)], basis_vs
+    )
+    Vs = [ed.compress(p) for p in V_pts]
+
+    # -- phase 2: A and S commitments (one batched MSM for both) ------------
+    a_blind = [_random_scalar() for _ in range(m0)]
+    s_blind = [_random_scalar() for _ in range(m0)]
+    s_Ls = [[_random_scalar() for _ in range(n)] for _ in range(m0)]
+    s_Rs = [[_random_scalar() for _ in range(n)] for _ in range(m0)]
+    as_vecs = []
+    for j in range(m0):
+        a_L = a_Ls[j]
+        as_vecs.append([a_blind[j]] + a_L + [(b - 1) % L for b in a_L])
+        as_vecs.append([s_blind[j]] + s_Ls[j] + s_Rs[j])
+    as_pts = ed.msm_fixed_many(as_vecs, basis_as)
+
+    ys = []
+    zs = []
+    A_cs = []
+    S_cs = []
+    for j, (t, value, blinding, _) in enumerate(insts):
+        t.append_message(b"dom-sep", b"rangeproof v1")
+        t.append_u64(b"n", n)
+        t.append_u64(b"m", 1)
+        if not _validate_and_append_point(t, b"V", Vs[j]):
+            raise ValueError("value commitment is the identity")
+        A_c, S_c = ed.compress(as_pts[2 * j]), ed.compress(as_pts[2 * j + 1])
+        _append_point(t, b"A", A_c)
+        _append_point(t, b"S", S_c)
+        A_cs.append(A_c)
+        S_cs.append(S_c)
+        ys.append(_challenge_scalar(t, b"y"))
+        zs.append(_challenge_scalar(t, b"z"))
+
+    # -- phase 3: t(x) commitments ------------------------------------------
+    l0s, r0s, r1s, t1b, t2b, t_vecs = [], [], [], [], [], []
+    for j in range(m0):
+        y, z = ys[j], zs[j]
+        z2 = z * z % L
+        a_L, s_L, s_R = a_Ls[j], s_Ls[j], s_Rs[j]
+        l0 = [(a_L[i] - z) % L for i in range(n)]
+        yi = 1
+        r0, r1 = [], []
+        pow2 = 1
+        for i in range(n):
+            a_R_i = (a_L[i] - 1) % L
+            r0.append((yi * ((a_R_i + z) % L) + z2 * pow2) % L)
+            r1.append(yi * s_R[i] % L)
+            yi = yi * y % L
+            pow2 = pow2 * 2 % L
+        t1 = (_inner(l0, r1) + _inner(s_L, r0)) % L
+        t2 = _inner(s_L, r1)
+        t1_blinding = _random_scalar()
+        t2_blinding = _random_scalar()
+        l0s.append(l0)
+        r0s.append(r0)
+        r1s.append(r1)
+        t1b.append(t1_blinding)
+        t2b.append(t2_blinding)
+        t_vecs.append([t1 % L, t1_blinding])
+        t_vecs.append([t2 % L, t2_blinding])
+    t_pts = ed.msm_fixed_many(t_vecs, basis_vs)
+
+    # -- phase 4: x/w challenges + IPP inputs ---------------------------------
+    states = []
+    for j, (t, value, blinding, _) in enumerate(insts):
+        y, z = ys[j], zs[j]
+        z2 = z * z % L
+        T_1 = ed.compress(t_pts[2 * j])
+        T_2 = ed.compress(t_pts[2 * j + 1])
+        _append_point(t, b"T_1", T_1)
+        _append_point(t, b"T_2", T_2)
+        x = _challenge_scalar(t, b"x")
+        l0, r0, r1, s_L = l0s[j], r0s[j], r1s[j], s_Ls[j]
+        l_vec = [(l0[i] + s_L[i] * x) % L for i in range(n)]
+        r_vec = [(r0[i] + r1[i] * x) % L for i in range(n)]
+        t_x = _inner(l_vec, r_vec)
+        t_x_blinding = (z2 * gammas[j] + x * t1b[j] + x * x % L * t2b[j]) % L
+        e_blinding = (a_blind[j] + x * s_blind[j]) % L
+        _append_scalar(t, b"t_x", t_x)
+        _append_scalar(t, b"t_x_blinding", t_x_blinding)
+        _append_scalar(t, b"e_blinding", e_blinding)
+        w = _challenge_scalar(t, b"w")
+        y_inv = pow(y, -1, L)
+        hf = []
+        yi = 1
+        for _ in range(n):
+            hf.append(yi)
+            yi = yi * y_inv % L
+        t.append_message(b"dom-sep", b"ipp v1")
+        t.append_u64(b"n", n)
+        states.append(
+            {
+                "t": t,
+                "a": list(l_vec),
+                "b": list(r_vec),
+                "gc": [1] * n,
+                "hc": hf,
+                "w": w,
+                "L": [],
+                "R": [],
+                "T_1": T_1,
+                "T_2": T_2,
+                "t_x": t_x,
+                "t_x_blinding": t_x_blinding,
+                "e_blinding": e_blinding,
+            }
+        )
+
+    # -- phase 5: IPP rounds in lockstep --------------------------------------
+    m = n
+    while m > 1:
+        half = m // 2
+        vecs = []
+        cLs = []
+        cRs = []
+        for st in states:
+            a, b, gc, hc, w = st["a"], st["b"], st["gc"], st["hc"], st["w"]
+            cL = _inner(a[:half], b[half:])
+            cR = _inner(a[half:], b[:half])
+            cLs.append(cL)
+            cRs.append(cR)
+            gl = [0] * n
+            hl = [0] * n
+            gr = [0] * n
+            hr = [0] * n
+            for k in range(n):
+                i = k % m
+                if i >= half:
+                    gl[k] = a[i - half] * gc[k] % L
+                    hr[k] = b[i - half] * hc[k] % L
+                else:
+                    hl[k] = b[half + i] * hc[k] % L
+                    gr[k] = a[half + i] * gc[k] % L
+            vecs.append(gl + hl + [cL * w % L])
+            vecs.append(gr + hr + [cR * w % L])
+        pts = ed.msm_fixed_many(vecs, basis_ipp)
+        for j, st in enumerate(states):
+            t = st["t"]
+            Lc = ed.compress(pts[2 * j])
+            Rc = ed.compress(pts[2 * j + 1])
+            st["L"].append(Lc)
+            st["R"].append(Rc)
+            _append_point(t, b"L", Lc)
+            _append_point(t, b"R", Rc)
+            u = _challenge_scalar(t, b"u")
+            u_inv = pow(u, -1, L)
+            a, b, gc, hc = st["a"], st["b"], st["gc"], st["hc"]
+            st["a"] = [(a[i] * u + u_inv * a[half + i]) % L for i in range(half)]
+            st["b"] = [(b[i] * u_inv + u * b[half + i]) % L for i in range(half)]
+            for k in range(n):
+                if (k % m) < half:
+                    gc[k] = gc[k] * u_inv % L
+                    hc[k] = hc[k] * u % L
+                else:
+                    gc[k] = gc[k] * u % L
+                    hc[k] = hc[k] * u_inv % L
+        m = half
+
+    return [
+        (
+            RangeProof(
+                A_cs[j],
+                S_cs[j],
+                st["T_1"],
+                st["T_2"],
+                st["t_x"],
+                st["t_x_blinding"],
+                st["e_blinding"],
+                InnerProductProof(st["L"], st["R"], st["a"][0], st["b"][0]),
+            ),
+            Vs[j],
+        )
+        for j, st in enumerate(states)
+    ]
 
 
 @dataclass

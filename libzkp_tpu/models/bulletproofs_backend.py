@@ -110,6 +110,116 @@ class BulletproofsBackend:
         return encode_proof_body_with_commit(bytes(body), value_commit)
 
     @staticmethod
+    def prepare_range_bits(value: int, min_v: int, max_v: int, n_bits: int):
+        """Split of :meth:`prove_range_with_bounds_bits` for the lockstep
+        batch prover: returns ``(instances, finish)`` where instances are
+        two ``(Transcript, value, blinding, n)`` tuples for
+        :func:`..models.bulletproofs.prove_single_batch` and
+        ``finish(results)`` assembles the identical backend wire bytes."""
+        if value < min_v or value > max_v:
+            raise ValueError("value out of range")
+        max_diff = max_u64_for_bit_width(n_bits)
+        diff_min = value - min_v
+        diff_max = max_v - value
+        if diff_min > max_diff or diff_max > max_diff:
+            raise ValueError(
+                f"range width exceeds {n_bits}-bit capacity; use n_bits=64"
+            )
+        blinding = _random_blinding()
+        value_commit = ed.compress(pedersen_commit(value % L, blinding))
+        instances = [
+            (Transcript(b"libzkp_range_min"), diff_min, blinding, n_bits),
+            (Transcript(b"libzkp_range_max"), diff_max, (L - blinding) % L, n_bits),
+        ]
+
+        def finish(results):
+            (rp_min, c_min), (rp_max, c_max) = results
+            body = bytearray()
+            body += u64_le(min_v)
+            body += u64_le(max_v)
+            body += u32_le(n_bits)
+            rp_min_b = rp_min.to_bytes()
+            body += u32_le(len(rp_min_b)) + rp_min_b
+            rp_max_b = rp_max.to_bytes()
+            body += u32_le(len(rp_max_b)) + rp_max_b
+            body += c_min
+            body += c_max
+            return encode_proof_body_with_commit(bytes(body), value_commit)
+
+        return instances, finish
+
+    @staticmethod
+    def prepare_threshold_bits(values: List[int], threshold: int, n_bits: int):
+        """Prepare/finish split of :meth:`prove_threshold_bits` (see
+        :meth:`prepare_range_bits`)."""
+        if not values:
+            raise ValueError("values cannot be empty")
+        total = 0
+        for v in values:
+            total += v
+            if total > (1 << 64) - 1:
+                raise ValueError("integer overflow in sum calculation")
+        if total < threshold:
+            raise ValueError("threshold not met")
+        diff = total - threshold
+        if diff > max_u64_for_bit_width(n_bits):
+            raise ValueError(
+                f"sum - threshold exceeds {n_bits}-bit capacity; use n_bits=64"
+            )
+        sum_blinding = _random_blinding()
+        sum_commit = ed.compress(pedersen_commit(total % L, sum_blinding))
+        instances = [(Transcript(b"libzkp_threshold"), diff, sum_blinding, n_bits)]
+
+        def finish(results):
+            ((rp, diff_commit),) = results
+            body = bytearray()
+            body += u64_le(threshold)
+            body += u32_le(n_bits)
+            rp_b = rp.to_bytes()
+            body += u32_le(len(rp_b)) + rp_b
+            body += diff_commit
+            return encode_proof_body_with_commit(bytes(body), sum_commit)
+
+        return instances, finish
+
+    @staticmethod
+    def prepare_consistency(data: List[int]):
+        """Prepare/finish split of :meth:`prove_consistency` (see
+        :meth:`prepare_range_bits`)."""
+        if not data:
+            raise ValueError("data cannot be empty")
+        if any(data[i] > data[i + 1] for i in range(len(data) - 1)):
+            raise ValueError("data inconsistent")
+        blindings = [_random_blinding() for _ in data]
+        commitments = [
+            ed.compress(pedersen_commit(v % L, b)) for v, b in zip(data, blindings)
+        ]
+        instances = [
+            (
+                Transcript(b"libzkp_consistency"),
+                data[i] - data[i - 1],
+                (blindings[i] - blindings[i - 1]) % L,
+                64,
+            )
+            for i in range(1, len(data))
+        ]
+
+        def finish(results):
+            body = bytearray()
+            body += u32_le(len(data))
+            for c in commitments:
+                body += c
+            for rp, _ in results:
+                rp_b = rp.to_bytes()
+                body += u32_le(len(rp_b)) + rp_b
+            for _, dc in results:
+                body += dc
+            digest = hashlib.sha256(b"".join(commitments)).digest()
+            return encode_proof_body_with_commit(bytes(body), digest)
+
+        return instances, finish
+
+    @staticmethod
     def verify_range_with_bounds(proof_data: bytes, min_v: int, max_v: int) -> bool:
         return BulletproofsBackend.verify_range_with_bounds_bits(proof_data, min_v, max_v)
 

@@ -310,10 +310,23 @@ class Proof:
     c: bn.G1
 
 
-def _prove_core(pk: ProvingKey, z: List[int], num_instance: int, h: List[int]) -> Proof:
+def _finish_proof(pk: ProvingKey, a_acc, b_g2_acc, b_g1_acc, h_acc, l_acc) -> Proof:
+    """Fold the query-MSM accumulators and fresh r/s blinding into (A, B, C)."""
     r = _rand_fr()
     s = _rand_fr()
+    a = bn.g1_add(bn.g1_add(pk.vk.alpha_g1, a_acc), bn.g1_scalar_mul(r, pk.delta_g1))
+    b = bn.g2_add(
+        bn.g2_add(pk.vk.beta_g2, b_g2_acc), bn.g2_scalar_mul(s, pk.vk.delta_g2)
+    )
+    b_g1 = bn.g1_add(bn.g1_add(pk.beta_g1, b_g1_acc), bn.g1_scalar_mul(s, pk.delta_g1))
+    c = bn.g1_add(h_acc, l_acc)
+    c = bn.g1_add(c, bn.g1_scalar_mul(s, a))
+    c = bn.g1_add(c, bn.g1_scalar_mul(r, b_g1))
+    c = bn.g1_add(c, bn.g1_neg(bn.g1_scalar_mul(r * s % R, pk.delta_g1)))
+    return Proof(a=a, b=b, c=c)
 
+
+def _prove_core(pk: ProvingKey, z: List[int], num_instance: int, h: List[int]) -> Proof:
     # The five query MSMs run sequentially: each one already spans the cores
     # via its OpenMP window chunks (A/B measured faster than a Python-level
     # task pool, whose per-MSM serialization work is GIL-bound).
@@ -323,18 +336,75 @@ def _prove_core(pk: ProvingKey, z: List[int], num_instance: int, h: List[int]) -
     b_g1_acc = bn.g1_msm_fixed(z, pk.b_g1_query)
     h_acc = bn.g1_msm_fixed(h, pk.h_query)
     l_acc = bn.g1_msm_fixed(wit, pk.l_query)
+    return _finish_proof(pk, a_acc, b_g2_acc, b_g1_acc, h_acc, l_acc)
 
-    a = bn.g1_add(bn.g1_add(pk.vk.alpha_g1, a_acc), bn.g1_scalar_mul(r, pk.delta_g1))
 
-    delta_g2 = pk.vk.delta_g2
-    b = bn.g2_add(bn.g2_add(pk.vk.beta_g2, b_g2_acc), bn.g2_scalar_mul(s, delta_g2))
+def _accs_many(pk: ProvingKey, z_list: List[List[int]], num_instance: int, h_list):
+    """Phase-batched query MSMs for one circuit: each table is walked once
+    for the whole batch (native OMP across proofs keeps the cores hot with
+    no GIL in the way). Returns one (a, b_g2, b_g1, h, l) tuple per z."""
+    b_g2_accs = bn.g2_msm_fixed_many(z_list, pk.b_g2_query)
+    a_accs = bn.g1_msm_fixed_many(z_list, pk.a_query)
+    b_g1_accs = bn.g1_msm_fixed_many(z_list, pk.b_g1_query)
+    h_accs = bn.g1_msm_fixed_many(h_list, pk.h_query)
+    l_accs = bn.g1_msm_fixed_many([z[num_instance:] for z in z_list], pk.l_query)
+    return list(zip(a_accs, b_g2_accs, b_g1_accs, h_accs, l_accs))
 
-    b_g1 = bn.g1_add(bn.g1_add(pk.beta_g1, b_g1_acc), bn.g1_scalar_mul(s, pk.delta_g1))
-    c = bn.g1_add(h_acc, l_acc)
-    c = bn.g1_add(c, bn.g1_scalar_mul(s, a))
-    c = bn.g1_add(c, bn.g1_scalar_mul(r, b_g1))
-    c = bn.g1_add(c, bn.g1_neg(bn.g1_scalar_mul(r * s % R, pk.delta_g1)))
-    return Proof(a=a, b=b, c=c)
+
+def _prove_core_many(
+    pk: ProvingKey, z_list: List[List[int]], num_instance: int, h_list
+) -> List[Proof]:
+    return [
+        _finish_proof(pk, *accs)
+        for accs in _accs_many(pk, z_list, num_instance, h_list)
+    ]
+
+
+def prove_assigned_many(
+    pk: ProvingKey,
+    z_list: List[List[int]],
+    num_instance: int,
+    n_constraints: int,
+    circuit_key,
+) -> Optional[List[Proof]]:
+    """Batch variant of :func:`prove_assigned` for one circuit.
+
+    Duplicate statements (identical assignment vectors — common in real
+    batches) are deduplicated: the query-MSM accumulators and the h-poly are
+    deterministic functions of z, so they are computed once per distinct z;
+    every individual proof still draws fresh (r, s) blinding in
+    :func:`_finish_proof` and is indistinguishable from an unbatched one.
+    None when the fast path is unavailable (caller falls back).
+    """
+    from .. import native
+
+    if not native.HAVE_NATIVE or not z_list:
+        return None
+    n = len(pk.h_query) + 1
+    key = (circuit_key, n, n_constraints, len(z_list[0]))
+    csr = _csr_cache.get(key)
+    if csr is None:
+        return None
+    root = BN254_FR.root_of_unity(n)
+    from ..utils import threads
+
+    slot_of: dict = {}
+    distinct: List[List[int]] = []
+    assign: List[int] = []
+    for z in z_list:
+        zk = tuple(z)
+        slot = slot_of.get(zk)
+        if slot is None:
+            slot = slot_of[zk] = len(distinct)
+            distinct.append(z)
+        assign.append(slot)
+
+    h_list = threads.run_many(
+        lambda z: native.groth16_h(n, n_constraints, num_instance, R, root, 5, csr, z),
+        distinct,
+    )
+    accs = _accs_many(pk, distinct, num_instance, h_list)
+    return [_finish_proof(pk, *accs[j]) for j in assign]
 
 
 def prove(pk: ProvingKey, cs: ConstraintSystem, circuit_key=None) -> Proof:

@@ -21,6 +21,32 @@ from .common import (
 SCHEME_ID = SCHEME_CONSISTENCY
 
 
+def prove_consistency_batch(datas) -> list:
+    """Batched variant over sequences (lockstep IPP — see
+    range_proof.prove_range_batch)."""
+    from ..bulletproofs import prove_single_batch
+
+    datas = [list(d) for d in datas]
+    for data in datas:
+        validate_consistency_params(data)
+    prepared = []
+    try:
+        for data in datas:
+            prepared.append(BulletproofsBackend.prepare_consistency(data))
+    except ValueError as e:
+        raise InvalidInput(str(e)) from None
+    instances = [inst for insts, _ in prepared for inst in insts]
+    results = prove_single_batch(instances)
+    out = []
+    pos = 0
+    for insts, finish in prepared:
+        backend_proof = finish(results[pos : pos + len(insts)])
+        pos += len(insts)
+        proof_bytes, commitment = extract_bulletproofs_components(backend_proof)
+        out.append(create_proof(SCHEME_ID, proof_bytes, commitment))
+    return out
+
+
 def prove_consistency(data: List[int]) -> bytes:
     validate_consistency_params(data)
     try:

@@ -37,6 +37,35 @@ def prove_range_with_bits(value: int, min_v: int, max_v: int, n_bits: int) -> by
     return create_proof(SCHEME_ID, proof_bytes, commitment)
 
 
+def prove_range_batch(triples) -> list:
+    """Batched variant over ``(value, min_v, max_v)`` triples: the min/max
+    sub-proofs of every operation advance in lockstep so each IPP round is
+    one native MSM batch (models.bulletproofs.prove_single_batch)."""
+    from ..bulletproofs import prove_single_batch
+
+    triples = list(triples)
+    for value, min_v, max_v in triples:
+        validate_range_params(value, min_v, max_v)
+    prepared = []
+    try:
+        for value, min_v, max_v in triples:
+            prepared.append(
+                BulletproofsBackend.prepare_range_bits(value, min_v, max_v, 64)
+            )
+    except ValueError as e:
+        raise BackendError(str(e)) from None
+    instances = [inst for insts, _ in prepared for inst in insts]
+    results = prove_single_batch(instances)
+    out = []
+    pos = 0
+    for insts, finish in prepared:
+        backend_proof = finish(results[pos : pos + len(insts)])
+        pos += len(insts)
+        proof_bytes, commitment = extract_bulletproofs_components(backend_proof)
+        out.append(create_proof(SCHEME_ID, proof_bytes, commitment))
+    return out
+
+
 def verify_range(proof: bytes, min_v: int, max_v: int) -> bool:
     if min_v > max_v:
         return False

@@ -31,11 +31,46 @@ def prove_membership(value: int, the_set: List[int]) -> bytes:
     snark_proof = SnarkBackend.prove_membership_zk(value, list(the_set), commitment)
     if not snark_proof:
         raise ProofGenerationFailed("SNARK membership proof generation failed")
+    return _assemble(the_set, snark_proof, commitment)
+
+
+def _assemble(the_set: List[int], snark_proof: bytes, commitment: bytes) -> bytes:
     payload = bytearray(u32_le(len(the_set)))
     for v in the_set:
         payload += u64_le(v)
     payload += snark_proof
     return Proof.new(SCHEME_ID, bytes(payload), commitment).to_bytes()
+
+
+def prove_membership_batch(items) -> list:
+    """Batched variant: proofs of the fixed membership circuit share each
+    proving-key table walk (native OMP); per-proof fallback otherwise."""
+    items = [(value, list(the_set)) for value, the_set in items]
+    for value, the_set in items:
+        validate_membership_params(value, the_set)
+        validate_set_size(the_set, MAX_SET_SIZE)
+    if len(items) >= 2:
+        commitments = [commit_value_snark(v) for v, _ in items]
+        entries = [(v, s, c) for (v, s), c in zip(items, commitments)]
+        snarks = SnarkBackend.prove_membership_zk_many(entries)
+        first = None
+        if snarks is None:
+            # seed circuit caches with one sequential proof, then batch
+            first = prove_membership(*items[0])
+            entries = entries[1:]
+            snarks = SnarkBackend.prove_membership_zk_many(entries)
+        if snarks is not None:
+            out = [first] if first is not None else []
+            for (v, s, c), sp in zip(entries, snarks):
+                if not sp:
+                    raise ProofGenerationFailed(
+                        "SNARK membership proof generation failed"
+                    )
+                out.append(_assemble(s, sp, c))
+            return out
+        if first is not None:
+            return [first] + [prove_membership(v, s) for v, s in items[1:]]
+    return [prove_membership(v, s) for v, s in items]
 
 
 def verify_membership(proof: bytes, the_set: List[int]) -> bool:

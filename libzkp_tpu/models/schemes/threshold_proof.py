@@ -22,6 +22,34 @@ from .common import (
 SCHEME_ID = SCHEME_THRESHOLD
 
 
+def prove_threshold_batch(pairs) -> list:
+    """Batched variant over ``(values, threshold)`` pairs (lockstep IPP —
+    see range_proof.prove_range_batch)."""
+    from ..bulletproofs import prove_single_batch
+
+    pairs = [(list(v), t) for v, t in pairs]
+    for values, threshold in pairs:
+        validate_threshold_params(values, threshold)
+    prepared = []
+    try:
+        for values, threshold in pairs:
+            prepared.append(
+                BulletproofsBackend.prepare_threshold_bits(values, threshold, 64)
+            )
+    except ValueError as e:
+        raise InvalidInput(str(e)) from None
+    instances = [inst for insts, _ in prepared for inst in insts]
+    results = prove_single_batch(instances)
+    out = []
+    pos = 0
+    for insts, finish in prepared:
+        backend_proof = finish(results[pos : pos + len(insts)])
+        pos += len(insts)
+        proof_bytes, commitment = extract_bulletproofs_components(backend_proof)
+        out.append(create_proof(SCHEME_ID, proof_bytes, commitment))
+    return out
+
+
 def prove_threshold(values: List[int], threshold: int) -> bytes:
     return prove_threshold_with_bits(values, threshold, 64)
 

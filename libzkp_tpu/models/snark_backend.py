@@ -359,6 +359,70 @@ class SnarkBackend:
         return groth16.verify(pk.vk, public, proof)
 
     @staticmethod
+    def prove_equality_zk_many(
+        entries: List[Tuple[int, int, bytes]]
+    ) -> Optional[List[bytes]]:
+        """Phase-batched equality proving: ``(a, b, commitment)`` entries of
+        the one fixed circuit share each proving-key table walk (native
+        OMP across the batch). None -> caller falls back to per-proof."""
+        meta = _circuit_meta.get("equality")
+        if meta is None or not entries:
+            return None
+        try:
+            pk = _get_equality_setup()
+        except Exception:
+            return None
+        z_list = []
+        for a, b, commitment in entries:
+            if a != b:
+                return None
+            commitment_fr = fr_from_commitment(commitment)
+            if commitment_fr is None:
+                return None
+            z_list.append(_equality_assignment(a, b, commitment_fr))
+        proofs = groth16.prove_assigned_many(pk, z_list, meta[0], meta[1], "equality")
+        if proofs is None:
+            return None
+        return [groth16.proof_to_bytes(p) for p in proofs]
+
+    @staticmethod
+    def prove_membership_zk_many(
+        entries: List[Tuple[int, List[int], bytes]]
+    ) -> Optional[List[bytes]]:
+        """Phase-batched membership proving (see prove_equality_zk_many)."""
+        meta = _circuit_meta.get("membership")
+        if meta is None or not entries:
+            return None
+        try:
+            pk = _get_membership_setup()
+        except Exception:
+            return None
+        z_list = []
+        for value, the_set, commitment in entries:
+            if not the_set or len(the_set) > MAX_SET_SIZE:
+                return None
+            commitment_fr = fr_from_commitment(commitment)
+            if commitment_fr is None:
+                return None
+            try:
+                pos = the_set.index(value)
+            except ValueError:
+                return None
+            set_values = list(the_set) + [0] * (MAX_SET_SIZE - len(the_set))
+            is_real = [True] * len(the_set) + [False] * (MAX_SET_SIZE - len(the_set))
+            sel = [False] * MAX_SET_SIZE
+            sel[pos] = True
+            z_list.append(
+                _membership_assignment(value, sel, set_values, is_real, commitment_fr)
+            )
+        proofs = groth16.prove_assigned_many(
+            pk, z_list, meta[0], meta[1], "membership"
+        )
+        if proofs is None:
+            return None
+        return [groth16.proof_to_bytes(p) for p in proofs]
+
+    @staticmethod
     def verify_equality_batch(entries: List[Tuple[bytes, bytes]]) -> List[bool]:
         """Batch-verify ``(proof_data, commitment)`` equality entries.
 

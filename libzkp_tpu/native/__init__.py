@@ -108,16 +108,22 @@ def _load() -> Optional[ctypes.CDLL]:
     lib.zkp_ed_msm_fixed.argtypes = [ctypes.c_int, ctypes.c_char_p, ctypes.c_char_p]
     lib.zkp_ed_msm_fixed_mt.argtypes = [
         ctypes.c_int, ctypes.c_char_p, ctypes.c_char_p, ctypes.c_int]
+    lib.zkp_ed_msm_fixed_many.argtypes = [
+        ctypes.c_int, u64, ctypes.c_char_p, ctypes.c_char_p]
     lib.zkp_bn254_g1_msm_register.argtypes = [u64, ctypes.c_char_p]
     lib.zkp_bn254_g1_msm_register.restype = ctypes.c_int
     lib.zkp_bn254_g1_msm_fixed.argtypes = [ctypes.c_int, ctypes.c_char_p, ctypes.c_char_p]
     lib.zkp_bn254_g1_msm_fixed_mt.argtypes = [
         ctypes.c_int, ctypes.c_char_p, ctypes.c_char_p, ctypes.c_int]
+    lib.zkp_bn254_g1_msm_fixed_many.argtypes = [
+        ctypes.c_int, u64, ctypes.c_char_p, ctypes.c_char_p]
     lib.zkp_bn254_g2_msm_register.argtypes = [u64, ctypes.c_char_p]
     lib.zkp_bn254_g2_msm_register.restype = ctypes.c_int
     lib.zkp_bn254_g2_msm_fixed.argtypes = [ctypes.c_int, ctypes.c_char_p, ctypes.c_char_p]
     lib.zkp_bn254_g2_msm_fixed_mt.argtypes = [
         ctypes.c_int, ctypes.c_char_p, ctypes.c_char_p, ctypes.c_int]
+    lib.zkp_bn254_g2_msm_fixed_many.argtypes = [
+        ctypes.c_int, u64, ctypes.c_char_p, ctypes.c_char_p]
     return lib
 
 
@@ -265,6 +271,59 @@ def ed_msm_fixed(key, scalars: Sequence[int], points: Sequence[Point], order: in
     out = ctypes.create_string_buffer(128)
     _lib.zkp_ed_msm_fixed_mt(h, sc, out, _msm_chunks())
     return _from_wire(out.raw)
+
+
+def ed_msm_fixed_many(key, scalar_vecs, points, order: int):
+    """Batch of independent MSMs over one registered basis; returns a list
+    of points. OMP-parallel across the batch inside one native call."""
+    h = _get_handle(
+        _ed_handles, key,
+        lambda: _lib.zkp_ed_msm_register(
+            len(points), b"".join(_to_wire(p) for p in points)),
+    )
+    if h is None:
+        return [ed_msm(sv, points, order) for sv in scalar_vecs]
+    batch = len(scalar_vecs)
+    sc = b"".join(
+        (s % order).to_bytes(32, "little") for sv in scalar_vecs for s in sv
+    )
+    out = ctypes.create_string_buffer(128 * batch)
+    _lib.zkp_ed_msm_fixed_many(h, batch, sc, out)
+    return [_from_wire(out.raw[i * 128 : (i + 1) * 128]) for i in range(batch)]
+
+
+def bn254_g1_msm_fixed_many(key, scalar_vecs, points):
+    h = _get_handle(
+        _g1_handles, key,
+        lambda: _lib.zkp_bn254_g1_msm_register(
+            len(points), b"".join(_g1_to_wire(p) for p in points)),
+    )
+    if h is None:
+        return [bn254_g1_msm(sv, points) for sv in scalar_vecs]
+    batch = len(scalar_vecs)
+    sc = b"".join(
+        (s % _bn254_r).to_bytes(32, "little") for sv in scalar_vecs for s in sv
+    )
+    out = ctypes.create_string_buffer(96 * batch)
+    _lib.zkp_bn254_g1_msm_fixed_many(h, batch, sc, out)
+    return [_g1_from_wire(out.raw[i * 96 : (i + 1) * 96]) for i in range(batch)]
+
+
+def bn254_g2_msm_fixed_many(key, scalar_vecs, points):
+    h = _get_handle(
+        _g2_handles, key,
+        lambda: _lib.zkp_bn254_g2_msm_register(
+            len(points), b"".join(_g2_to_wire(p) for p in points)),
+    )
+    if h is None:
+        return [bn254_g2_msm(sv, points) for sv in scalar_vecs]
+    batch = len(scalar_vecs)
+    sc = b"".join(
+        (s % _bn254_r).to_bytes(32, "little") for sv in scalar_vecs for s in sv
+    )
+    out = ctypes.create_string_buffer(192 * batch)
+    _lib.zkp_bn254_g2_msm_fixed_many(h, batch, sc, out)
+    return [_g2_from_wire(out.raw[i * 192 : (i + 1) * 192]) for i in range(batch)]
 
 
 def bn254_g1_msm_fixed(key, scalars: Sequence[int], points):

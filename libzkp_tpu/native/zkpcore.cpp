@@ -2112,6 +2112,23 @@ PT fixed_msm(const fixed_tab<PT, AF>& ft, const uint8_t* scalars,
     return acc_set ? acc : INF();
 }
 
+// Many independent MSMs over ONE fixed table (a batch of proofs of the same
+// circuit). OpenMP parallelizes across the batch — real multicore with no
+// GIL in the way — and each thread walks the table window-major so a hot
+// table row serves consecutive scalar vectors.
+template <typename PT, typename AF, PT (*ADD)(const PT&, const PT&),
+          PT (*MADD)(const PT&, const AF&), PT (*DBL)(const PT&), PT (*INF)()>
+void fixed_msm_many(const fixed_tab<PT, AF>& ft, uint64_t batch,
+                    const uint8_t* scalars, PT* out) {
+#ifdef _OPENMP
+#pragma omp parallel for schedule(dynamic, 1)
+#endif
+    for (uint64_t b = 0; b < batch; b++) {
+        out[b] = fixed_msm<PT, AF, ADD, MADD, DBL, INF>(
+            ft, scalars + b * 32 * ft.n, /*want_chunks=*/1);
+    }
+}
+
 bool ge_is_inf(const ge& p) { return fe_iszero(p.Z); }
 bool bg1_is_inf_f(const bg1& p) { return bfq_is_zero(p.Z); }
 bool bg2_is_inf_f(const bg2& p) { return bfq2_is_zero(p.Z); }
@@ -2148,6 +2165,15 @@ void zkp_ed_msm_fixed_mt(int handle, const uint8_t* scalars, uint8_t* out,
     ge_to_wire(r, out);
 }
 
+// batch MSMs over one table: scalars = batch * n * 32B, out = batch * 128B.
+void zkp_ed_msm_fixed_many(int handle, uint64_t batch, const uint8_t* scalars,
+                           uint8_t* out) {
+    std::vector<ge> res(batch);
+    fixed_msm_many<ge, edniels, ge_add, ge_madd, ge_double, ge_identity>(
+        ED_FIXED[handle], batch, scalars, res.data());
+    for (uint64_t b = 0; b < batch; b++) ge_to_wire(res[b], out + 128 * b);
+}
+
 int zkp_bn254_g1_msm_register(uint64_t n, const uint8_t* points) {
     std::vector<bg1> pts(n);
     for (uint64_t i = 0; i < n; i++) pts[i] = bg1_from_wire(points + 96 * i);
@@ -2170,6 +2196,14 @@ void zkp_bn254_g1_msm_fixed_mt(int handle, const uint8_t* scalars, uint8_t* out,
     bg1_to_wire(r, out);
 }
 
+void zkp_bn254_g1_msm_fixed_many(int handle, uint64_t batch,
+                                 const uint8_t* scalars, uint8_t* out) {
+    std::vector<bg1> res(batch);
+    fixed_msm_many<bg1, g1aff, bg1_add, bg1_madd, bg1_double, bg1_inf>(
+        G1_FIXED[handle], batch, scalars, res.data());
+    for (uint64_t b = 0; b < batch; b++) bg1_to_wire(res[b], out + 96 * b);
+}
+
 int zkp_bn254_g2_msm_register(uint64_t n, const uint8_t* points) {
     std::vector<bg2> pts(n);
     for (uint64_t i = 0; i < n; i++) pts[i] = bg2_from_wire(points + 192 * i);
@@ -2190,6 +2224,14 @@ void zkp_bn254_g2_msm_fixed_mt(int handle, const uint8_t* scalars, uint8_t* out,
     bg2 r = fixed_msm<bg2, g2aff, bg2_add, bg2_madd, bg2_double, bg2_inf>(
         G2_FIXED[handle], scalars, nchunks);
     bg2_to_wire(r, out);
+}
+
+void zkp_bn254_g2_msm_fixed_many(int handle, uint64_t batch,
+                                 const uint8_t* scalars, uint8_t* out) {
+    std::vector<bg2> res(batch);
+    fixed_msm_many<bg2, g2aff, bg2_add, bg2_madd, bg2_double, bg2_inf>(
+        G2_FIXED[handle], batch, scalars, res.data());
+    for (uint64_t b = 0; b < batch; b++) bg2_to_wire(res[b], out + 192 * b);
 }
 
 }  // extern "C"

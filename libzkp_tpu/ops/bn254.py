@@ -646,6 +646,16 @@ def g2_msm_fixed(scalars, points) -> G2:
     return g2_msm(scalars, points)
 
 
+def g1_msm_fixed_many(scalar_vecs, points) -> List[G1]:
+    """Independent MSMs over one fixed basis (a batch of proofs of one
+    circuit); native tier runs them OMP-parallel in a single call."""
+    return [g1_msm(sv, points) for sv in scalar_vecs]
+
+
+def g2_msm_fixed_many(scalar_vecs, points) -> List[G2]:
+    return [g2_msm(sv, points) for sv in scalar_vecs]
+
+
 from .. import native as _native  # noqa: E402
 
 if _native.HAVE_NATIVE:
@@ -662,6 +672,12 @@ if _native.HAVE_NATIVE:
 
     def g2_msm_fixed(scalars, points) -> G2:  # noqa: F811
         return _native.bn254_g2_msm_fixed(tuple(points), scalars, points)
+
+    def g1_msm_fixed_many(scalar_vecs, points) -> List[G1]:  # noqa: F811
+        return _native.bn254_g1_msm_fixed_many(tuple(points), scalar_vecs, points)
+
+    def g2_msm_fixed_many(scalar_vecs, points) -> List[G2]:  # noqa: F811
+        return _native.bn254_g2_msm_fixed_many(tuple(points), scalar_vecs, points)
 
     def g1_scalar_mul(k: int, p: G1) -> G1:  # noqa: F811
         return _native.bn254_g1_scalar_mul(k, p)

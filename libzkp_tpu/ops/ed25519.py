@@ -313,6 +313,12 @@ def msm_fixed(scalars, points) -> Point:
     return msm(scalars, points)
 
 
+def msm_fixed_many(scalar_vecs, points):
+    """Batch of independent MSMs over one fixed basis (native tier runs
+    them OMP-parallel across the batch in a single call)."""
+    return [msm(sv, points) for sv in scalar_vecs]
+
+
 from .. import native as _native  # noqa: E402
 
 if _native.HAVE_NATIVE:
@@ -325,6 +331,9 @@ if _native.HAVE_NATIVE:
 
     def msm_fixed(scalars, points) -> Point:  # noqa: F811
         return _native.ed_msm_fixed(tuple(points), scalars, points, L)
+
+    def msm_fixed_many(scalar_vecs, points):  # noqa: F811
+        return _native.ed_msm_fixed_many(tuple(points), scalar_vecs, points, L)
 
     def compress(p1: Point) -> bytes:  # noqa: F811
         return _native.ristretto_compress(p1)

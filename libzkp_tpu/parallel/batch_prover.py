@@ -51,13 +51,70 @@ def process_operations(ops: Sequence[BatchOperation]) -> List[bytes]:
     commitments = _precompute_snark_commitments(ops)
     del commitments
     items = list(ops)
-    # Curve-backed ops spend ~80% of their time inside GIL-releasing native
-    # kernels -> threads are real parallelism. STARK improvement proofs are
-    # short and Python-heavy -> threads only add GIL contention; keep them on
-    # the main thread.
-    threaded_idx = [i for i, op in enumerate(items) if op.kind != "improvement"]
-    inline_idx = [i for i, op in enumerate(items) if op.kind == "improvement"]
     results: List[bytes] = [b""] * len(items)
+
+    # Phase 1 — Groth16 buckets: all proofs of one fixed circuit run as
+    # phase-batched MSMs over shared proving-key tables (native OMP spans
+    # the cores with no GIL in the way). Runs before the thread pool so the
+    # two parallel layers never fight over cores.
+    eq_idx = [i for i, op in enumerate(items) if op.kind == "equality"]
+    mem_idx = [i for i, op in enumerate(items) if op.kind == "membership"]
+    batched: set = set()
+    if len(eq_idx) >= 2:
+        from ..models.schemes.equality_proof import prove_equality_batch
+
+        for i, proof in zip(
+            eq_idx, prove_equality_batch([items[i].args for i in eq_idx])
+        ):
+            results[i] = proof
+        batched.update(eq_idx)
+    if len(mem_idx) >= 2:
+        from ..models.schemes.set_membership import prove_membership_batch
+
+        for i, proof in zip(
+            mem_idx, prove_membership_batch([items[i].args for i in mem_idx])
+        ):
+            results[i] = proof
+        batched.update(mem_idx)
+
+    # Phase 2 — Bulletproofs buckets: every op's single-proof instances
+    # advance in lockstep, so each IPP round is ONE native MSM batch over
+    # all proofs (OMP across the batch).
+    if len([i for i in range(len(items)) if items[i].kind == "range"]) >= 2:
+        from ..models.schemes.range_proof import prove_range_batch
+
+        idxs = [i for i, op in enumerate(items) if op.kind == "range"]
+        for i, proof in zip(idxs, prove_range_batch([items[i].args for i in idxs])):
+            results[i] = proof
+        batched.update(idxs)
+    if len([i for i in range(len(items)) if items[i].kind == "threshold"]) >= 2:
+        from ..models.schemes.threshold_proof import prove_threshold_batch
+
+        idxs = [i for i, op in enumerate(items) if op.kind == "threshold"]
+        for i, proof in zip(
+            idxs, prove_threshold_batch([items[i].args for i in idxs])
+        ):
+            results[i] = proof
+        batched.update(idxs)
+    if len([i for i in range(len(items)) if items[i].kind == "consistency"]) >= 2:
+        from ..models.schemes.consistency_proof import prove_consistency_batch
+
+        idxs = [i for i, op in enumerate(items) if op.kind == "consistency"]
+        for i, proof in zip(
+            idxs, prove_consistency_batch([items[i].args[0] for i in idxs])
+        ):
+            results[i] = proof
+        batched.update(idxs)
+
+    # Phase 3 — leftovers on the thread pool (native-kernel bound), STARK
+    # improvements inline on the main thread (Python-heavy; threading them
+    # was measured slower under the GIL).
+    threaded_idx = [
+        i
+        for i, op in enumerate(items)
+        if op.kind != "improvement" and i not in batched
+    ]
+    inline_idx = [i for i, op in enumerate(items) if op.kind == "improvement"]
 
     def _run_improvements() -> None:
         # Large improvement groups: all trace LDEs in ONE device call.
