@@ -25,7 +25,6 @@ import os
 from typing import List, Optional, Tuple
 
 from ..ops import ed25519 as ed
-from ..utils import threads
 from ..utils.encoding import read_u64_le, u32_le, u64_le
 from .bp_generators import pedersen_commit, pedersen_gens
 from .bulletproofs import RangeProof, batch_verify_groups, prove_single, verify_single
@@ -85,16 +84,16 @@ class BulletproofsBackend:
         blinding = _random_blinding()
         value_commit = ed.compress(pedersen_commit(value % L, blinding))
 
-        # the two single proofs are independent (separate transcripts) and
-        # ~80% native-kernel time -> run them on two threads when the
-        # process-wide budget allows (utils.threads)
-        (rp_min, c_min), (rp_max, c_max) = threads.run_pair(
-            lambda: prove_single(
-                Transcript(b"libzkp_range_min"), diff_min, blinding, n_bits
-            ),
-            lambda: prove_single(
-                Transcript(b"libzkp_range_max"), diff_max, (L - blinding) % L, n_bits
-            ),
+        # the two single proofs are independent (separate transcripts); the
+        # lockstep batch prover runs each phase's MSMs for both sides in one
+        # native OMP call
+        from .bulletproofs import prove_single_batch
+
+        (rp_min, c_min), (rp_max, c_max) = prove_single_batch(
+            [
+                (Transcript(b"libzkp_range_min"), diff_min, blinding, n_bits),
+                (Transcript(b"libzkp_range_max"), diff_max, (L - blinding) % L, n_bits),
+            ]
         )
 
         body = bytearray()
@@ -381,14 +380,21 @@ class BulletproofsBackend:
         commitments = [
             ed.compress(pedersen_commit(v % L, b)) for v, b in zip(data, blindings)
         ]
-        # the n-1 delta proofs are independent (fresh transcripts) and
-        # native-kernel-dominated -> prove them on a thread pool
-        def _one(i: int):
-            diff = data[i] - data[i - 1]
-            diff_blinding = (blindings[i] - blindings[i - 1]) % L
-            return prove_single(Transcript(b"libzkp_consistency"), diff, diff_blinding, 64)
+        # the n-1 delta proofs are independent (fresh transcripts); lockstep
+        # batch prover -> one native OMP MSM call per phase across deltas
+        from .bulletproofs import prove_single_batch
 
-        results = threads.run_many(_one, range(1, len(data)))
+        results = prove_single_batch(
+            [
+                (
+                    Transcript(b"libzkp_consistency"),
+                    data[i] - data[i - 1],
+                    (blindings[i] - blindings[i - 1]) % L,
+                    64,
+                )
+                for i in range(1, len(data))
+            ]
+        )
         range_proofs = [rp for rp, _ in results]
         diff_commits = [dc for _, dc in results]
         body = bytearray()
