@@ -1780,13 +1780,31 @@ static void bfq12_to_wire(const bfq12& a, uint8_t* out) {
 
 void zkp_bn254_multi_pairing(uint64_t n, const uint8_t* g1s, const uint8_t* g2s,
                              uint8_t* out) {
+    // Miller loops are independent (the product is taken before the shared
+    // final exponentiation) -> OpenMP across pairs for batch verification.
     bfq12 f = bfq12_one();
+#ifdef _OPENMP
+#pragma omp parallel if (n >= 4)
+    {
+        bfq12 local = bfq12_one();
+#pragma omp for schedule(dynamic, 1) nowait
+        for (int64_t i = 0; i < (int64_t)n; i++) {
+            bg1 p = bg1_from_wire(g1s + 96 * i);
+            bg2 q = bg2_from_wire(g2s + 192 * i);
+            if (bg1_is_inf(p) || bg2_is_inf(q)) continue;
+            local = bfq12_mul(local, miller(q, p));
+        }
+#pragma omp critical
+        f = bfq12_mul(f, local);
+    }
+#else
     for (uint64_t i = 0; i < n; i++) {
         bg1 p = bg1_from_wire(g1s + 96 * i);
         bg2 q = bg2_from_wire(g2s + 192 * i);
         if (bg1_is_inf(p) || bg2_is_inf(q)) continue;
         f = bfq12_mul(f, miller(q, p));
     }
+#endif
     bfq12_to_wire(final_exp(f), out);
 }
 

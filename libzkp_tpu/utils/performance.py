@@ -273,6 +273,25 @@ def verify_proofs_parallel(proofs: Sequence[Tuple[bytes, str]]) -> List[bool]:
             ):
                 results[i] = ok
 
+    # STARK improvement verification is Python-heavy (GIL-bound) — route
+    # large buckets through the fork pool (same rationale as the prover).
+    imp = [i for i in other if items[i][1] == "improvement"]
+    if len(imp) >= 64:
+        from ..models.stark_backend import _get_fork_pool
+
+        pool = _get_fork_pool()
+        if pool is not None:
+            try:
+                nw = pool._max_workers
+                chunks = [[items[i] for i in imp[w::nw]] for w in range(nw)]
+                parts = list(pool.map(_verify_pairs_chunk, chunks))
+                for w, part in enumerate(parts):
+                    for j, ok in zip(imp[w::nw], part):
+                        results[j] = ok
+                other = [i for i in other if items[i][1] != "improvement"]
+            except Exception:
+                pass  # thread-pool fallback below
+
     if other:
         import os
         from concurrent.futures import ThreadPoolExecutor
@@ -291,6 +310,11 @@ def verify_proofs_parallel(proofs: Sequence[Tuple[bytes, str]]) -> List[bool]:
                 for i, ok in zip(other, pool.map(worker, other)):
                     results[i] = ok
     return [bool(r) for r in results]
+
+
+def _verify_pairs_chunk(pairs):
+    """Fork-pool worker: verify (proof_bytes, type) pairs sequentially."""
+    return [_verify_single_proof(d, t) for d, t in pairs]
 
 
 def _bulletproof_instances(proof: Proof):
