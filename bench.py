@@ -60,12 +60,15 @@ def main() -> None:
         assert len(proofs) == n
         pps = max(pps, len(proofs) / gen_s)
 
+    # verification through the library's batch-verify surface (the rayon
+    # parallel-verify analogue, performance.rs:246-294)
     ver_pps = 0.0
+    vpairs = [(p, "improvement") for p in proofs]
     for _ in range(2):
         t0 = time.monotonic()
-        ok = all(zkp.verify_improvement(p, 30) for p in proofs)
+        flags = zkp.verify_proofs_parallel(vpairs)
         ver_pps = max(ver_pps, n / (time.monotonic() - t0))
-        assert ok, "benchmark proofs failed to verify"
+        assert all(flags), "benchmark proofs failed to verify"
 
     # -- per-type single-proof latencies (canonical workloads) --------------
     lat = {}
