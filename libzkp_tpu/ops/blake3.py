@@ -3,8 +3,7 @@
 The STARK backend's vector commitments use Blake3_256 like the reference's
 winterfell configuration (``/root/reference/src/backend/stark.rs:816-818``).
 This module is the exact golden model; hot batched Merkle hashing is
-vectorized on TPU in :mod:`libzkp_tpu.ops.blake3_jax` and accelerated on host
-via the optional C kernel in ``native/`` when built.
+accelerated on host via the optional C++ kernel in ``native/`` when built.
 
 Implementation follows the public BLAKE3 specification (IV, message schedule
 permutation, chunk/parent tree modes).
