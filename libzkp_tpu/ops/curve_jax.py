@@ -1,0 +1,819 @@
+"""Device curve engines + windowed MSM (Pallas kernels over the fold field).
+
+The MSM engine of SURVEY.md §2.3, replacing the point math the reference
+consumes from ``curve25519-dalek`` / ``ark-ec``
+(``/root/reference/src/backend/bulletproofs.rs:138-158`` and the ark-groth16
+query MSMs) with a TPU-first design:
+
+* Points are ``(..., C, n, L)`` int32 arrays — coordinates × 12-bit fold-field
+  limbs (:mod:`libzkp_tpu.ops.limbfold`) × batch lanes. **Complete** addition
+  laws only (unified extended Edwards a=-1; Renes–Costello–Batina projective
+  for a=0 Weierstrass, G1 over Fq and G2 over Fq2) — branch-free, XLA/Mosaic
+  friendly.
+* MSM = shared-multiples radix-256 windows: per basis point a 256-entry
+  multiples table (built on device once per basis); scalar digits are the
+  scalars' little-endian **bytes**. One ``lax.scan`` walks windows high→low:
+  XLA gathers the digit multiples, a Pallas kernel tree-reduces over the
+  basis axis (K in VMEM-sized chunks, accumulated across grid steps), and a
+  second Pallas kernel Horner-folds (8 doublings + add). The whole MSM batch
+  is ONE device dispatch — critical because the host↔device round trip costs
+  ~25 ms on a tunneled TPU.
+* Multi-chip: :func:`msm_many_sharded` shards the batch over the mesh ``dp``
+  axis and the basis over ``shard`` with an all-gather + on-device fold
+  (point addition is not a psum-reducible op).
+
+Pallas kernels run in interpret mode on the CPU backend so the full test
+suite (8-device virtual CPU mesh) exercises the identical code path.
+Differential tests: tests/test_curve_jax.py vs ops/ed25519.py and ops/bn254.py.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import List, Sequence, Tuple
+
+import numpy as np
+
+from .limbfold import FieldOps, FoldCtx, get_fold_ctx
+
+SCALAR_BYTES = 32
+NWIN = SCALAR_BYTES
+K_CHUNK = 32  # basis points tree-reduced per Pallas grid step
+B_TILE = 256  # batch lanes per Pallas grid step
+
+
+def _interpret() -> bool:
+    import jax
+
+    return jax.default_backend() == "cpu"
+
+
+# ---------------------------------------------------------------------------
+# Field adapters for the generic Weierstrass formulas
+# ---------------------------------------------------------------------------
+
+
+class _Fq:
+    """Base-field adapter: field elements are (..., 1, n, L) coordinate rows."""
+
+    rows = 1
+
+    def __init__(self, f: FieldOps):
+        self.f = f
+
+    def mul(self, a, b):
+        return self.f.mul(a, b)
+
+    def add(self, a, b):
+        return self.f.add(a, b)
+
+    def sub(self, a, b):
+        return self.f.sub(a, b)
+
+    def smul(self, a, k):
+        return self.f.smul(a, k)
+
+
+class _Fq2:
+    """Fq2 = Fq[u]/(u^2+1) on (..., 2, n, L) arrays (BN254 G2)."""
+
+    rows = 2
+
+    def __init__(self, f: FieldOps):
+        self.f = f
+
+    def mul(self, a, b):
+        import jax.numpy as jnp
+
+        f = self.f
+        a0, a1 = a[..., 0:1, :, :], a[..., 1:2, :, :]
+        b0, b1 = b[..., 0:1, :, :], b[..., 1:2, :, :]
+        m0 = f.mul(a0, b0)
+        m1 = f.mul(a1, b1)
+        t = f.mul(f.add(a0, a1), f.add(b0, b1))
+        return jnp.concatenate([f.sub(m0, m1), f.sub(f.sub(t, m0), m1)], axis=-3)
+
+    def add(self, a, b):
+        return self.f.add(a, b)
+
+    def sub(self, a, b):
+        return self.f.sub(a, b)
+
+    def smul(self, a, k):
+        return self.f.smul(a, k)
+
+
+# ---------------------------------------------------------------------------
+# Point engines
+# ---------------------------------------------------------------------------
+
+
+class EdwardsEngine:
+    """Extended twisted Edwards a=-1 (Curve25519/Ristretto): (..., 4, n, L)."""
+
+    coords = 4
+    curve = "ed25519"
+
+    def __init__(self):
+        from . import ed25519 as ed
+
+        self.ctx = get_fold_ctx(ed.P)
+        self.n = self.ctx.n
+        self.consts_np = self.ctx.consts_block(
+            [self.ctx.encode_value(ed.TWO_D)]
+        )
+        self._ed = ed
+
+    def padd(self, consts, p, q):
+        """add-2008-hwcd-3 unified (complete for Ristretto points)."""
+        import jax.numpy as jnp
+
+        f = FieldOps(self.n, consts)
+        two_d = f.extra_const(0)
+        X1, Y1, Z1, T1 = (p[..., i, :, :] for i in range(4))
+        X2, Y2, Z2, T2 = (q[..., i, :, :] for i in range(4))
+        A = f.mul(f.sub(Y1, X1), f.sub(Y2, X2))
+        B = f.mul(f.add(Y1, X1), f.add(Y2, X2))
+        C = f.mul(f.mul(T1, T2), two_d)
+        zz = f.mul(Z1, Z2)
+        D = f.carry(zz + zz)
+        E = f.sub(B, A)
+        F = f.sub(D, C)
+        G = f.add(D, C)
+        H = f.add(B, A)
+        return jnp.stack(
+            [f.mul(E, F), f.mul(G, H), f.mul(F, G), f.mul(E, H)], axis=-3
+        )
+
+    def pdouble(self, consts, p):
+        """dbl-2008-hwcd (8 muls, identity-safe)."""
+        import jax.numpy as jnp
+
+        f = FieldOps(self.n, consts)
+        X1, Y1, Z1 = (p[..., i, :, :] for i in range(3))
+        A = f.mul(X1, X1)
+        B = f.mul(Y1, Y1)
+        zz = f.mul(Z1, Z1)
+        C = f.carry(zz + zz)
+        H = f.add(A, B)
+        xy = f.add(X1, Y1)
+        E = f.sub(H, f.mul(xy, xy))
+        G = f.sub(A, B)
+        F = f.add(C, G)
+        return jnp.stack(
+            [f.mul(E, F), f.mul(G, H), f.mul(F, G), f.mul(E, H)], axis=-3
+        )
+
+    def identity_np(self) -> np.ndarray:
+        out = np.zeros((4, self.n), dtype=np.int32)
+        out[1, 0] = 1
+        out[2, 0] = 1
+        return out
+
+    def encode_points(self, points) -> np.ndarray:
+        """Host extended points -> (K, 4, n) canonical limbs."""
+        flat = [c for pt in points for c in pt]
+        return self.ctx.encode_ints(flat).reshape(len(points), 4, self.n)
+
+    def decode_points(self, arr_np) -> List[Tuple[int, int, int, int]]:
+        """(B, 4, n) -> host extended points."""
+        vals = self.ctx.decode(arr_np)
+        return [tuple(vals[4 * i : 4 * i + 4]) for i in range(len(vals) // 4)]
+
+
+class WeierstrassEngine:
+    """Complete projective y^2 = x^3 + b, a=0 (RCB 2015 alg. 7).
+
+    G1: field rows = 1, b3 = 9 (small multiply). G2: field rows = 2, b3 is a
+    full Fq2 constant shipped in the consts block.
+    """
+
+    def __init__(self, curve: str, p: int, rows: int, b3_small=None, b3_rows=()):
+        self.curve = curve
+        self.ctx = get_fold_ctx(p)
+        self.n = self.ctx.n
+        self.rows = rows
+        self.coords = 3 * rows
+        self.b3_small = b3_small
+        self.consts_np = self.ctx.consts_block(list(b3_rows))
+
+    def _field(self, f: FieldOps):
+        return _Fq(f) if self.rows == 1 else _Fq2(f)
+
+    def _mul_b3(self, f: FieldOps, fld, x):
+        import jax.numpy as jnp
+
+        if self.b3_small is not None:
+            return fld.smul(x, self.b3_small)
+        b3 = jnp.stack([f._extra[0], f._extra[1]], axis=0)[..., :, None]  # (2, n, 1)
+        return fld.mul(x, b3)
+
+    def padd(self, consts, p, q):
+        import jax.numpy as jnp
+
+        f = FieldOps(self.n, consts)
+        fld = self._field(f)
+        r = self.rows
+        X1, Y1, Z1 = p[..., 0:r, :, :], p[..., r : 2 * r, :, :], p[..., 2 * r :, :, :]
+        X2, Y2, Z2 = q[..., 0:r, :, :], q[..., r : 2 * r, :, :], q[..., 2 * r :, :, :]
+        t0 = fld.mul(X1, X2)
+        t1 = fld.mul(Y1, Y2)
+        t2 = fld.mul(Z1, Z2)
+        t3 = fld.mul(fld.add(X1, Y1), fld.add(X2, Y2))
+        t3 = fld.sub(t3, fld.add(t0, t1))
+        t4 = fld.mul(fld.add(Y1, Z1), fld.add(Y2, Z2))
+        t4 = fld.sub(t4, fld.add(t1, t2))
+        X3 = fld.mul(fld.add(X1, Z1), fld.add(X2, Z2))
+        Y3 = fld.sub(X3, fld.add(t0, t2))
+        X3 = f.carry(t0 + t0 + t0)
+        t2 = self._mul_b3(f, fld, t2)
+        Z3 = fld.add(t1, t2)
+        t1 = fld.sub(t1, t2)
+        Y3 = self._mul_b3(f, fld, Y3)
+        X3n = fld.sub(fld.mul(t3, t1), fld.mul(t4, Y3))
+        Y3n = fld.add(fld.mul(t1, Z3), fld.mul(Y3, X3))
+        Z3n = fld.add(fld.mul(Z3, t4), fld.mul(X3, t3))
+        return jnp.concatenate([X3n, Y3n, Z3n], axis=-3)
+
+    def pdouble(self, consts, p):
+        return self.padd(consts, p, p)
+
+    def identity_np(self) -> np.ndarray:
+        out = np.zeros((self.coords, self.n), dtype=np.int32)
+        out[self.rows, 0] = 1  # Y = 1 (c0)
+        return out
+
+    # -- host codecs (G1: Jacobian <-> projective) ---------------------------
+    def encode_g1(self, points) -> np.ndarray:
+        P = self.ctx.p
+        flat = []
+        for X, Y, Z in points:
+            if Z % P == 0:
+                flat += [0, 1, 0]
+            else:
+                flat += [X * Z % P, Y % P, Z * Z % P * Z % P]
+        return self.ctx.encode_ints(flat).reshape(len(points), 3, self.n)
+
+    def decode_g1(self, arr_np) -> List[Tuple[int, int, int]]:
+        vals = self.ctx.decode(arr_np)
+        P = self.ctx.p
+        out = []
+        for i in range(len(vals) // 3):
+            X, Y, Z = vals[3 * i : 3 * i + 3]
+            if Z == 0:
+                out.append((1, 1, 0))
+            else:
+                out.append((X * Z % P, Y * Z % P * Z % P, Z))
+        return out
+
+    def encode_g2(self, points) -> np.ndarray:
+        from . import bn254 as bn
+
+        P = self.ctx.p
+        flat = []
+        for X, Y, Z in points:
+            if Z[0] % P == 0 and Z[1] % P == 0:
+                flat += [0, 0, 1, 0, 0, 0]
+            else:
+                z2 = bn.fq2_sq(Z)
+                xp = bn.fq2_mul(X, Z)
+                zp = bn.fq2_mul(z2, Z)
+                flat += [xp[0], xp[1], Y[0] % P, Y[1] % P, zp[0], zp[1]]
+        return self.ctx.encode_ints(flat).reshape(len(points), 6, self.n)
+
+    def decode_g2(self, arr_np):
+        from . import bn254 as bn
+
+        vals = self.ctx.decode(arr_np)
+        out = []
+        for i in range(len(vals) // 6):
+            x = (vals[6 * i], vals[6 * i + 1])
+            y = (vals[6 * i + 2], vals[6 * i + 3])
+            z = (vals[6 * i + 4], vals[6 * i + 5])
+            if z == (0, 0):
+                out.append((bn.FQ2_ONE, bn.FQ2_ONE, (0, 0)))
+            else:
+                out.append((bn.fq2_mul(x, z), bn.fq2_mul(y, bn.fq2_sq(z)), z))
+        return out
+
+
+@functools.lru_cache(maxsize=None)
+def edwards_engine() -> EdwardsEngine:
+    return EdwardsEngine()
+
+
+@functools.lru_cache(maxsize=None)
+def bn254_g1_engine() -> WeierstrassEngine:
+    from . import bn254 as bn
+
+    return WeierstrassEngine("bn254_g1", bn.P, rows=1, b3_small=9)
+
+
+@functools.lru_cache(maxsize=None)
+def bn254_g2_engine() -> WeierstrassEngine:
+    from . import bn254 as bn
+
+    b_twist = bn.fq2_mul_scalar(bn.fq2_inv((9, 1)), 3)
+    b3 = bn.fq2_mul_scalar(b_twist, 3)
+    ctx = get_fold_ctx(bn.P)
+    return WeierstrassEngine(
+        "bn254_g2",
+        bn.P,
+        rows=2,
+        b3_small=None,
+        b3_rows=(ctx.encode_value(b3[0]), ctx.encode_value(b3[1])),
+    )
+
+
+def get_engine(curve: str):
+    if curve == "ed25519":
+        return edwards_engine()
+    if curve == "bn254_g1":
+        return bn254_g1_engine()
+    if curve == "bn254_g2":
+        return bn254_g2_engine()
+    raise ValueError(f"unknown curve {curve}")
+
+
+# ---------------------------------------------------------------------------
+# Pallas kernels: K-chunk tree accumulation + Horner window fold
+# ---------------------------------------------------------------------------
+
+
+def _tree_reduce(add_fn, v):
+    """Halving reduction over axis 0 of (K, C, n, L).
+
+    Pairs (i, i+half) so both operands are contiguous slices — a strided
+    slice would lower to a >2-D gather, which Mosaic does not support."""
+    import jax.numpy as jnp
+
+    K = v.shape[0]
+    while K > 1:
+        half = K // 2
+        s = add_fn(v[:half], v[half : 2 * half])
+        if K % 2:
+            s = jnp.concatenate([s, v[-1:]], axis=0)
+        v = s
+        K = (K + 1) // 2
+    return v[0]
+
+
+@functools.lru_cache(maxsize=None)
+def _window_sum_call(curve: str, Kp: int, B: int):
+    """pallas_call: (consts, pts (Kp,C,n,B)) -> (C,n,B) tree sum.
+
+    Grid: (B tiles, K chunks); the K axis accumulates into the revisited
+    output block (sequential minor grid dim), so VMEM holds only one
+    (K_CHUNK, C, n, B_TILE) block at a time.
+    """
+    import jax
+    import jax.numpy as jnp
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    eng = get_engine(curve)
+    C, n = eng.coords, eng.n
+    bt = min(B_TILE, B)
+    kc = min(K_CHUNK, Kp)
+    assert Kp % kc == 0 and B % bt == 0
+
+    if _interpret():
+        # CPU backend: same math as plain XLA (interpreted Pallas is too slow)
+        import jax.numpy as jnp
+
+        def call_jnp(consts, pts):
+            v = pts.astype(jnp.int32) if pts.dtype != jnp.int32 else pts
+            return _tree_reduce(lambda a, b: eng.padd(consts, a, b), v)
+
+        return call_jnp
+
+    def kernel(c_ref, pts_ref, o_ref):
+        k = pl.program_id(1)
+        consts = c_ref[:]
+        v = pts_ref[:].astype(jnp.int32)  # table blocks arrive int16
+        w = _tree_reduce(lambda a, b: eng.padd(consts, a, b), v)
+
+        @pl.when(k == 0)
+        def _():
+            o_ref[:] = w
+
+        @pl.when(k != 0)
+        def _():
+            o_ref[:] = eng.padd(consts, o_ref[:], w)
+
+    nc = eng.consts_np.shape[0]
+
+    def call(consts, pts):
+        return pl.pallas_call(
+            kernel,
+            out_shape=jax.ShapeDtypeStruct((C, n, B), jnp.int32),
+            grid=(B // bt, Kp // kc),
+            in_specs=[
+                pl.BlockSpec((nc, n), lambda b, k: (0, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec(
+                    (kc, C, n, bt),
+                    lambda b, k: (k, 0, 0, b),
+                    memory_space=pltpu.VMEM,
+                ),
+            ],
+            out_specs=pl.BlockSpec(
+                (C, n, bt), lambda b, k: (0, 0, b), memory_space=pltpu.VMEM
+            ),
+            interpret=_interpret(),
+        )(consts, pts)
+
+    return call
+
+
+@functools.lru_cache(maxsize=None)
+def _horner_call(curve: str, B: int):
+    """pallas_call: (consts, acc, wsum) -> 2^8 * acc + wsum, blocks over B."""
+    import jax
+    import jax.numpy as jnp
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    eng = get_engine(curve)
+    C, n = eng.coords, eng.n
+    bt = min(B_TILE, B)
+    nc = eng.consts_np.shape[0]
+
+    if _interpret():
+
+        def call_jnp(consts, acc, wsum):
+            for _ in range(8):  # eager python loop: no XLA:CPU mega-compiles
+                acc = eng.pdouble(consts, acc)
+            return eng.padd(consts, acc, wsum)
+
+        return call_jnp
+
+    def kernel(c_ref, acc_ref, w_ref, o_ref):
+        consts = c_ref[:]
+        acc = jax.lax.fori_loop(
+            0, 8, lambda _, a: eng.pdouble(consts, a), acc_ref[:]
+        )
+        o_ref[:] = eng.padd(consts, acc, w_ref[:])
+
+    def call(consts, acc, wsum):
+        return pl.pallas_call(
+            kernel,
+            out_shape=jax.ShapeDtypeStruct((C, n, B), jnp.int32),
+            grid=(B // bt,),
+            in_specs=[
+                pl.BlockSpec((nc, n), lambda b: (0, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((C, n, bt), lambda b: (0, 0, b), memory_space=pltpu.VMEM),
+                pl.BlockSpec((C, n, bt), lambda b: (0, 0, b), memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec(
+                (C, n, bt), lambda b: (0, 0, b), memory_space=pltpu.VMEM
+            ),
+            interpret=_interpret(),
+        )(consts, acc, wsum)
+
+    return call
+
+
+@functools.lru_cache(maxsize=None)
+def _pair_add_call(curve: str, K: int):
+    """pallas_call: (consts, p (C,n,K), q (C,n,K)) -> p+q (table build step)."""
+    import jax
+    import jax.numpy as jnp
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    eng = get_engine(curve)
+    C, n = eng.coords, eng.n
+    nc = eng.consts_np.shape[0]
+
+    if _interpret():
+        return lambda consts, p, q: eng.padd(consts, p, q)
+
+    def kernel(c_ref, p_ref, q_ref, o_ref):
+        o_ref[:] = eng.padd(c_ref[:], p_ref[:], q_ref[:])
+
+    def call(consts, p, q):
+        return pl.pallas_call(
+            kernel,
+            out_shape=jax.ShapeDtypeStruct((C, n, K), jnp.int32),
+            in_specs=[
+                pl.BlockSpec((nc, n), memory_space=pltpu.VMEM),
+                pl.BlockSpec((C, n, K), memory_space=pltpu.VMEM),
+                pl.BlockSpec((C, n, K), memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec((C, n, K), memory_space=pltpu.VMEM),
+            interpret=_interpret(),
+        )(consts, p, q)
+
+    return call
+
+
+# ---------------------------------------------------------------------------
+# MSM driver
+# ---------------------------------------------------------------------------
+
+
+def _pad_batch(B: int) -> int:
+    for b in (8, 16, 32, 64, 128, 256, 512, 1024):
+        if B <= b:
+            return b
+    return ((B + 1023) // 1024) * 1024
+
+
+@functools.lru_cache(maxsize=None)
+def _msm_jit(curve: str, Kp: int, B: int):
+    import jax
+    import jax.numpy as jnp
+
+    eng = get_engine(curve)
+    C, n = eng.coords, eng.n
+    wsum_call = _window_sum_call(curve, Kp, B)
+    horner = _horner_call(curve, B)
+    ident = np.broadcast_to(eng.identity_np()[..., None], (C, n, B))
+
+    if _interpret():
+        # CPU/tests: eager evaluation — the huge traced MSM graph makes
+        # XLA:CPU compilation pathological, and per-op eager is fast enough
+        # at test sizes.
+        def run_eager(consts, table, digits):
+            dw = _digits_to_windows(digits)
+            koff = (jnp.arange(Kp, dtype=jnp.int32) * 256)[None, :]
+            acc = jnp.asarray(ident)
+            for w in range(dw.shape[0]):
+                pts = jnp.take(table, dw[w] + koff, axis=0)
+                pts = jnp.transpose(pts, (1, 2, 3, 0))
+                acc = horner(consts, acc, wsum_call(consts, pts))
+            return acc
+
+        return run_eager
+
+    @jax.jit
+    def run(consts, table, digits):
+        # table: (Kp*256, C, n); digits: (B, Kp, 32) scalar bytes
+        dw = _digits_to_windows(digits)  # (NWIN, B, Kp) high first
+        koff = (jnp.arange(Kp, dtype=jnp.int32) * 256)[None, :]
+
+        def step(acc, dig):
+            pts = jnp.take(table, dig + koff, axis=0)  # (B, Kp, C, n) int16
+            pts = jnp.transpose(pts, (1, 2, 3, 0))  # widened inside the kernel
+            w = wsum_call(consts, pts)
+            return horner(consts, acc, w), None
+
+        acc, _ = jax.lax.scan(step, jnp.asarray(ident), dw)
+        return acc  # (C, n, B)
+
+    return run
+
+
+@functools.lru_cache(maxsize=None)
+def _table_build_jit(curve: str, K: int):
+    import jax
+    import jax.numpy as jnp
+
+    eng = get_engine(curve)
+    C, n = eng.coords, eng.n
+    pair_add = _pair_add_call(curve, K)
+    ident = np.broadcast_to(eng.identity_np()[..., None], (C, n, K))
+
+    def build_impl(consts, base, scan):  # base (K, C, n)
+        baseT = jnp.transpose(base, (1, 2, 0))  # (C, n, K)
+        if scan:
+
+            def step(acc, _):
+                nxt = pair_add(consts, acc, baseT)
+                return nxt, nxt
+
+            _, rows = jax.lax.scan(step, jnp.asarray(ident), None, length=255)
+        else:
+            acc = jnp.asarray(ident)
+            out = []
+            for _ in range(255):
+                acc = pair_add(consts, acc, baseT)
+                out.append(acc)
+            rows = jnp.stack(out, axis=0)
+        table = jnp.concatenate([jnp.asarray(ident)[None], rows], axis=0)
+        # (256, C, n, K) -> (K, 256, C, n) -> (K*256, C, n); int16 storage
+        # halves HBM gather traffic (relaxed limbs are < 2^13)
+        return jnp.transpose(table, (3, 0, 1, 2)).reshape(K * 256, C, n).astype(jnp.int16)
+
+    if _interpret():
+        return lambda consts, base: build_impl(consts, base, scan=False)
+    return jax.jit(lambda consts, base: build_impl(consts, base, scan=True))
+
+
+def _host_table(curve: str, points, Kp: int) -> np.ndarray:
+    """Host-built multiples table (CPU/test path): (Kp*256, C, n) limbs."""
+    eng = get_engine(curve)
+    if curve == "ed25519":
+        from . import ed25519 as ed
+
+        add, ident, enc = ed.point_add, (0, 1, 1, 0), eng.encode_points
+    elif curve == "bn254_g1":
+        from . import bn254 as bn
+
+        add, ident, enc = bn.g1_add, bn.G1_INF, eng.encode_g1
+    else:
+        from . import bn254 as bn
+
+        add, ident, enc = bn.g2_add, bn.G2_INF, eng.encode_g2
+    rows = []
+    for pt in points:
+        acc = ident
+        rows.append(ident)
+        for _ in range(255):
+            acc = add(acc, pt)
+            rows.append(acc)
+    for _ in range(Kp - len(points)):
+        rows.extend([ident] * 256)
+    return enc(rows)
+
+
+class DeviceTable:
+    """A basis's on-device radix-256 multiples table (K padded to K_CHUNK)."""
+
+    def __init__(self, curve: str, base_np: np.ndarray, host_points=None):
+        import jax.numpy as jnp
+
+        eng = get_engine(curve)
+        self.curve = curve
+        self.K = base_np.shape[0]
+        kc = min(K_CHUNK, _pad_batch(self.K))
+        self.Kp = ((self.K + kc - 1) // kc) * kc
+        self.consts = jnp.asarray(eng.consts_np)
+        if _interpret() and host_points is not None:
+            # CPU/tests: device eager build is slow; host big-int build is not
+            self.table = jnp.asarray(
+                _host_table(curve, host_points, self.Kp).astype(np.int16)
+            )
+            return
+        if self.Kp != self.K:
+            pad = np.broadcast_to(
+                eng.identity_np()[None], (self.Kp - self.K, eng.coords, eng.n)
+            )
+            base_np = np.concatenate([base_np, pad], axis=0)
+        self.table = _table_build_jit(curve, self.Kp)(
+            self.consts, jnp.asarray(base_np)
+        )
+        self.table.block_until_ready()
+
+
+def build_table_ed25519(points) -> DeviceTable:
+    return DeviceTable(
+        "ed25519", edwards_engine().encode_points(points), host_points=points
+    )
+
+
+def build_table_bn254_g1(points) -> DeviceTable:
+    return DeviceTable(
+        "bn254_g1", bn254_g1_engine().encode_g1(points), host_points=points
+    )
+
+
+def build_table_bn254_g2(points) -> DeviceTable:
+    return DeviceTable(
+        "bn254_g2", bn254_g2_engine().encode_g2(points), host_points=points
+    )
+
+
+def _digits_from_scalars(scalar_vecs, K: int, Kp: int) -> np.ndarray:
+    """(B, K) scalars -> (B, Kp, 32) uint8 scalar bytes (window digits).
+
+    Kept contiguous in scalar-byte order; the device transposes to
+    (NWIN, B, Kp) high-window-first (a host transpose of this array costs
+    ~250 ms at B=1024 — on device it is free). Padded basis columns get
+    digit 0 (-> identity table rows)."""
+    buf = b"".join(
+        [int(s).to_bytes(SCALAR_BYTES, "little") for vec in scalar_vecs for s in vec]
+    )
+    arr = np.frombuffer(buf, dtype=np.uint8).reshape(
+        len(scalar_vecs), K, SCALAR_BYTES
+    )
+    if Kp != K:
+        arr = np.pad(arr, ((0, 0), (0, Kp - K), (0, 0)))
+    return arr
+
+
+def _digits_to_windows(digits):
+    """(B, Kp, 32) uint8 device array -> (NWIN, B, Kp) int32, high first."""
+    import jax.numpy as jnp
+
+    return jnp.flip(
+        jnp.transpose(digits.astype(jnp.int32), (2, 0, 1)), axis=0
+    )
+
+
+def _decode(curve: str, out_np: np.ndarray, B: int):
+    eng = get_engine(curve)
+    pts_np = np.transpose(out_np, (2, 0, 1))[:B]  # (B, C, n)
+    if curve == "ed25519":
+        return eng.decode_points(pts_np)
+    if curve == "bn254_g1":
+        return eng.decode_g1(pts_np)
+    return eng.decode_g2(pts_np)
+
+
+def msm_many(table: DeviceTable, scalar_vecs: Sequence[Sequence[int]]):
+    """Batch of independent MSMs over one fixed basis — ONE device dispatch.
+
+    Returns host points (extended Edwards / Jacobian, matching the host
+    tiers' representations).
+    """
+    import jax.numpy as jnp
+
+    B = len(scalar_vecs)
+    if B == 0:
+        return []
+    digits = _digits_from_scalars(scalar_vecs, table.K, table.Kp)
+    Bp = _pad_batch(B)
+    if Bp != B:
+        digits = np.pad(digits, ((0, Bp - B), (0, 0), (0, 0)))
+    out = _msm_jit(table.curve, table.Kp, Bp)(
+        table.consts, table.table, jnp.asarray(digits)
+    )
+    return _decode(table.curve, np.asarray(out), B)
+
+
+# ---------------------------------------------------------------------------
+# Mesh-sharded variant: batch over 'dp', basis over 'shard'
+# ---------------------------------------------------------------------------
+
+
+def msm_many_sharded(table: DeviceTable, scalar_vecs, mesh=None):
+    """MSM batch over the (dp, shard) mesh.
+
+    Rows shard over ``dp``; each dp-group's chips split the basis over
+    ``shard``, tree-reduce their slice locally, and combine partial sums with
+    an all-gather + on-device fold. Falls back to :func:`msm_many` on a
+    single device.
+    """
+    import jax
+    import jax.numpy as jnp
+    from jax.sharding import PartitionSpec as P
+
+    try:
+        from jax import shard_map
+    except ImportError:  # pragma: no cover - older jax
+        from jax.experimental.shard_map import shard_map
+
+    from ..parallel import mesh as meshmod
+
+    mesh = mesh or meshmod.get_mesh()
+    dp = mesh.shape["dp"]
+    shard = mesh.shape["shard"]
+    if dp * shard <= 1:
+        return msm_many(table, scalar_vecs)
+
+    B = len(scalar_vecs)
+    if B == 0:
+        return []
+    eng = get_engine(table.curve)
+    C, n = eng.coords, eng.n
+    kc = min(K_CHUNK, table.Kp)
+    # basis slice per shard chip, padded to the K chunk
+    k_local = ((table.Kp + shard - 1) // shard + kc - 1) // kc * kc
+    Kp = k_local * shard
+    digits = _digits_from_scalars(scalar_vecs, table.K, Kp)
+    Bp = meshmod.pad_to_multiple(_pad_batch(max(B, dp)), dp)
+    if Bp != B:
+        digits = np.pad(digits, ((0, Bp - B), (0, 0), (0, 0)))
+    b_local = Bp // dp
+
+    table_arr = table.table.reshape(table.Kp, 256, C, n)
+    if Kp != table.Kp:
+        pad_rows = np.broadcast_to(
+            eng.identity_np().astype(np.int16)[None, None], (Kp - table.Kp, 256, C, n)
+        )
+        table_arr = jnp.concatenate([table_arr, jnp.asarray(pad_rows)], axis=0)
+
+    wsum_call = _window_sum_call(table.curve, k_local, b_local)
+    horner = _horner_call(table.curve, b_local)
+    ident = np.broadcast_to(eng.identity_np()[..., None], (C, n, b_local))
+
+    def local_msm(consts, tbl, digs):
+        # tbl: (k_local, 256, C, n) — this chip's basis slice
+        # digs: (b_local, Kp, 32) — full scalar bytes for our dp rows
+        my = jax.lax.axis_index("shard")
+        digs = jax.lax.dynamic_slice_in_dim(digs, my * k_local, k_local, axis=1)
+        dw = _digits_to_windows(digs)  # (NWIN, b_local, k_local)
+        flat = tbl.reshape(k_local * 256, C, n)
+        koff = (jnp.arange(k_local, dtype=jnp.int32) * 256)[None, :]
+
+        def step(acc, dig):
+            pts = jnp.take(flat, dig + koff, axis=0)
+            pts = jnp.transpose(pts, (1, 2, 3, 0))  # widened inside the kernel
+            w = wsum_call(consts, pts)
+            return horner(consts, acc, w), None
+
+        acc, _ = jax.lax.scan(step, jnp.asarray(ident), dw)
+        # combine partial sums across the shard axis
+        parts = jax.lax.all_gather(acc, "shard", axis=0)  # (shard, C, n, b_local)
+        return _tree_reduce(lambda a, b: eng.padd(consts, a, b), parts)
+
+    fn = shard_map(
+        local_msm,
+        mesh=mesh,
+        in_specs=(P(), P("shard"), P("dp")),
+        out_specs=P(None, None, "dp"),
+        check_vma=False,
+    )
+    out = jax.jit(fn)(table.consts, table_arr, jnp.asarray(digits))
+    return _decode(table.curve, np.asarray(out), B)
