@@ -164,7 +164,7 @@ def prove_threshold_optimized(values: List[int], threshold: int) -> bytes:
 
 
 def verify_proofs_parallel(proofs: List[Tuple[bytes, str]]) -> List[bool]:
-    from ..parallel.verifier import verify_proofs_parallel as _vp
+    from ..utils.performance import verify_proofs_parallel as _vp
 
     return _vp(proofs)
 

@@ -648,11 +648,23 @@ def g2_msm_fixed(scalars, points) -> G2:
 
 def g1_msm_fixed_many(scalar_vecs, points) -> List[G1]:
     """Independent MSMs over one fixed basis (a batch of proofs of one
-    circuit); native tier runs them OMP-parallel in a single call."""
+    circuit). Large batches dispatch to the device MSM engine
+    (:mod:`libzkp_tpu.ops.curve_jax`); the native tier otherwise runs them
+    OMP-parallel in a single call."""
+    from . import msm_device
+
+    res = msm_device.try_device("bn254_g1", scalar_vecs, points)
+    if res is not None:
+        return res
     return [g1_msm(sv, points) for sv in scalar_vecs]
 
 
 def g2_msm_fixed_many(scalar_vecs, points) -> List[G2]:
+    from . import msm_device
+
+    res = msm_device.try_device("bn254_g2", scalar_vecs, points)
+    if res is not None:
+        return res
     return [g2_msm(sv, points) for sv in scalar_vecs]
 
 
@@ -674,9 +686,19 @@ if _native.HAVE_NATIVE:
         return _native.bn254_g2_msm_fixed(tuple(points), scalars, points)
 
     def g1_msm_fixed_many(scalar_vecs, points) -> List[G1]:  # noqa: F811
+        from . import msm_device
+
+        res = msm_device.try_device("bn254_g1", scalar_vecs, points)
+        if res is not None:
+            return res
         return _native.bn254_g1_msm_fixed_many(tuple(points), scalar_vecs, points)
 
     def g2_msm_fixed_many(scalar_vecs, points) -> List[G2]:  # noqa: F811
+        from . import msm_device
+
+        res = msm_device.try_device("bn254_g2", scalar_vecs, points)
+        if res is not None:
+            return res
         return _native.bn254_g2_msm_fixed_many(tuple(points), scalar_vecs, points)
 
     def g1_scalar_mul(k: int, p: G1) -> G1:  # noqa: F811

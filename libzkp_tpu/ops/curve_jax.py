@@ -804,9 +804,12 @@ def msm_many_sharded(table: DeviceTable, scalar_vecs, mesh=None):
             return horner(consts, acc, w), None
 
         acc, _ = jax.lax.scan(step, jnp.asarray(ident), dw)
-        # combine partial sums across the shard axis
-        parts = jax.lax.all_gather(acc, "shard", axis=0)  # (shard, C, n, b_local)
-        return _tree_reduce(lambda a, b: eng.padd(consts, a, b), parts)
+        # combine partial sums across the shard axis (collective layer)
+        from ..parallel import collective
+
+        return collective.reduce_points(
+            lambda a, b: eng.padd(consts, a, b), acc, axis="shard"
+        )
 
     fn = shard_map(
         local_msm,

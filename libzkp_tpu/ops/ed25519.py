@@ -314,8 +314,16 @@ def msm_fixed(scalars, points) -> Point:
 
 
 def msm_fixed_many(scalar_vecs, points):
-    """Batch of independent MSMs over one fixed basis (native tier runs
-    them OMP-parallel across the batch in a single call)."""
+    """Batch of independent MSMs over one fixed basis.
+
+    Large batches dispatch to the device MSM engine (one Pallas windowed-MSM
+    call for the whole batch, :mod:`libzkp_tpu.ops.curve_jax`); otherwise the
+    native tier runs them OMP-parallel across the batch in a single call."""
+    from . import msm_device
+
+    res = msm_device.try_device("ed25519", scalar_vecs, points)
+    if res is not None:
+        return res
     return [msm(sv, points) for sv in scalar_vecs]
 
 
@@ -333,6 +341,11 @@ if _native.HAVE_NATIVE:
         return _native.ed_msm_fixed(tuple(points), scalars, points, L)
 
     def msm_fixed_many(scalar_vecs, points):  # noqa: F811
+        from . import msm_device
+
+        res = msm_device.try_device("ed25519", scalar_vecs, points)
+        if res is not None:
+            return res
         return _native.ed_msm_fixed_many(tuple(points), scalar_vecs, points, L)
 
     def compress(p1: Point) -> bytes:  # noqa: F811

@@ -184,10 +184,10 @@ def _verify_single_proof(proof_data: bytes, proof_type: str) -> bool:
 def verify_proofs_parallel(proofs: Sequence[Tuple[bytes, str]]) -> List[bool]:
     """Verify (proof_bytes, proof_type) pairs concurrently.
 
-    The reference uses rayon work-stealing (performance.rs:251-258); here a
-    thread pool covers the host tier (verification releases the GIL inside
-    hashing/JAX) and the sharded TPU verifier covers the batch tier
-    (:mod:`libzkp_tpu.parallel.verifier`).
+    The reference uses rayon work-stealing (performance.rs:251-258); here
+    Bulletproofs-backed schemes collapse into one RLC-combined MSM (which
+    dispatches to the device MSM engine at batch size), Groth16 schemes into
+    per-circuit RLC pairing checks, and the remainder fans out on threads.
     """
     items = list(proofs)
     if len(items) <= 1:

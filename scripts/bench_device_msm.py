@@ -23,6 +23,10 @@ def main():
 
     print("backend:", jax.default_backend())
 
+    from libzkp_tpu.ops import msm_device
+
+    msm_device.configure_jax()
+
     from libzkp_tpu.ops import curve_jax as cj
 
     if curve == "ed25519":
