@@ -119,18 +119,31 @@ def _mimc_batch_jit(x_canonical: jnp.ndarray, constants: jnp.ndarray) -> jnp.nda
     return ctx.from_mont(out)
 
 
-def mimc_hash_batch(values) -> list:
+def mimc_hash_batch(values, mesh=None) -> list:
     """Batched MiMC-5 of u64 values on the accelerator; returns Python ints.
 
     The batch is zero-padded to the next power of two (min 16) so the jitted
     kernel compiles once per size bucket instead of once per exact shape —
-    compiles over a TPU tunnel are expensive.
+    compiles over a TPU tunnel are expensive. With >1 visible device (or an
+    explicit ``mesh``) the batch is laid out across the ``dp`` mesh axis and
+    the same jit runs SPMD — the sharded-batch-prover tier of SURVEY.md §2.3.
     """
     ctx = get_context(BN254_FR.p, "bn254_fr")
     vals = [int(v) for v in values]
     n = len(vals)
     padded = max(16, 1 << (n - 1).bit_length()) if n else 16
     x = ctx.encode(vals + [0] * (padded - n))
+    if mesh is None:
+        from .msm_device import _use_mesh
+
+        if _use_mesh():
+            from ..parallel import mesh as meshmod
+
+            mesh = meshmod.get_mesh()
+    if mesh is not None and mesh.size > 1 and padded % mesh.shape["dp"] == 0:
+        from ..parallel.mesh import dp_sharding
+
+        x = jax.device_put(x, dp_sharding(mesh))
     consts = jnp.asarray(_mont_constants())
     out = _mimc_batch_jit(x, consts)
     return ctx.decode(out)[:n]

@@ -254,12 +254,13 @@ def _coset_lde_jitted(p: int, n: int, blowup: int, offset: int):
     return jax.jit(run)
 
 
-def coset_lde_batch(p: int, traces, blowup: int, offset: int):
+def coset_lde_batch(p: int, traces, blowup: int, offset: int, mesh=None):
     """Batch of size-n traces -> ([coeff lists], [LDE lists]) in one device
     round-trip (the STARK batch prover's hot op, SURVEY.md §2.3 "NTT engine").
 
     The batch axis is padded to a power of two so the kernel compiles once
-    per size bucket; leading axes shard over the mesh ``dp`` axis.
+    per size bucket. With >1 visible device (or an explicit ``mesh``) the
+    batch is laid out across the ``dp`` mesh axis and the jit runs SPMD.
     """
     ctx = get_context(p)
     B = len(traces)
@@ -267,6 +268,17 @@ def coset_lde_batch(p: int, traces, blowup: int, offset: int):
     padded_b = max(16, 1 << (B - 1).bit_length())
     flat = [v for t in traces for v in t] + [0] * (n * (padded_b - B))
     x = ctx.encode(flat).reshape(padded_b, n, ctx.n)
+    if mesh is None:
+        from .msm_device import _use_mesh
+
+        if _use_mesh():
+            from ..parallel import mesh as meshmod
+
+            mesh = meshmod.get_mesh()
+    if mesh is not None and mesh.size > 1 and padded_b % mesh.shape["dp"] == 0:
+        from ..parallel.mesh import dp_sharding
+
+        x = jax.device_put(x, dp_sharding(mesh))
     coeffs, lde = _coset_lde_jitted(p, n, blowup, offset)(x)
     coeff_ints = ctx.decode(coeffs)
     lde_ints = ctx.decode(lde)
