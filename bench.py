@@ -2,9 +2,12 @@
 """Benchmark driver hook: prints ONE JSON line.
 
 Headline (BASELINE.md): improvement-proof (STARK) throughput through the
-library's own batch path (``process_batch`` — thread-parallel host tier with
-native kernels), vs the reference's ~15 ms/proof single-core number
-(reference README.md:330).
+library's own batch path (``process_batch``) with the device engaged — at
+the 256-proof batch size the default thresholds route every trace
+interpolation + coset LDE through the TPU NTT engine as one jitted call
+(models/stark_backend.py), with per-proof transcript/Merkle/FRI assembly
+fanned out on the host. Compared against the reference's ~15 ms/proof
+single-core number (reference README.md:330).
 
 ``extra`` carries the full picture: per-type single-proof latencies on the
 reference's canonical workloads (advanced/mod.rs:93-103), the mixed-batch
@@ -18,10 +21,11 @@ import json
 import os
 import time
 
-# Headline robustness: keep the big improvement batch on the host path (the
-# device-LDE path is measured separately below with its own guard) — remote
-# TPU-tunnel compiles can take minutes on a cold cache.
-os.environ.setdefault("LIBZKP_DEVICE_LDE_MIN", "1000000")
+# Persistent XLA compilation cache: first-ever run on a machine pays the
+# tunnel compiles once; every later run (including this driver's) hits disk.
+os.environ.setdefault(
+    "JAX_COMPILATION_CACHE_DIR", os.path.expanduser("~/.cache/libzkp_tpu/jax")
+)
 
 
 def _bench_ms(fn, n=8):
@@ -46,11 +50,14 @@ def main() -> None:
     zkp.prove_consistency([10, 20, 30, 40, 50])
 
     # -- headline: improvement proofs/sec through the batch path ------------
-    # Best of 3 runs: this host is a VM with double-digit CPU-steal spikes,
-    # so a single timed run can under-report by 2x.
-    n = 200
+    # 256 ops: at this size the library's default thresholds engage the
+    # device LDE path. One untimed warm-up batch absorbs the (disk-cached)
+    # XLA compile; best of 3 timed runs — this host is a VM with double-digit
+    # CPU-steal spikes, so a single timed run can under-report by 2x.
+    n = 256
     pps = 0.0
-    for _ in range(3):
+    proofs = []
+    for rep in range(4):
         bid = zkp.create_proof_batch()
         for i in range(n):
             zkp.batch_add_improvement_proof(bid, 30, 50 + (i % 50))
@@ -58,7 +65,8 @@ def main() -> None:
         proofs = zkp.process_batch(bid)
         gen_s = time.monotonic() - t0
         assert len(proofs) == n
-        pps = max(pps, len(proofs) / gen_s)
+        if rep:
+            pps = max(pps, len(proofs) / gen_s)
 
     # verification through the library's batch-verify surface (the rayon
     # parallel-verify analogue, performance.rs:246-294)

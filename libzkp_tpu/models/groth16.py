@@ -564,26 +564,52 @@ def _rlc_weight() -> int:
 
 
 # ---------------------------------------------------------------------------
-# Serialization (uncompressed, little-endian; our own versioned layout —
-# same element order/sizes as arkworks uncompressed: G1 = x||y 64B,
-# G2 = x.c0||x.c1||y.c0||y.c1 128B, infinity = all-zero)
+# Serialization: arkworks `serialize_uncompressed` layout
+# (``/root/reference/src/backend/snark.rs:97-105,367-371``). G1 = x||y 64B
+# little-endian canonical; G2 = x.c0||x.c1||y.c0||y.c1 128B; ark-serialize
+# SWFlags ride the top two bits of the final byte of y (resp. y.c1):
+# bit 6 = point at infinity (coordinates zero), bit 7 = y-is-negative
+# (y > -y; informational — arkworks' uncompressed deserializer derives y
+# from the bytes and only consumes the infinity bit, so readers MUST mask
+# both). BN254's 254-bit modulus leaves those two bits free.
 # ---------------------------------------------------------------------------
+
+_FLAG_INF = 0x40
+_FLAG_NEG = 0x80
+_FLAG_MASK = 0xC0
+
+
+def _fq_is_neg(y: int) -> bool:
+    """arkworks SWFlags::from_y_coordinate: negative iff y > -y."""
+    return y > (bn.P - y) % bn.P
+
+
+def _fq2_is_neg(y0: int, y1: int) -> bool:
+    """Fq2 ordering compares c1 first, then c0 (arkworks QuadExtField)."""
+    n0, n1 = (bn.P - y0) % bn.P, (bn.P - y1) % bn.P
+    return (y1, y0) > (n1, n0)
 
 
 def _g1_bytes(p: bn.G1) -> bytes:
     aff = bn.g1_to_affine(p)
     if aff is None:
-        return b"\x00" * 64
-    return aff[0].to_bytes(32, "little") + aff[1].to_bytes(32, "little")
+        return b"\x00" * 63 + bytes([_FLAG_INF])
+    out = bytearray(aff[0].to_bytes(32, "little") + aff[1].to_bytes(32, "little"))
+    if _fq_is_neg(aff[1]):
+        out[63] |= _FLAG_NEG
+    return bytes(out)
 
 
 def _g1_from(data: bytes) -> Optional[bn.G1]:
     if len(data) != 64:
         return None
-    if data == b"\x00" * 64:
-        return bn.G1_INF
-    x = int.from_bytes(data[:32], "little")
-    y = int.from_bytes(data[32:], "little")
+    flags = data[63] & _FLAG_MASK
+    body = bytes(data[:63]) + bytes([data[63] & ~_FLAG_MASK])
+    if flags & _FLAG_INF or body == b"\x00" * 64:
+        # all-zero without the flag = round-1 LZTK infinity convention
+        return bn.G1_INF if body == b"\x00" * 64 else None
+    x = int.from_bytes(body[:32], "little")
+    y = int.from_bytes(body[32:], "little")
     if x >= bn.P or y >= bn.P:
         return None
     p = (x, y, 1)
@@ -593,17 +619,22 @@ def _g1_from(data: bytes) -> Optional[bn.G1]:
 def _g2_bytes(p: bn.G2) -> bytes:
     aff = bn.g2_to_affine(p)
     if aff is None:
-        return b"\x00" * 128
+        return b"\x00" * 127 + bytes([_FLAG_INF])
     (x0, x1), (y0, y1) = aff
-    return b"".join(v.to_bytes(32, "little") for v in (x0, x1, y0, y1))
+    out = bytearray(b"".join(v.to_bytes(32, "little") for v in (x0, x1, y0, y1)))
+    if _fq2_is_neg(y0, y1):
+        out[127] |= _FLAG_NEG
+    return bytes(out)
 
 
 def _g2_from(data: bytes) -> Optional[bn.G2]:
     if len(data) != 128:
         return None
-    if data == b"\x00" * 128:
-        return bn.G2_INF
-    vals = [int.from_bytes(data[i * 32 : (i + 1) * 32], "little") for i in range(4)]
+    flags = data[127] & _FLAG_MASK
+    body = bytes(data[:127]) + bytes([data[127] & ~_FLAG_MASK])
+    if flags & _FLAG_INF or body == b"\x00" * 128:
+        return bn.G2_INF if body == b"\x00" * 128 else None
+    vals = [int.from_bytes(body[i * 32 : (i + 1) * 32], "little") for i in range(4)]
     if any(v >= bn.P for v in vals):
         return None
     p = ((vals[0], vals[1]), (vals[2], vals[3]), bn.FQ2_ONE)
@@ -626,80 +657,104 @@ def proof_from_bytes(data: bytes) -> Optional[Proof]:
     return Proof(a=a, b=b, c=c)
 
 
+# Key files: raw arkworks `CanonicalSerialize` concatenation, exactly what
+# `ProvingKey::<Bn254>::serialize_uncompressed` emits (snark.rs:97-105):
+# struct fields in declaration order, `Vec<T>` as u64-LE length + elements.
+#   VerifyingKey { alpha_g1, beta_g2, gamma_g2, delta_g2, gamma_abc_g1 }
+#   ProvingKey   { vk, beta_g1, delta_g1, a_query, b_g1_query, b_g2_query,
+#                  h_query, l_query }
+# Round-1 files used a framework-private `LZTK` container; readers keep a
+# fallback for those.
+
 _KEY_MAGIC = b"LZTK"
 _KEY_VERSION = 1
 
 
+class _Reader:
+    def __init__(self, data: bytes):
+        self.data = data
+        self.pos = 0
+
+    def g1(self) -> bn.G1:
+        p = _g1_from(self.data[self.pos : self.pos + 64])
+        self.pos += 64
+        if p is None:
+            raise ValueError("bad G1")
+        return p
+
+    def g2(self) -> bn.G2:
+        p = _g2_from(self.data[self.pos : self.pos + 128])
+        self.pos += 128
+        if p is None:
+            raise ValueError("bad G2")
+        return p
+
+    def vec_len(self, width: int = 8) -> int:
+        c = int.from_bytes(self.data[self.pos : self.pos + width], "little")
+        self.pos += width
+        if c > 1 << 24:
+            raise ValueError("bad count")
+        return c
+
+    def done(self) -> bool:
+        return self.pos == len(self.data)
+
+
+def _vk_write(out: bytearray, vk: VerifyingKey) -> None:
+    out += _g1_bytes(vk.alpha_g1)
+    out += _g2_bytes(vk.beta_g2)
+    out += _g2_bytes(vk.gamma_g2)
+    out += _g2_bytes(vk.delta_g2)
+    out += struct.pack("<Q", len(vk.gamma_abc_g1))
+    for p in vk.gamma_abc_g1:
+        out += _g1_bytes(p)
+
+
+def _vk_read(r: _Reader) -> VerifyingKey:
+    alpha_g1 = r.g1()
+    beta_g2 = r.g2()
+    gamma_g2 = r.g2()
+    delta_g2 = r.g2()
+    gamma_abc = [r.g1() for _ in range(r.vec_len())]
+    return VerifyingKey(alpha_g1, beta_g2, gamma_g2, delta_g2, gamma_abc)
+
+
 def pk_to_bytes(pk: ProvingKey) -> bytes:
     out = bytearray()
-    out += _KEY_MAGIC + struct.pack("<I", _KEY_VERSION)
-    out += _g1_bytes(pk.vk.alpha_g1)
-    out += _g2_bytes(pk.vk.beta_g2)
-    out += _g2_bytes(pk.vk.gamma_g2)
-    out += _g2_bytes(pk.vk.delta_g2)
-    out += struct.pack("<I", len(pk.vk.gamma_abc_g1))
-    for p in pk.vk.gamma_abc_g1:
-        out += _g1_bytes(p)
+    _vk_write(out, pk.vk)
     out += _g1_bytes(pk.beta_g1)
     out += _g1_bytes(pk.delta_g1)
-    for name in ("a_query", "b_g1_query", "h_query", "l_query"):
+    for name in ("a_query", "b_g1_query"):
         vec = getattr(pk, name)
-        out += struct.pack("<I", len(vec))
+        out += struct.pack("<Q", len(vec))
         for p in vec:
             out += _g1_bytes(p)
-    out += struct.pack("<I", len(pk.b_g2_query))
+    out += struct.pack("<Q", len(pk.b_g2_query))
     for p in pk.b_g2_query:
         out += _g2_bytes(p)
+    for name in ("h_query", "l_query"):
+        vec = getattr(pk, name)
+        out += struct.pack("<Q", len(vec))
+        for p in vec:
+            out += _g1_bytes(p)
     return bytes(out)
 
 
 def pk_from_bytes(data: bytes) -> Optional[ProvingKey]:
+    if data[:4] == _KEY_MAGIC:
+        return _pk_from_lztk(data)
     try:
-        if data[:4] != _KEY_MAGIC:
+        r = _Reader(data)
+        vk = _vk_read(r)
+        beta_g1 = r.g1()
+        delta_g1 = r.g1()
+        a_query = [r.g1() for _ in range(r.vec_len())]
+        b_g1_query = [r.g1() for _ in range(r.vec_len())]
+        b_g2_query = [r.g2() for _ in range(r.vec_len())]
+        h_query = [r.g1() for _ in range(r.vec_len())]
+        l_query = [r.g1() for _ in range(r.vec_len())]
+        if not r.done():
             return None
-        if struct.unpack("<I", data[4:8])[0] != _KEY_VERSION:
-            return None
-        pos = 8
-
-        def g1():
-            nonlocal pos
-            p = _g1_from(data[pos : pos + 64])
-            pos += 64
-            if p is None:
-                raise ValueError("bad G1")
-            return p
-
-        def g2():
-            nonlocal pos
-            p = _g2_from(data[pos : pos + 128])
-            pos += 128
-            if p is None:
-                raise ValueError("bad G2")
-            return p
-
-        def count():
-            nonlocal pos
-            c = struct.unpack("<I", data[pos : pos + 4])[0]
-            pos += 4
-            if c > 1 << 24:
-                raise ValueError("bad count")
-            return c
-
-        alpha_g1 = g1()
-        beta_g2 = g2()
-        gamma_g2 = g2()
-        delta_g2 = g2()
-        gamma_abc = [g1() for _ in range(count())]
-        beta_g1 = g1()
-        delta_g1 = g1()
-        a_query = [g1() for _ in range(count())]
-        b_g1_query = [g1() for _ in range(count())]
-        h_query = [g1() for _ in range(count())]
-        l_query = [g1() for _ in range(count())]
-        b_g2_query = [g2() for _ in range(count())]
-        if pos != len(data):
-            return None
-        vk = VerifyingKey(alpha_g1, beta_g2, gamma_g2, delta_g2, gamma_abc)
         return ProvingKey(
             vk, beta_g1, delta_g1, a_query, b_g1_query, b_g2_query, h_query, l_query
         )
@@ -709,38 +764,65 @@ def pk_from_bytes(data: bytes) -> Optional[ProvingKey]:
 
 def vk_to_bytes(vk: VerifyingKey) -> bytes:
     out = bytearray()
-    out += _KEY_MAGIC + struct.pack("<I", _KEY_VERSION)
-    out += _g1_bytes(vk.alpha_g1)
-    out += _g2_bytes(vk.beta_g2)
-    out += _g2_bytes(vk.gamma_g2)
-    out += _g2_bytes(vk.delta_g2)
-    out += struct.pack("<I", len(vk.gamma_abc_g1))
-    for p in vk.gamma_abc_g1:
-        out += _g1_bytes(p)
+    _vk_write(out, vk)
     return bytes(out)
 
 
 def vk_from_bytes(data: bytes) -> Optional[VerifyingKey]:
+    if data[:4] == _KEY_MAGIC:
+        return _vk_from_lztk(data)
     try:
-        if data[:4] != _KEY_MAGIC or struct.unpack("<I", data[4:8])[0] != _KEY_VERSION:
+        r = _Reader(data)
+        vk = _vk_read(r)
+        return vk if r.done() else None
+    except Exception:
+        return None
+
+
+# -- round-1 `LZTK` container readers (back-compat) --------------------------
+
+
+def _pk_from_lztk(data: bytes) -> Optional[ProvingKey]:
+    try:
+        if struct.unpack("<I", data[4:8])[0] != _KEY_VERSION:
             return None
-        pos = 8
-        alpha_g1 = _g1_from(data[pos : pos + 64])
-        pos += 64
-        g2s = []
-        for _ in range(3):
-            g2s.append(_g2_from(data[pos : pos + 128]))
-            pos += 128
-        cnt = struct.unpack("<I", data[pos : pos + 4])[0]
-        pos += 4
-        abc = []
-        for _ in range(cnt):
-            abc.append(_g1_from(data[pos : pos + 64]))
-            pos += 64
-        if pos != len(data) or alpha_g1 is None or any(
-            x is None for x in g2s + abc
-        ):
+        r = _Reader(data)
+        r.pos = 8
+        alpha_g1 = r.g1()
+        beta_g2 = r.g2()
+        gamma_g2 = r.g2()
+        delta_g2 = r.g2()
+        gamma_abc = [r.g1() for _ in range(r.vec_len(4))]
+        beta_g1 = r.g1()
+        delta_g1 = r.g1()
+        a_query = [r.g1() for _ in range(r.vec_len(4))]
+        b_g1_query = [r.g1() for _ in range(r.vec_len(4))]
+        h_query = [r.g1() for _ in range(r.vec_len(4))]
+        l_query = [r.g1() for _ in range(r.vec_len(4))]
+        b_g2_query = [r.g2() for _ in range(r.vec_len(4))]
+        if not r.done():
             return None
-        return VerifyingKey(alpha_g1, g2s[0], g2s[1], g2s[2], abc)
+        vk = VerifyingKey(alpha_g1, beta_g2, gamma_g2, delta_g2, gamma_abc)
+        return ProvingKey(
+            vk, beta_g1, delta_g1, a_query, b_g1_query, b_g2_query, h_query, l_query
+        )
+    except Exception:
+        return None
+
+
+def _vk_from_lztk(data: bytes) -> Optional[VerifyingKey]:
+    try:
+        if struct.unpack("<I", data[4:8])[0] != _KEY_VERSION:
+            return None
+        r = _Reader(data)
+        r.pos = 8
+        alpha_g1 = r.g1()
+        beta_g2 = r.g2()
+        gamma_g2 = r.g2()
+        delta_g2 = r.g2()
+        abc = [r.g1() for _ in range(r.vec_len(4))]
+        if not r.done():
+            return None
+        return VerifyingKey(alpha_g1, beta_g2, gamma_g2, delta_g2, abc)
     except Exception:
         return None

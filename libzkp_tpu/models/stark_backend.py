@@ -133,6 +133,17 @@ def _prove_pairs_host(pairs) -> List[bytes]:
     return out
 
 
+def _prove_precomputed(work) -> List[bytes]:
+    """Fork-pool worker: host pipeline over device-precomputed LDEs.
+
+    ``work``: list of ((old, new), trace_col, poly, lde) tuples."""
+    out = []
+    for (old, new), col, poly, lde in work:
+        air = ImprovementAir(TRACE_LENGTH, [old, new], DEFAULT_OPTIONS)
+        out.append(stark.prove(air, [col], precomputed=([poly], [lde])))
+    return out
+
+
 def prove_improvement_batch(pairs) -> List[bytes]:
     """Batch prover: for large batches either the device path (all trace
     interpolations + coset LDEs as ONE jitted call sharded over ``dp``) or
@@ -151,6 +162,22 @@ def prove_improvement_batch(pairs) -> List[bytes]:
         polys, ldes = coset_lde_batch(
             F128.p, cols, DEFAULT_OPTIONS.blowup, stark.DOMAIN_OFFSET
         )
+        # Per-proof transcript/Merkle/FRI assembly is GIL-bound Python: fan
+        # it out over the fork pool (the device already did the LDE math).
+        pool = _get_fork_pool()
+        if pool is not None:
+            try:
+                nw = pool._max_workers
+                work = list(zip(pairs, cols, polys, ldes))
+                chunks = [work[i::nw] for i in range(nw)]
+                parts = list(pool.map(_prove_precomputed, chunks))
+                out: List[bytes] = [b""] * len(pairs)
+                for w, part in enumerate(parts):
+                    for j, proof in enumerate(part):
+                        out[w + j * nw] = proof
+                return out
+            except Exception:
+                pass  # fall through to the serial assembly path
         return [
             stark.prove(air, [col], precomputed=([poly], [lde]))
             for air, col, poly, lde in zip(airs, cols, polys, ldes)

@@ -49,6 +49,39 @@ def _limbs_to_int(limbs) -> int:
     return x
 
 
+def limb_rows_to_ints(flat: np.ndarray, p: int) -> list:
+    """(rows, n) relaxed signed 12-bit limbs -> canonical ints mod p.
+
+    Vectorized: limbs pair into 24-bit words, a numpy carry chain (over the
+    word axis, not rows) makes every low word a clean 3-byte group, then each
+    value is one ``int.from_bytes`` + one ``% p``.
+    """
+    rows = flat.shape[0]
+    if rows == 0:
+        return []
+    if flat.shape[1] % 2:
+        flat = np.pad(flat, ((0, 0), (0, 1)))
+    w = flat[:, 0::2] + (flat[:, 1::2] << LIMB_BITS)  # (rows, nw) signed words
+    nw = w.shape[1]
+    for k in range(nw - 1):  # carry left->right; >> handles negatives
+        w[:, k + 1] += w[:, k] >> 24
+        w[:, k] &= 0xFFFFFF
+    tops = w[:, nw - 1]
+    stride = (nw - 1) * 3
+    low = w[:, : nw - 1].astype(np.uint32)
+    b = np.empty((rows, stride), dtype=np.uint8)
+    b[:, 0::3] = low & 0xFF
+    b[:, 1::3] = (low >> 8) & 0xFF
+    b[:, 2::3] = (low >> 16) & 0xFF
+    buf = b.tobytes()
+    shift = 24 * (nw - 1)
+    return [
+        (int.from_bytes(buf[i * stride : (i + 1) * stride], "little")
+         + (int(tops[i]) << shift)) % p
+        for i in range(rows)
+    ]
+
+
 class LimbContext:
     """Montgomery arithmetic mod ``p`` on 12-bit signed-limb int32 arrays.
 
@@ -84,10 +117,7 @@ class LimbContext:
     def decode(self, arr) -> list:
         """(…, n) relaxed limb array -> canonical Python ints (mod p)."""
         a = np.asarray(jax.device_get(arr), dtype=np.int64)
-        if a.ndim == 1:
-            return [_limbs_to_int(a) % self.p]
-        flat = a.reshape(-1, self.n)
-        return [_limbs_to_int(row) % self.p for row in flat]
+        return limb_rows_to_ints(a.reshape(-1, self.n), self.p)
 
     # -- carry handling (vectorized, value-preserving, no scans) -----------
     def _carry_pass(self, x: jnp.ndarray) -> jnp.ndarray:
