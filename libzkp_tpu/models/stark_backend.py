@@ -114,12 +114,16 @@ def _get_fork_pool():
         return None
     if _fork_pool is None:
         try:
+            import atexit
             import multiprocessing as mp
             from concurrent.futures import ProcessPoolExecutor
 
             _fork_pool = ProcessPoolExecutor(
                 max_workers=workers, mp_context=mp.get_context("fork")
             )
+            # shut down before interpreter teardown tears out the modules the
+            # pool's weakref callbacks touch (noisy traceback otherwise)
+            atexit.register(_fork_pool.shutdown, wait=False, cancel_futures=True)
         except Exception:
             _fork_pool = None
     return _fork_pool

@@ -22,6 +22,8 @@ from typing import List, Optional, Sequence, Tuple
 
 from ..utils.threads import msm_chunks as _msm_chunks
 
+_ZERO32 = bytes(32)
+
 _DIR = os.path.dirname(os.path.abspath(__file__))
 _SRC = os.path.join(_DIR, "zkpcore.cpp")
 _SO = os.path.join(_DIR, "_zkpcore.so")
@@ -284,8 +286,11 @@ def ed_msm_fixed_many(key, scalar_vecs, points, order: int):
     if h is None:
         return [ed_msm(sv, points, order) for sv in scalar_vecs]
     batch = len(scalar_vecs)
+    # zero fast-path: IPP round vectors are ~75% zeros; skip the mod+to_bytes
     sc = b"".join(
-        (s % order).to_bytes(32, "little") for sv in scalar_vecs for s in sv
+        _ZERO32 if s == 0 else (s % order).to_bytes(32, "little")
+        for sv in scalar_vecs
+        for s in sv
     )
     out = ctypes.create_string_buffer(128 * batch)
     _lib.zkp_ed_msm_fixed_many(h, batch, sc, out)
@@ -302,7 +307,9 @@ def bn254_g1_msm_fixed_many(key, scalar_vecs, points):
         return [bn254_g1_msm(sv, points) for sv in scalar_vecs]
     batch = len(scalar_vecs)
     sc = b"".join(
-        (s % _bn254_r).to_bytes(32, "little") for sv in scalar_vecs for s in sv
+        _ZERO32 if s == 0 else (s % _bn254_r).to_bytes(32, "little")
+        for sv in scalar_vecs
+        for s in sv
     )
     out = ctypes.create_string_buffer(96 * batch)
     _lib.zkp_bn254_g1_msm_fixed_many(h, batch, sc, out)

@@ -16,9 +16,20 @@ Policy (env-tunable):
   Pallas interpret/eager mode on the 8-device virtual mesh).
 * ``LIBZKP_DEVICE_MSM_MIN_B`` — minimum batch lanes (independent MSMs) before
   the device pays for its dispatch latency (one host->device round trip costs
-  ~25 ms on a tunneled chip). Default 192.
-* ``LIBZKP_DEVICE_MSM_MIN_K`` — minimum basis size; tiny bases (Pedersen
-  ``[B, B_blinding]``) stay on the host. Default 16.
+  ~25 ms on a tunneled chip). Default 224.
+* ``LIBZKP_DEVICE_MSM_MIN_K`` — minimum basis size; small bases (Pedersen
+  pairs, 8-bit-range IPP bases) are cheaper on the host BGMW tables than the
+  device's K-chunk-padded tree. Default 96.
+* ``LIBZKP_DEVICE_MSM_CHUNK_B`` — lanes per device dispatch; bigger batches
+  split into chunks so the compiled-shape set stays bounded (first-compile
+  over a tunnel costs minutes; the persistent cache amortizes per machine,
+  per shape). Default 512.
+
+Measured on this host (2 vCPU, v5e via ~25 ms-RTT tunnel): the device path
+is at parity with the 2-core C++ OMP tier inside the default band and loses
+outside it — the win case is a co-located TPU (sub-ms dispatch, PCIe/ICI
+transfer) and batch shapes like Groth16 query MSMs (K >= 352) over >= 224
+distinct statements. See BASELINE.md "Device MSM engine".
 
 Multiples tables are cached per basis object — every basis on the prove path
 is process-constant (generator vectors, proving-key query vectors), exactly
@@ -83,8 +94,8 @@ def enabled() -> bool:
 
 def _thresholds():
     return (
-        _env_int("LIBZKP_DEVICE_MSM_MIN_B", 192),
-        _env_int("LIBZKP_DEVICE_MSM_MIN_K", 16),
+        _env_int("LIBZKP_DEVICE_MSM_MIN_B", 224),
+        _env_int("LIBZKP_DEVICE_MSM_MIN_K", 96),
     )
 
 
@@ -133,7 +144,13 @@ def try_device(
             from ..parallel import mesh as meshmod
 
             return cj.msm_many_sharded(table, scalar_vecs, mesh=meshmod.get_mesh())
-        return cj.msm_many(table, scalar_vecs)
+        chunk = max(_env_int("LIBZKP_DEVICE_MSM_CHUNK_B", 512), 1)
+        if len(scalar_vecs) <= chunk:
+            return cj.msm_many(table, scalar_vecs)
+        out: List = []
+        for i in range(0, len(scalar_vecs), chunk):
+            out.extend(cj.msm_many(table, scalar_vecs[i : i + chunk]))
+        return out
     except Exception:
         if os.environ.get("LIBZKP_DEVICE_MSM") == "1":
             raise  # forced mode surfaces bugs instead of silently hiding them

@@ -14,9 +14,9 @@ Replaces the reference's rayon ``par_iter`` over batch operations
 
 from __future__ import annotations
 
-from typing import Dict, List, Sequence
+from typing import List, Sequence
 
-from ..ops.mimc import fr_to_commitment, mimc_hash_batch, prime_mimc_memo
+from ..ops.mimc import mimc_hash_batch, prime_mimc_memo
 from ..utils.composition import BatchOperation
 
 # Threshold below which batching the commitments on-device is not worth the
@@ -24,17 +24,16 @@ from ..utils.composition import BatchOperation
 _MIN_DEVICE_BATCH = 64
 
 
-def _precompute_snark_commitments(ops: Sequence[BatchOperation]) -> Dict[int, bytes]:
+def _precompute_snark_commitments(ops: Sequence[BatchOperation]) -> None:
     """Batch all MiMC commitments needed by equality/membership ops on-device
-    and prime the host memo so each proof's commitment is a dict hit."""
+    and prime the host memo, so each downstream prover's commitment lookup
+    is a dict hit instead of a 110-round host hash."""
     values = sorted(
         {op.args[0] for op in ops if op.kind in ("equality", "membership")}
     )
     if len(values) < _MIN_DEVICE_BATCH:
-        return {}
-    digests = mimc_hash_batch(values)
-    prime_mimc_memo(values, digests)
-    return {v: fr_to_commitment(d) for v, d in zip(values, digests)}
+        return
+    prime_mimc_memo(values, mimc_hash_batch(values))
 
 
 def process_operations(ops: Sequence[BatchOperation]) -> List[bytes]:
@@ -48,8 +47,7 @@ def process_operations(ops: Sequence[BatchOperation]) -> List[bytes]:
     from ..advanced.batch import process_batch_operation
 
     # Batch the MiMC commitments for commitment-heavy workloads on-device.
-    commitments = _precompute_snark_commitments(ops)
-    del commitments
+    _precompute_snark_commitments(ops)
     items = list(ops)
     results: List[bytes] = [b""] * len(items)
 

@@ -48,6 +48,19 @@ def test_ed25519_seam_matches_host(forced_device):
     assert len(msm_device._TABLES) == n_tables
 
 
+def test_chunked_dispatch_matches_host(forced_device, monkeypatch):
+    """Batches above LIBZKP_DEVICE_MSM_CHUNK_B split into bounded-shape
+    device dispatches (keeps the compiled-shape set small)."""
+    monkeypatch.setenv("LIBZKP_DEVICE_MSM_CHUNK_B", "2")
+    K, B = 6, 5
+    pts = [ed.from_uniform_bytes(random.randbytes(64)) for _ in range(K)]
+    vecs = [[random.randrange(ed.L) for _ in range(K)] for _ in range(B)]
+    got = ed.msm_fixed_many(vecs, pts)
+    assert len(got) == B
+    for sv, g in zip(vecs, got):
+        assert ed.point_equal(tuple(g), ed.msm_py(sv, pts))
+
+
 def test_bn254_g1_seam_matches_host(forced_device):
     K, B = 5, 3
     g = bn.g1_from_affine(bn.G1_GEN)
