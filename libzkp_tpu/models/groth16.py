@@ -742,7 +742,11 @@ def pk_to_bytes(pk: ProvingKey) -> bytes:
 
 def pk_from_bytes(data: bytes) -> Optional[ProvingKey]:
     if data[:4] == _KEY_MAGIC:
-        return _pk_from_lztk(data)
+        # A raw arkworks key whose alpha_g1.x begins with these 4 bytes
+        # (~2^-32) must still load: fall through on LZTK parse failure.
+        pk = _pk_from_lztk(data)
+        if pk is not None:
+            return pk
     try:
         r = _Reader(data)
         vk = _vk_read(r)
@@ -770,7 +774,9 @@ def vk_to_bytes(vk: VerifyingKey) -> bytes:
 
 def vk_from_bytes(data: bytes) -> Optional[VerifyingKey]:
     if data[:4] == _KEY_MAGIC:
-        return _vk_from_lztk(data)
+        vk = _vk_from_lztk(data)
+        if vk is not None:
+            return vk
     try:
         r = _Reader(data)
         vk = _vk_read(r)

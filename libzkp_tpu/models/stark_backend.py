@@ -112,20 +112,35 @@ def _get_fork_pool():
     workers = _os.cpu_count() or 1
     if workers < 2:
         return None
+    if _fork_pool is False:  # previous creation attempt wedged; stay serial
+        return None
     if _fork_pool is None:
         try:
             import atexit
             import multiprocessing as mp
             from concurrent.futures import ProcessPoolExecutor
 
-            _fork_pool = ProcessPoolExecutor(
+            pool = ProcessPoolExecutor(
                 max_workers=workers, mp_context=mp.get_context("fork")
             )
+            # Fork the workers NOW and prove they are alive: forking a
+            # process with live XLA threads can deadlock the child, and an
+            # except-clause cannot catch a hang. A bounded health check at
+            # creation converts "wedged batch" into "serial fallback".
+            futs = [pool.submit(int, i) for i in range(workers)]
+            for f in futs:
+                f.result(timeout=10)
             # shut down before interpreter teardown tears out the modules the
             # pool's weakref callbacks touch (noisy traceback otherwise)
-            atexit.register(_fork_pool.shutdown, wait=False, cancel_futures=True)
+            atexit.register(pool.shutdown, wait=False, cancel_futures=True)
+            _fork_pool = pool
         except Exception:
-            _fork_pool = None
+            try:
+                pool.shutdown(wait=False, cancel_futures=True)
+            except Exception:
+                pass
+            _fork_pool = False
+            return None
     return _fork_pool
 
 
@@ -163,12 +178,15 @@ def prove_improvement_batch(pairs) -> List[bytes]:
     if len(pairs) >= _MIN_DEVICE_LDE_BATCH:
         from ..ops.ntt import coset_lde_batch
 
+        # Fork the pool BEFORE this call dispatches to JAX: forking with
+        # live XLA threads in the parent is a deadlock hazard (the pool
+        # health-checks its workers either way).
+        pool = _get_fork_pool()
         polys, ldes = coset_lde_batch(
             F128.p, cols, DEFAULT_OPTIONS.blowup, stark.DOMAIN_OFFSET
         )
         # Per-proof transcript/Merkle/FRI assembly is GIL-bound Python: fan
         # it out over the fork pool (the device already did the LDE math).
-        pool = _get_fork_pool()
         if pool is not None:
             try:
                 nw = pool._max_workers

@@ -134,11 +134,9 @@ def mimc_hash_batch(values, mesh=None) -> list:
     padded = max(16, 1 << (n - 1).bit_length()) if n else 16
     x = ctx.encode(vals + [0] * (padded - n))
     if mesh is None:
-        from .msm_device import _use_mesh
+        from ..parallel import mesh as meshmod
 
-        if _use_mesh():
-            from ..parallel import mesh as meshmod
-
+        if meshmod.use_mesh():
             mesh = meshmod.get_mesh()
     if mesh is not None and mesh.size > 1 and padded % mesh.shape["dp"] == 0:
         from ..parallel.mesh import dp_sharding

@@ -269,16 +269,23 @@ def coset_lde_batch(p: int, traces, blowup: int, offset: int, mesh=None):
     flat = [v for t in traces for v in t] + [0] * (n * (padded_b - B))
     x = ctx.encode(flat).reshape(padded_b, n, ctx.n)
     if mesh is None:
-        from .msm_device import _use_mesh
+        from ..parallel import mesh as meshmod
 
-        if _use_mesh():
-            from ..parallel import mesh as meshmod
-
+        if meshmod.use_mesh():
             mesh = meshmod.get_mesh()
-    if mesh is not None and mesh.size > 1 and padded_b % mesh.shape["dp"] == 0:
-        from ..parallel.mesh import dp_sharding
+    if mesh is not None and mesh.size > 1:
+        if padded_b % mesh.shape["dp"] == 0:
+            from ..parallel.mesh import dp_sharding
 
-        x = jax.device_put(x, dp_sharding(mesh))
+            x = jax.device_put(x, dp_sharding(mesh))
+        else:
+            import logging
+
+            logging.getLogger(__name__).info(
+                "coset_lde_batch: batch %d (padded %d) not divisible by dp=%d;"
+                " running single-device",
+                B, padded_b, mesh.shape["dp"],
+            )
     coeffs, lde = _coset_lde_jitted(p, n, blowup, offset)(x)
     coeff_ints = ctx.decode(coeffs)
     lde_ints = ctx.decode(lde)

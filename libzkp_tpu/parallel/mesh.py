@@ -50,3 +50,25 @@ def num_dp(mesh: Optional[Mesh] = None) -> int:
 
 def pad_to_multiple(n: int, m: int) -> int:
     return ((n + m - 1) // m) * m
+
+
+def use_mesh() -> bool:
+    """Should batch primitives shard over the global mesh?
+
+    ``LIBZKP_MESH_SHARDED=1/0`` forces it (CPU virtual-mesh tests force on);
+    the legacy ``LIBZKP_DEVICE_MSM_SHARDED`` is honored as a fallback. By
+    default sharding engages when more than one accelerator device is
+    visible. Single-chip fallbacks inside the sharded kernels make either
+    answer safe.
+    """
+    flag = os.environ.get("LIBZKP_MESH_SHARDED") or os.environ.get(
+        "LIBZKP_DEVICE_MSM_SHARDED"
+    )
+    if flag == "0":
+        return False
+    if flag == "1":
+        return True
+    try:
+        return jax.default_backend() != "cpu" and len(jax.devices()) > 1
+    except Exception:
+        return False
