@@ -272,6 +272,12 @@ def prove_single(
     """Create a range proof that value in [0, 2^n); returns (proof, V_compressed)."""
     assert 0 < n <= 64 and n & (n - 1) == 0
     assert value < (1 << n)
+    if _use_native_prover():
+        res = _prove_batch_native(
+            [(t, value, blinding, n)], n, os.urandom((2 * n + 4) * 64)
+        )
+        if res is not None:
+            return res[0]
     B, B_blinding = pedersen_gens()
     G, H = bp_gens(n)
     G = list(G)
@@ -366,8 +372,70 @@ def prove_single_batch(
     return out  # type: ignore[return-value]
 
 
-def _prove_batch_fixed_n(insts, n: int) -> List[Tuple[RangeProof, bytes]]:
+def _use_native_prover() -> bool:
+    from .. import native
+
+    return native.HAVE_NATIVE and not os.environ.get("LIBZKP_NO_NATIVE_BP")
+
+
+def _prove_batch_native(insts, n: int, rand: bytes) -> List[Tuple[RangeProof, bytes]]:
+    """Whole-pipeline native batch prover (one call, OMP across proofs)."""
+    from .. import native
+
+    B, B_blinding = pedersen_gens()
+    G, H = bp_gens(n)
+    basis_vs = [B, B_blinding]
+    basis_as = [B_blinding] + list(G) + list(H)
+    basis_ipp = list(G) + list(H) + [B]
+    h_vs = native.ed_fixed_handle(tuple(basis_vs), basis_vs)
+    h_as = native.ed_fixed_handle(tuple(basis_as), basis_as)
+    h_ipp = native.ed_fixed_handle(tuple(basis_ipp), basis_ipp)
+    if h_vs is None or h_as is None or h_ipp is None:
+        return None  # registry full: caller falls back to the Python path
+    values = [value for (_, value, _, _) in insts]
+    gammas = [blinding % L for (_, _, blinding, _) in insts]
+    transcripts = b"".join(t.strobe.state_bytes() for (t, _, _, _) in insts)
+    vs, ps = native.bp_prove_batch(
+        h_vs, h_as, h_ipp, n, values, gammas, rand, transcripts
+    )
+    out = []
+    for pbytes, v in zip(ps, vs):
+        rp = RangeProof.from_bytes(pbytes)
+        assert rp is not None, "native prover emitted an unparseable proof"
+        out.append((rp, v))
+    return out
+
+
+def _prove_batch_fixed_n(
+    insts, n: int, rand: Optional[bytes] = None
+) -> List[Tuple[RangeProof, bytes]]:
+    """Lockstep prover for one bit-width.
+
+    ``rand`` supplies the per-proof randomness as ``(2n + 4)`` wide 64-byte
+    draws per proof, ordered ``a_blind, s_blind, s_L[0..n-1], s_R[0..n-1],
+    t1_blinding, t2_blinding`` — the layout the native whole-pipeline prover
+    (``zkpcore.cpp zkp_bp_prove_batch``) consumes, so the two tiers are
+    bit-identical under injected randomness. ``None`` draws from os.urandom.
+    """
     assert 0 < n <= 64 and n & (n - 1) == 0
+    m0 = len(insts)
+    per = (2 * n + 4) * 64
+    if rand is None:
+        rand = os.urandom(per * m0)
+    assert len(rand) == per * m0
+
+    for _, value, _, _ in insts:
+        assert value < (1 << n)
+
+    if _use_native_prover():
+        res = _prove_batch_native(insts, n, rand)
+        if res is not None:
+            return res
+
+    def _wide(j: int, slot: int) -> int:
+        off = j * per + slot * 64
+        return ed.scalar_from_bytes_mod_order_wide(rand[off : off + 64])
+
     B, B_blinding = pedersen_gens()
     G, H = bp_gens(n)
     G = list(G)
@@ -375,13 +443,11 @@ def _prove_batch_fixed_n(insts, n: int) -> List[Tuple[RangeProof, bytes]]:
     basis_vs = [B, B_blinding]
     basis_as = [B_blinding] + G + H
     basis_ipp = G + H + [B]
-    m0 = len(insts)
 
     # -- phase 1: value commitments -----------------------------------------
     gammas = []
     a_Ls = []
     for t, value, blinding, _ in insts:
-        assert value < (1 << n)
         gammas.append(blinding % L)
         a_Ls.append([(value >> i) & 1 for i in range(n)])
     V_pts = ed.msm_fixed_many(
@@ -390,10 +456,10 @@ def _prove_batch_fixed_n(insts, n: int) -> List[Tuple[RangeProof, bytes]]:
     Vs = [ed.compress(p) for p in V_pts]
 
     # -- phase 2: A and S commitments (one batched MSM for both) ------------
-    a_blind = [_random_scalar() for _ in range(m0)]
-    s_blind = [_random_scalar() for _ in range(m0)]
-    s_Ls = [[_random_scalar() for _ in range(n)] for _ in range(m0)]
-    s_Rs = [[_random_scalar() for _ in range(n)] for _ in range(m0)]
+    a_blind = [_wide(j, 0) for j in range(m0)]
+    s_blind = [_wide(j, 1) for j in range(m0)]
+    s_Ls = [[_wide(j, 2 + i) for i in range(n)] for j in range(m0)]
+    s_Rs = [[_wide(j, 2 + n + i) for i in range(n)] for j in range(m0)]
     as_vecs = []
     for j in range(m0):
         a_L = a_Ls[j]
@@ -437,8 +503,8 @@ def _prove_batch_fixed_n(insts, n: int) -> List[Tuple[RangeProof, bytes]]:
             pow2 = pow2 * 2 % L
         t1 = (_inner(l0, r1) + _inner(s_L, r0)) % L
         t2 = _inner(s_L, r1)
-        t1_blinding = _random_scalar()
-        t2_blinding = _random_scalar()
+        t1_blinding = _wide(j, 2 + 2 * n)
+        t2_blinding = _wide(j, 3 + 2 * n)
         l0s.append(l0)
         r0s.append(r0)
         r1s.append(r1)

@@ -86,6 +86,11 @@ class Strobe128:
         self._begin_op(FLAG_I | FLAG_A | FLAG_C, more)
         return self._squeeze(n)
 
+    def state_bytes(self) -> bytes:
+        """203-byte snapshot (state ‖ pos ‖ pos_begin ‖ cur_flags) — the wire
+        format the native batch prover resumes a transcript from."""
+        return bytes(self.state) + bytes([self.pos, self.pos_begin, self.cur_flags])
+
     def key(self, data: bytes, more: bool) -> None:
         self._begin_op(FLAG_A | FLAG_C, more)
         # overwrite mode

@@ -39,8 +39,13 @@ def _build() -> Optional[str]:
         fd, tmp = tempfile.mkstemp(suffix=".so", dir=_DIR)
         os.close(fd)
         base = ["g++", "-O3", "-std=c++17", "-shared", "-fPIC", "-o", tmp, _SRC]
-        # prefer OpenMP (window-parallel MSM); fall back to serial build
-        for cmd in (base[:1] + ["-fopenmp"] + base[1:], base):
+        # prefer native ISA (mulx/adx for the wide-limb carry chains) +
+        # OpenMP (batch-parallel MSM); degrade gracefully
+        for cmd in (
+            base[:1] + ["-march=native", "-fopenmp"] + base[1:],
+            base[:1] + ["-fopenmp"] + base[1:],
+            base,
+        ):
             try:
                 subprocess.run(cmd, check=True, capture_output=True, timeout=240)
                 os.replace(tmp, _SO)
@@ -126,6 +131,11 @@ def _load() -> Optional[ctypes.CDLL]:
         ctypes.c_int, ctypes.c_char_p, ctypes.c_char_p, ctypes.c_int]
     lib.zkp_bn254_g2_msm_fixed_many.argtypes = [
         ctypes.c_int, u64, ctypes.c_char_p, ctypes.c_char_p]
+    lib.zkp_bp_prove_batch.argtypes = [
+        ctypes.c_int, ctypes.c_int, ctypes.c_int, u64, u64,
+        ctypes.c_char_p, ctypes.c_char_p, ctypes.c_char_p, ctypes.c_char_p,
+        ctypes.c_char_p, ctypes.c_char_p]
+    lib.zkp_bp_prove_batch.restype = ctypes.c_int
     return lib
 
 
@@ -295,6 +305,47 @@ def ed_msm_fixed_many(key, scalar_vecs, points, order: int):
     out = ctypes.create_string_buffer(128 * batch)
     _lib.zkp_ed_msm_fixed_many(h, batch, sc, out)
     return [_from_wire(out.raw[i * 128 : (i + 1) * 128]) for i in range(batch)]
+
+
+def ed_fixed_handle(key, points) -> Optional[int]:
+    """Registered-table handle for a process-constant ed25519 basis."""
+    return _get_handle(
+        _ed_handles, key,
+        lambda: _lib.zkp_ed_msm_register(
+            len(points), b"".join(_to_wire(p) for p in points)),
+    )
+
+
+def bp_prove_batch(
+    h_vs: int,
+    h_as: int,
+    h_ipp: int,
+    n: int,
+    values: Sequence[int],
+    gammas: Sequence[int],
+    rnd: bytes,
+    transcripts: bytes,
+):
+    """Whole-pipeline native range-proof batch (see zkpcore.cpp
+    zkp_bp_prove_batch). Returns (v_compressed_list, proof_bytes_list);
+    raises ValueError on an identity value commitment (host-tier parity)."""
+    batch = len(values)
+    rounds = n.bit_length() - 1
+    plen = (9 + 2 * rounds) * 32
+    vb = b"".join(int(v).to_bytes(8, "little") for v in values)
+    gb = b"".join(int(g).to_bytes(32, "little") for g in gammas)
+    out_v = ctypes.create_string_buffer(32 * batch)
+    out_p = ctypes.create_string_buffer(plen * batch)
+    rc = _lib.zkp_bp_prove_batch(
+        h_vs, h_as, h_ipp, n, batch, vb, gb, rnd, transcripts, out_v, out_p
+    )
+    if rc == 1:
+        raise ValueError("value commitment is the identity")
+    if rc != 0:
+        raise RuntimeError(f"native bp prover failed: {rc}")
+    vs = [out_v.raw[i * 32 : (i + 1) * 32] for i in range(batch)]
+    ps = [out_p.raw[i * plen : (i + 1) * plen] for i in range(batch)]
+    return vs, ps
 
 
 def bn254_g1_msm_fixed_many(key, scalar_vecs, points):

@@ -2441,3 +2441,672 @@ int zkp_groth16_h(uint64_t n, uint64_t n_constraints, uint64_t n_instance,
 }
 
 }  // extern "C"
+
+// ===========================================================================
+// Bulletproofs batch prover: the whole per-proof pipeline (value/A/S/T
+// commitments, STROBE transcript, t-polynomial, inner-product rounds) runs
+// natively, one OMP task per proof.  Replaces the Python lockstep prover's
+// per-phase native calls (models/bulletproofs.py _prove_batch_fixed_n) with
+// ONE call per bucket — same transcript schedule and byte layout as the
+// bulletproofs crate 5.0 consumed by the reference
+// (/root/reference/src/backend/bulletproofs.rs:138-158).
+// Differentially tested bit-exact against the Python golden model with
+// injected randomness (tests/test_bulletproofs.py).
+// ===========================================================================
+
+namespace {
+
+// -- scalar field mod l = 2^252 + 27742...493 (Montgomery, 4x64) ------------
+
+struct sc {
+    uint64_t v[4];
+};
+
+static const sc SC_L = {{0x5812631A5CF5D3EDULL, 0x14DEF9DEA2F79CD6ULL, 0ULL,
+                         0x1000000000000000ULL}};
+
+struct sc_ctx {
+    uint64_t n0;  // -l^{-1} mod 2^64
+    sc R2;        // 2^512 mod l
+};
+
+static int sc_cmp(const sc& a, const sc& b) {
+    for (int i = 3; i >= 0; i--) {
+        if (a.v[i] < b.v[i]) return -1;
+        if (a.v[i] > b.v[i]) return 1;
+    }
+    return 0;
+}
+
+static sc sc_add(const sc& a, const sc& b) {
+    sc r;
+    unsigned __int128 c = 0;
+    for (int i = 0; i < 4; i++) {
+        c += (unsigned __int128)a.v[i] + b.v[i];
+        r.v[i] = (uint64_t)c;
+        c >>= 64;
+    }
+    if (c || sc_cmp(r, SC_L) >= 0) {
+        unsigned __int128 br = 0;
+        for (int i = 0; i < 4; i++) {
+            unsigned __int128 d = (unsigned __int128)r.v[i] - SC_L.v[i] - br;
+            r.v[i] = (uint64_t)d;
+            br = (d >> 64) & 1;
+        }
+    }
+    return r;
+}
+
+static sc sc_sub(const sc& a, const sc& b) {
+    sc r;
+    unsigned __int128 br = 0;
+    for (int i = 0; i < 4; i++) {
+        unsigned __int128 d = (unsigned __int128)a.v[i] - b.v[i] - br;
+        r.v[i] = (uint64_t)d;
+        br = (d >> 64) & 1;
+    }
+    if (br) {
+        unsigned __int128 c = 0;
+        for (int i = 0; i < 4; i++) {
+            c += (unsigned __int128)r.v[i] + SC_L.v[i];
+            r.v[i] = (uint64_t)c;
+            c >>= 64;
+        }
+    }
+    return r;
+}
+
+static const sc_ctx& sc_get_ctx() {
+    static sc_ctx ctx = [] {
+        sc_ctx c;
+        // n0 = -l^{-1} mod 2^64 via Newton iteration on the odd low limb
+        uint64_t x = 1, l0 = SC_L.v[0];
+        for (int i = 0; i < 6; i++) x *= 2 - l0 * x;
+        c.n0 = ~x + 1;  // -x
+        // R2 = 2^512 mod l by 512 modular doublings of 1
+        sc r{{1, 0, 0, 0}};
+        for (int i = 0; i < 512; i++) r = sc_add(r, r);
+        c.R2 = r;
+        return c;
+    }();
+    return ctx;
+}
+
+// CIOS Montgomery multiplication: returns a*b*2^-256 mod l.
+static sc sc_mont_mul(const sc& a, const sc& b) {
+    const sc_ctx& cx = sc_get_ctx();
+    uint64_t t[6] = {0, 0, 0, 0, 0, 0};
+    for (int i = 0; i < 4; i++) {
+        unsigned __int128 c = 0;
+        for (int j = 0; j < 4; j++) {
+            c += (unsigned __int128)a.v[i] * b.v[j] + t[j];
+            t[j] = (uint64_t)c;
+            c >>= 64;
+        }
+        c += t[4];
+        t[4] = (uint64_t)c;
+        t[5] = (uint64_t)(c >> 64);
+        uint64_t m = t[0] * cx.n0;
+        c = (unsigned __int128)m * SC_L.v[0] + t[0];
+        c >>= 64;
+        for (int j = 1; j < 4; j++) {
+            c += (unsigned __int128)m * SC_L.v[j] + t[j];
+            t[j - 1] = (uint64_t)c;
+            c >>= 64;
+        }
+        c += t[4];
+        t[3] = (uint64_t)c;
+        t[4] = t[5] + (uint64_t)(c >> 64);
+    }
+    sc r{{t[0], t[1], t[2], t[3]}};
+    if (t[4] || sc_cmp(r, SC_L) >= 0) r = sc_sub(r, SC_L);
+    return r;
+}
+
+// canonical a*b mod l (two Montgomery passes)
+static sc sc_mul(const sc& a, const sc& b) {
+    return sc_mont_mul(sc_mont_mul(a, sc_get_ctx().R2), b);
+}
+
+static sc sc_frombytes(const uint8_t* b) {
+    sc r;
+    std::memcpy(r.v, b, 32);
+    while (sc_cmp(r, SC_L) >= 0) r = sc_sub(r, SC_L);
+    return r;
+}
+
+static void sc_tobytes(const sc& a, uint8_t* b) { std::memcpy(b, a.v, 32); }
+
+// 64 little-endian bytes reduced mod l (dalek from_bytes_mod_order_wide)
+static sc sc_from_wide(const uint8_t* b) {
+    sc lo = sc_frombytes(b);
+    sc hi = sc_frombytes(b + 32);
+    // hi * 2^256 mod l = mont_mul(hi, R2)
+    return sc_add(lo, sc_mont_mul(hi, sc_get_ctx().R2));
+}
+
+static bool sc_is_zero(const sc& a) {
+    return !(a.v[0] | a.v[1] | a.v[2] | a.v[3]);
+}
+
+// a^-1 mod l (Fermat); a must be nonzero
+static sc sc_inv(const sc& a) {
+    // l - 2
+    static const uint8_t LM2[32] = {
+        0xeb, 0xd3, 0xf5, 0x5c, 0x1a, 0x63, 0x12, 0x58, 0xd6, 0x9c, 0xf7,
+        0xa2, 0xde, 0xf9, 0xde, 0x14, 0x00, 0x00, 0x00, 0x00, 0x00, 0x00,
+        0x00, 0x00, 0x00, 0x00, 0x00, 0x00, 0x00, 0x00, 0x00, 0x10,
+    };
+    sc am = sc_mont_mul(a, sc_get_ctx().R2);  // to Montgomery
+    sc r = am;
+    bool started = false;
+    (void)started;
+    // MSB-first square-and-multiply; top set bit of l-2 is bit 252
+    r = am;
+    for (int bit = 251; bit >= 0; bit--) {
+        r = sc_mont_mul(r, r);
+        if ((LM2[bit >> 3] >> (bit & 7)) & 1) r = sc_mont_mul(r, am);
+    }
+    return sc_mont_mul(r, sc{{1, 0, 0, 0}});  // from Montgomery
+}
+
+// inner product <a, b> mod l over len elements
+static sc sc_inner(const sc* a, const sc* b, int len) {
+    sc acc{{0, 0, 0, 0}};
+    for (int i = 0; i < len; i++) acc = sc_add(acc, sc_mul(a[i], b[i]));
+    return acc;
+}
+
+// -- STROBE-128 / merlin transcript (port of models/strobe.py) --------------
+
+static const int STROBE_R = 166;
+static const uint8_t SFLAG_I = 1, SFLAG_A = 2, SFLAG_C = 4, SFLAG_M = 16,
+                     SFLAG_K = 32;
+
+struct strobe128 {
+    alignas(8) uint8_t st[200];
+    uint8_t pos, pos_begin, cur_flags;
+
+    void load(const uint8_t* snapshot) {  // 203-byte snapshot from Python
+        std::memcpy(st, snapshot, 200);
+        pos = snapshot[200];
+        pos_begin = snapshot[201];
+        cur_flags = snapshot[202];
+    }
+
+    void run_f() {
+        st[pos] ^= pos_begin;
+        st[pos + 1] ^= 0x04;
+        st[STROBE_R + 1] ^= 0x80;
+        zkp_keccak_f1600((uint64_t*)st);
+        pos = 0;
+        pos_begin = 0;
+    }
+
+    void absorb(const uint8_t* d, size_t len) {
+        for (size_t i = 0; i < len; i++) {
+            st[pos] ^= d[i];
+            if (++pos == STROBE_R) run_f();
+        }
+    }
+
+    void squeeze(uint8_t* out, size_t len) {
+        for (size_t i = 0; i < len; i++) {
+            out[i] = st[pos];
+            st[pos] = 0;
+            if (++pos == STROBE_R) run_f();
+        }
+    }
+
+    void begin_op(uint8_t flags) {
+        uint8_t old_begin = pos_begin;
+        pos_begin = pos + 1;
+        cur_flags = flags;
+        uint8_t hdr[2] = {old_begin, flags};
+        absorb(hdr, 2);
+        if ((flags & (SFLAG_C | SFLAG_K)) && pos != 0) run_f();
+    }
+
+    void meta_ad(const uint8_t* d, size_t len, bool more) {
+        if (!more) begin_op(SFLAG_M | SFLAG_A);
+        absorb(d, len);
+    }
+
+    void ad(const uint8_t* d, size_t len) {
+        begin_op(SFLAG_A);
+        absorb(d, len);
+    }
+
+    void prf(uint8_t* out, size_t len) {
+        begin_op(SFLAG_I | SFLAG_A | SFLAG_C);
+        squeeze(out, len);
+    }
+};
+
+struct merlin_t {
+    strobe128 s;
+
+    void append(const char* label, const uint8_t* msg, uint32_t len) {
+        s.meta_ad((const uint8_t*)label, std::strlen(label), false);
+        uint8_t l4[4] = {(uint8_t)len, (uint8_t)(len >> 8), (uint8_t)(len >> 16),
+                         (uint8_t)(len >> 24)};
+        s.meta_ad(l4, 4, true);
+        s.ad(msg, len);
+    }
+
+    void append_u64(const char* label, uint64_t x) {
+        uint8_t b[8];
+        for (int i = 0; i < 8; i++) b[i] = (uint8_t)(x >> (8 * i));
+        append(label, b, 8);
+    }
+
+    sc challenge_scalar(const char* label) {
+        s.meta_ad((const uint8_t*)label, std::strlen(label), false);
+        uint8_t l4[4] = {64, 0, 0, 0};
+        s.meta_ad(l4, 4, true);
+        uint8_t wide[64];
+        s.prf(wide, 64);
+        return sc_from_wide(wide);
+    }
+};
+
+// -- signed-digit sparse MSM over a registered fixed table ------------------
+
+// Recode a canonical scalar (< 2^253) into ft.nwin signed base-2^c digits in
+// [-2^(c-1), 2^(c-1)-1]. Top digit absorbs the final carry (fits: scalars
+// are < l < 2^253 and c*(nwin-1) >= 248 for every c the tables use).
+static void sc_recode_signed(const sc& a, int c, int nwin, int16_t* digs) {
+    uint8_t bytes[32];
+    sc_tobytes(a, bytes);
+    int half = 1 << (c - 1), full = 1 << c, mask = full - 1;
+    int carry = 0;
+    for (int w = 0; w < nwin; w++) {
+        int bitpos = w * c;
+        int byte = bitpos >> 3, bit = bitpos & 7;
+        uint32_t frag = bytes[byte];
+        if (byte + 1 < 32) frag |= (uint32_t)bytes[byte + 1] << 8;
+        if (byte + 2 < 32) frag |= (uint32_t)bytes[byte + 2] << 16;
+        int d = (int)((frag >> bit) & mask) + carry;
+        if (w + 1 < nwin && d >= half) {
+            d -= full;
+            carry = 1;
+        } else {
+            carry = 0;
+        }
+        digs[w] = (int16_t)d;
+    }
+}
+
+static edniels edniels_neg(const edniels& q) {
+    return edniels{q.ypx, q.ymx, fe_neg(q.t2d)};
+}
+
+struct bp_scratch {
+    std::vector<ge> buckets;
+    std::vector<uint8_t> used;
+    std::vector<int16_t> digs;  // nnz * nwin digit matrix
+
+    void ensure(int c, int nwin, int max_nnz) {
+        size_t nb = (size_t)1 << (c - 1);
+        if (buckets.size() < nb) buckets.resize(nb);
+        if (used.size() < nb) used.assign(nb, 0);
+        if (digs.size() < (size_t)max_nnz * nwin)
+            digs.resize((size_t)max_nnz * nwin);
+    }
+};
+
+// Sparse fixed-table MSM with signed digits: sum of scals[j] * basis[cols[j]].
+static ge msm_sparse(const fixed_tab<ge, edniels>& ft, const int* cols,
+                     const sc* scals, int nnz, bp_scratch& scr) {
+    int c = ft.c, nwin = ft.nwin;
+    int nb = 1 << (c - 1);
+    scr.ensure(c, nwin, nnz);
+    std::memset(scr.used.data(), 0, nb);
+    for (int j = 0; j < nnz; j++)
+        sc_recode_signed(scals[j], c, nwin, scr.digs.data() + (size_t)j * nwin);
+    for (int w = 0; w < nwin; w++) {
+        const edniels* trow = ft.tab.data() + (size_t)w * ft.n;
+        const ge* prow = ft.tab_pt.data() + (size_t)w * ft.n;
+        for (int j = 0; j < nnz; j++) {
+            int d = scr.digs[(size_t)j * nwin + w];
+            if (!d) continue;
+            int col = cols[j];
+            if (ft.is_inf[col]) continue;
+            int idx = (d > 0 ? d : -d) - 1;
+            if (scr.used[idx]) {
+                scr.buckets[idx] = (d > 0)
+                                       ? ge_madd(scr.buckets[idx], trow[col])
+                                       : ge_madd(scr.buckets[idx],
+                                                 edniels_neg(trow[col]));
+            } else {
+                scr.buckets[idx] = (d > 0) ? prow[col] : ge_neg(prow[col]);
+                scr.used[idx] = 1;
+            }
+        }
+    }
+    ge running = ge_identity(), total = ge_identity();
+    bool run_set = false, tot_set = false;
+    for (int idx = nb - 1; idx >= 0; idx--) {
+        if (scr.used[idx]) {
+            running = run_set ? ge_add(running, scr.buckets[idx])
+                              : scr.buckets[idx];
+            run_set = true;
+        }
+        if (run_set) {
+            total = tot_set ? ge_add(total, running) : running;
+            tot_set = true;
+        }
+    }
+    return tot_set ? total : ge_identity();
+}
+
+static void bp_compress(const ge& p, uint8_t* out) {
+    uint8_t wire[128];
+    ge_to_wire(p, wire);
+    zkp_ristretto_compress(wire, out);
+}
+
+// -- per-proof pipeline ------------------------------------------------------
+
+struct bp_error {
+    int code;  // 0 ok; 1 identity V; 2 bad params
+};
+
+// rnd layout per proof: a_blind, s_blind, s_L[0..n-1], s_R[0..n-1], t1b, t2b
+// — each 64 wide bytes (from_bytes_mod_order_wide), matching the Python
+// golden model's injected-randomness order.
+static int bp_prove_one(const fixed_tab<ge, edniels>& vs,
+                        const fixed_tab<ge, edniels>& as_tab,
+                        const fixed_tab<ge, edniels>& ipp_tab, int n,
+                        uint64_t value, const sc& gamma, const uint8_t* rnd,
+                        const uint8_t* tr_state, uint8_t* out_v,
+                        uint8_t* out_proof, bp_scratch& scr) {
+    const int rounds = [&] {
+        int r = 0, m = n;
+        while (m > 1) {
+            m >>= 1;
+            r++;
+        }
+        return r;
+    }();
+    merlin_t t;
+    t.s.load(tr_state);
+
+    // randomness
+    const uint8_t* rp = rnd;
+    sc a_blind = sc_from_wide(rp);
+    rp += 64;
+    sc s_blind = sc_from_wide(rp);
+    rp += 64;
+    std::vector<sc> s_L(n), s_R(n);
+    for (int i = 0; i < n; i++) {
+        s_L[i] = sc_from_wide(rp);
+        rp += 64;
+    }
+    for (int i = 0; i < n; i++) {
+        s_R[i] = sc_from_wide(rp);
+        rp += 64;
+    }
+    sc t1b = sc_from_wide(rp);
+    rp += 64;
+    sc t2b = sc_from_wide(rp);
+    rp += 64;
+
+    // phase 1: V = value*B + gamma*B_blinding  (vs basis: col0=B, col1=B_bl)
+    sc val_sc{{value, 0, 0, 0}};
+    {
+        int cols[2] = {0, 1};
+        sc svec[2] = {val_sc, gamma};
+        ge V = msm_sparse(vs, cols, svec, 2, scr);
+        bp_compress(V, out_v);
+    }
+    bool v_zero = true;
+    for (int i = 0; i < 32; i++) v_zero = v_zero && out_v[i] == 0;
+    if (v_zero) return 1;  // identity commitment: reject like the host tier
+
+    // phase 2: A (0/1 subset sum) and S (dense) over [B_bl] + G + H
+    sc one{{1, 0, 0, 0}};
+    ge A;
+    {
+        int col0 = 0;
+        A = msm_sparse(as_tab, &col0, &a_blind, 1, scr);
+        const edniels* row0 = as_tab.tab.data();
+        const ge* prow0 = as_tab.tab_pt.data();
+        bool started = !sc_is_zero(a_blind);
+        for (int i = 0; i < n; i++) {
+            if ((value >> i) & 1) {  // a_L=1: +G_i ; a_R=0
+                if (started)
+                    A = ge_madd(A, row0[1 + i]);
+                else {
+                    A = prow0[1 + i];
+                    started = true;
+                }
+            } else {  // a_L=0 ; a_R=-1: -H_i
+                if (started)
+                    A = ge_madd(A, edniels_neg(row0[1 + n + i]));
+                else {
+                    A = ge_neg(prow0[1 + n + i]);
+                    started = true;
+                }
+            }
+        }
+    }
+    ge S;
+    {
+        std::vector<int> cols(2 * n + 1);
+        std::vector<sc> svec(2 * n + 1);
+        cols[0] = 0;
+        svec[0] = s_blind;
+        for (int i = 0; i < n; i++) {
+            cols[1 + i] = 1 + i;
+            svec[1 + i] = s_L[i];
+            cols[1 + n + i] = 1 + n + i;
+            svec[1 + n + i] = s_R[i];
+        }
+        S = msm_sparse(as_tab, cols.data(), svec.data(), 2 * n + 1, scr);
+    }
+
+    uint8_t A_c[32], S_c[32];
+    bp_compress(A, A_c);
+    bp_compress(S, S_c);
+
+    t.append("dom-sep", (const uint8_t*)"rangeproof v1", 13);
+    t.append_u64("n", (uint64_t)n);
+    t.append_u64("m", 1);
+    t.append("V", out_v, 32);
+    t.append("A", A_c, 32);
+    t.append("S", S_c, 32);
+    sc y = t.challenge_scalar("y");
+    sc z = t.challenge_scalar("z");
+    sc z2 = sc_mul(z, z);
+
+    // phase 3: t-polynomial commitments
+    std::vector<sc> l0(n), r0(n), r1(n);
+    {
+        sc yi = one, pow2 = one;
+        sc two{{2, 0, 0, 0}};
+        for (int i = 0; i < n; i++) {
+            sc aL{{(value >> i) & 1, 0, 0, 0}};
+            l0[i] = sc_sub(aL, z);
+            sc aR = sc_sub(aL, one);
+            r0[i] = sc_add(sc_mul(yi, sc_add(aR, z)), sc_mul(z2, pow2));
+            r1[i] = sc_mul(yi, s_R[i]);
+            yi = sc_mul(yi, y);
+            pow2 = sc_mul(pow2, two);
+        }
+    }
+    sc t1 = sc_add(sc_inner(l0.data(), r1.data(), n),
+                   sc_inner(s_L.data(), r0.data(), n));
+    sc t2 = sc_inner(s_L.data(), r1.data(), n);
+    uint8_t T1_c[32], T2_c[32];
+    {
+        int cols[2] = {0, 1};
+        sc v1[2] = {t1, t1b};
+        sc v2[2] = {t2, t2b};
+        bp_compress(msm_sparse(vs, cols, v1, 2, scr), T1_c);
+        bp_compress(msm_sparse(vs, cols, v2, 2, scr), T2_c);
+    }
+    t.append("T_1", T1_c, 32);
+    t.append("T_2", T2_c, 32);
+    sc x = t.challenge_scalar("x");
+
+    // phase 4: blinded t(x) openings + IPP inputs
+    std::vector<sc> av(n), bv(n);
+    for (int i = 0; i < n; i++) {
+        av[i] = sc_add(l0[i], sc_mul(s_L[i], x));
+        bv[i] = sc_add(r0[i], sc_mul(r1[i], x));
+    }
+    sc t_x = sc_inner(av.data(), bv.data(), n);
+    sc t_x_blinding =
+        sc_add(sc_add(sc_mul(z2, gamma), sc_mul(x, t1b)),
+               sc_mul(sc_mul(x, x), t2b));
+    sc e_blinding = sc_add(a_blind, sc_mul(x, s_blind));
+    uint8_t sbytes[32];
+    sc_tobytes(t_x, sbytes);
+    t.append("t_x", sbytes, 32);
+    sc_tobytes(t_x_blinding, sbytes);
+    t.append("t_x_blinding", sbytes, 32);
+    sc_tobytes(e_blinding, sbytes);
+    t.append("e_blinding", sbytes, 32);
+    sc w = t.challenge_scalar("w");
+    sc y_inv = sc_inv(y);
+
+    // phase 5: inner-product argument over basis G + H + [B]
+    std::vector<sc> gc(n, one), hc(n);
+    {
+        sc yi = one;
+        for (int i = 0; i < n; i++) {
+            hc[i] = yi;
+            yi = sc_mul(yi, y_inv);
+        }
+    }
+    t.append("dom-sep", (const uint8_t*)"ipp v1", 6);
+    t.append_u64("n", (uint64_t)n);
+
+    uint8_t* outp = out_proof;
+    std::memcpy(outp, A_c, 32);
+    std::memcpy(outp + 32, S_c, 32);
+    std::memcpy(outp + 64, T1_c, 32);
+    std::memcpy(outp + 96, T2_c, 32);
+    sc_tobytes(t_x, outp + 128);
+    sc_tobytes(t_x_blinding, outp + 160);
+    sc_tobytes(e_blinding, outp + 192);
+    uint8_t* lr = outp + 224;
+
+    std::vector<int> cols(n + 1);
+    std::vector<sc> svec(n + 1);
+    int m = n;
+    while (m > 1) {
+        int half = m / 2;
+        sc cL{{0, 0, 0, 0}}, cR{{0, 0, 0, 0}};
+        for (int i = 0; i < half; i++) {
+            cL = sc_add(cL, sc_mul(av[i], bv[half + i]));
+            cR = sc_add(cR, sc_mul(av[half + i], bv[i]));
+        }
+        // L lane: a_lo against G-class k%m>=half, b_hi against H-class k%m<half
+        int nnz = 0;
+        for (int k = 0; k < n; k++) {
+            int i = k % m;
+            if (i >= half) {
+                cols[nnz] = k;
+                svec[nnz++] = sc_mul(av[i - half], gc[k]);
+            } else {
+                cols[nnz] = n + k;
+                svec[nnz++] = sc_mul(bv[half + i], hc[k]);
+            }
+        }
+        cols[nnz] = 2 * n;
+        svec[nnz++] = sc_mul(cL, w);
+        uint8_t L_c[32], R_c[32];
+        bp_compress(msm_sparse(ipp_tab, cols.data(), svec.data(), nnz, scr),
+                    L_c);
+        nnz = 0;
+        for (int k = 0; k < n; k++) {
+            int i = k % m;
+            if (i < half) {
+                cols[nnz] = k;
+                svec[nnz++] = sc_mul(av[half + i], gc[k]);
+            } else {
+                cols[nnz] = n + k;
+                svec[nnz++] = sc_mul(bv[i - half], hc[k]);
+            }
+        }
+        cols[nnz] = 2 * n;
+        svec[nnz++] = sc_mul(cR, w);
+        bp_compress(msm_sparse(ipp_tab, cols.data(), svec.data(), nnz, scr),
+                    R_c);
+        std::memcpy(lr, L_c, 32);
+        std::memcpy(lr + 32, R_c, 32);
+        lr += 64;
+        t.append("L", L_c, 32);
+        t.append("R", R_c, 32);
+        sc u = t.challenge_scalar("u");
+        sc u_inv = sc_inv(u);
+        for (int i = 0; i < half; i++) {
+            av[i] = sc_add(sc_mul(av[i], u), sc_mul(u_inv, av[half + i]));
+            bv[i] = sc_add(sc_mul(bv[i], u_inv), sc_mul(u, bv[half + i]));
+        }
+        for (int k = 0; k < n; k++) {
+            if ((k % m) < half) {
+                gc[k] = sc_mul(gc[k], u_inv);
+                hc[k] = sc_mul(hc[k], u);
+            } else {
+                gc[k] = sc_mul(gc[k], u);
+                hc[k] = sc_mul(hc[k], u_inv);
+            }
+        }
+        m = half;
+    }
+    sc_tobytes(av[0], lr);
+    sc_tobytes(bv[0], lr + 32);
+    (void)rounds;
+    return 0;
+}
+
+}  // namespace
+
+extern "C" {
+
+// Batch range-proof prover over registered ED_FIXED bases. Returns 0, or the
+// first per-proof error code (1 = identity value commitment).
+// proof stride: (9 + 2*log2(n)) * 32 bytes; rnd stride: (2n + 4) * 64 bytes.
+int zkp_bp_prove_batch(int h_vs, int h_as, int h_ipp, uint64_t n,
+                       uint64_t batch, const uint8_t* values,
+                       const uint8_t* gammas, const uint8_t* rnd,
+                       const uint8_t* transcripts, uint8_t* out_v,
+                       uint8_t* out_proofs) {
+    const fixed_tab<ge, edniels>& vs = ED_FIXED[h_vs];
+    const fixed_tab<ge, edniels>& as_tab = ED_FIXED[h_as];
+    const fixed_tab<ge, edniels>& ipp_tab = ED_FIXED[h_ipp];
+    int rounds = 0;
+    for (uint64_t m = n; m > 1; m >>= 1) rounds++;
+    size_t plen = (9 + 2 * (size_t)rounds) * 32;
+    size_t rstride = (2 * n + 4) * 64;
+    int err = 0;
+#ifdef _OPENMP
+#pragma omp parallel
+#endif
+    {
+        bp_scratch scr;
+#ifdef _OPENMP
+#pragma omp for schedule(dynamic, 1)
+#endif
+        for (int64_t b = 0; b < (int64_t)batch; b++) {
+            uint64_t value;
+            std::memcpy(&value, values + 8 * b, 8);
+            sc gamma = sc_frombytes(gammas + 32 * b);
+            int rc = bp_prove_one(vs, as_tab, ipp_tab, (int)n, value, gamma,
+                                  rnd + rstride * b, transcripts + 203 * b,
+                                  out_v + 32 * b, out_proofs + plen * b, scr);
+            if (rc) {
+#ifdef _OPENMP
+#pragma omp critical
+#endif
+                err = rc;
+            }
+        }
+    }
+    return err;
+}
+
+}  // extern "C"

@@ -137,3 +137,58 @@ class TestConsistencyScheme:
         b = bytearray(p)
         b[len(b) // 2] ^= 0xFF
         assert not verify_consistency(bytes(b))
+
+
+class TestNativeBatchProver:
+    """The native whole-pipeline prover (zkpcore.cpp zkp_bp_prove_batch) must
+    be bit-identical to the Python golden model under injected randomness —
+    this exercises the C++ STROBE transcript, mod-l Montgomery arithmetic,
+    signed-digit MSM, and ristretto compression in one shot."""
+
+    def test_bit_exact_vs_python(self):
+        import os
+
+        from libzkp_tpu import native
+        from libzkp_tpu.models import bulletproofs as bp
+        from libzkp_tpu.models.strobe import Transcript
+
+        if not native.HAVE_NATIVE:
+            pytest.skip("native tier unavailable")
+
+        for n in (8, 64):
+            rand = os.urandom((2 * n + 4) * 64 * 3)
+
+            def mk():
+                return [
+                    (Transcript(b"libzkp_range_min"), 7, 1234567, n),
+                    (Transcript(b"libzkp_range_max"), (1 << n) - 1,
+                     (bp.L - 987) % bp.L, n),
+                    (Transcript(b"libzkp_threshold"), 0, 42, n),
+                ]
+
+            nat = bp._prove_batch_native(mk(), n, rand)
+            assert nat is not None
+            os.environ["LIBZKP_NO_NATIVE_BP"] = "1"
+            try:
+                py = bp._prove_batch_fixed_n(mk(), n, rand)
+            finally:
+                del os.environ["LIBZKP_NO_NATIVE_BP"]
+            for j, ((rp_n, v_n), (rp_p, v_p)) in enumerate(zip(nat, py)):
+                assert v_n == v_p, f"n={n} proof {j}: V differs"
+                assert rp_n.to_bytes() == rp_p.to_bytes(), (
+                    f"n={n} proof {j}: proof bytes differ"
+                )
+
+    def test_native_proofs_verify(self):
+        from libzkp_tpu import native
+        from libzkp_tpu.models import bulletproofs as bp
+        from libzkp_tpu.models.bulletproofs import verify_single
+        from libzkp_tpu.models.strobe import Transcript
+
+        if not native.HAVE_NATIVE:
+            pytest.skip("native tier unavailable")
+        insts = [
+            (Transcript(b"libzkp_range_min"), 3 + j, 99 + j, 64) for j in range(5)
+        ]
+        for j, (rp, V) in enumerate(bp.prove_single_batch(insts)):
+            assert verify_single(rp, Transcript(b"libzkp_range_min"), V, 64)
