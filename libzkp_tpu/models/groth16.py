@@ -327,9 +327,23 @@ def _finish_proof(pk: ProvingKey, a_acc, b_g2_acc, b_g1_acc, h_acc, l_acc) -> Pr
 
 
 def _prove_core(pk: ProvingKey, z: List[int], num_instance: int, h: List[int]) -> Proof:
-    # The five query MSMs run sequentially: each one already spans the cores
-    # via its OpenMP window chunks (A/B measured faster than a Python-level
-    # task pool, whose per-MSM serialization work is GIL-bound).
+    from .. import native
+    from ..utils import threads
+
+    # Fast path: all five query MSMs window-chunked under ONE OpenMP loop —
+    # the G2 MSM overlaps the G1 walks instead of serializing after them.
+    if native.HAVE_NATIVE and not threads.in_parallel_region():
+        ha = native.g1_fixed_handle(tuple(pk.a_query), pk.a_query)
+        hb1 = native.g1_fixed_handle(tuple(pk.b_g1_query), pk.b_g1_query)
+        hh = native.g1_fixed_handle(tuple(pk.h_query), pk.h_query)
+        hl = native.g1_fixed_handle(tuple(pk.l_query), pk.l_query)
+        hb2 = native.g2_fixed_handle(tuple(pk.b_g2_query), pk.b_g2_query)
+        if None not in (ha, hb1, hh, hl, hb2):
+            a_acc, b_g1_acc, h_acc, l_acc, b_g2_acc = native.groth16_prove_msms(
+                ha, hb1, hh, hl, hb2, z, h, num_instance
+            )
+            return _finish_proof(pk, a_acc, b_g2_acc, b_g1_acc, h_acc, l_acc)
+    # Fallback: sequential MSMs, each spanning cores via its own OMP chunks.
     wit = z[num_instance:]
     b_g2_acc = bn.g2_msm_fixed(z, pk.b_g2_query)
     a_acc = bn.g1_msm_fixed(z, pk.a_query)
@@ -404,7 +418,79 @@ def prove_assigned_many(
         distinct,
     )
     accs = _accs_many(pk, distinct, num_instance, h_list)
-    return [_finish_proof(pk, *accs[j]) for j in assign]
+
+    # Group proofs by distinct statement: a large group's (A, B, C) folds
+    # reduce to fixed-basis MSMs over per-statement constants, batched in one
+    # native call per group instead of 5 serial scalar-muls per proof.
+    by_slot: dict = {}
+    for i, slot in enumerate(assign):
+        by_slot.setdefault(slot, []).append(i)
+    out: List[Optional[Proof]] = [None] * len(assign)
+    for slot, idxs in by_slot.items():
+        if len(idxs) >= 8:
+            proofs = _finish_proof_group(pk, accs[slot], len(idxs))
+            if proofs is not None:
+                for i, pr in zip(idxs, proofs):
+                    out[i] = pr
+                continue
+        for i in idxs:
+            out[i] = _finish_proof(pk, *accs[slot])
+    return out  # type: ignore[return-value]
+
+
+def _finish_proof_group(
+    pk: ProvingKey, acc, count: int
+) -> Optional[List[Proof]]:
+    """Batched :func:`_finish_proof` for ``count`` proofs of ONE statement.
+
+    Algebra (fresh r, s per proof, identical distribution to the unbatched
+    fold): with P1 = alpha + a_acc, P2 = beta_g1 + b_g1_acc,
+    B2 = beta_g2 + b_g2_acc, HL = h_acc + l_acc:
+
+        A = P1 + r*delta_g1
+        B = B2 + s*delta_g2
+        C = HL + s*P1 + r*P2 + (r*s)*delta_g1
+
+    so every per-proof term is a fixed-basis MSM over [P1, P2, delta_g1] /
+    [delta_g1] / [delta_g2] — one native batch call each across the group.
+    None when a fixed-base table cannot register (caller falls back).
+    """
+    a_acc, b_g2_acc, b_g1_acc, h_acc, l_acc = acc
+    P1 = bn.g1_add(pk.vk.alpha_g1, a_acc)
+    P2 = bn.g1_add(pk.beta_g1, b_g1_acc)
+    B2 = bn.g2_add(pk.vk.beta_g2, b_g2_acc)
+    HL = bn.g1_add(h_acc, l_acc)
+    from .. import native
+
+    h_d1 = native.g1_fixed_handle((id(pk), "delta_g1"), [pk.delta_g1])
+    h_d2 = native.g2_fixed_handle((id(pk), "delta_g2"), [pk.vk.delta_g2])
+    # P1/P2 are per-statement: key by value so repeated batches of the same
+    # statement reuse the table (bounded by the native registry cap).
+    h_c = native.g1_fixed_handle(
+        (tuple(P1), tuple(P2)), [P1, P2, pk.delta_g1]
+    )
+    if h_d1 is None or h_d2 is None or h_c is None:
+        return None
+    rs = [(_rand_fr(), _rand_fr()) for _ in range(count)]
+    r_delta = native.bn254_g1_msm_fixed_many(
+        (id(pk), "delta_g1"), [[r] for r, _ in rs], [pk.delta_g1]
+    )
+    s_delta2 = native.bn254_g2_msm_fixed_many(
+        (id(pk), "delta_g2"), [[s] for _, s in rs], [pk.vk.delta_g2]
+    )
+    c_terms = native.bn254_g1_msm_fixed_many(
+        (tuple(P1), tuple(P2)),
+        [[s, r, r * s % R] for r, s in rs],
+        [P1, P2, pk.delta_g1],
+    )
+    return [
+        Proof(
+            a=bn.g1_add(P1, r_delta[i]),
+            b=bn.g2_add(B2, s_delta2[i]),
+            c=bn.g1_add(HL, c_terms[i]),
+        )
+        for i in range(count)
+    ]
 
 
 def prove(pk: ProvingKey, cs: ConstraintSystem, circuit_key=None) -> Proof:

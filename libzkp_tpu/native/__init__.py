@@ -136,6 +136,9 @@ def _load() -> Optional[ctypes.CDLL]:
         ctypes.c_char_p, ctypes.c_char_p, ctypes.c_char_p, ctypes.c_char_p,
         ctypes.c_char_p, ctypes.c_char_p]
     lib.zkp_bp_prove_batch.restype = ctypes.c_int
+    lib.zkp_groth16_prove_msms.argtypes = [
+        ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+        u64, u64, u64, ctypes.c_char_p, ctypes.c_char_p, ctypes.c_char_p]
     return lib
 
 
@@ -382,6 +385,38 @@ def bn254_g2_msm_fixed_many(key, scalar_vecs, points):
     out = ctypes.create_string_buffer(192 * batch)
     _lib.zkp_bn254_g2_msm_fixed_many(h, batch, sc, out)
     return [_g2_from_wire(out.raw[i * 192 : (i + 1) * 192]) for i in range(batch)]
+
+
+def g1_fixed_handle(key, points) -> Optional[int]:
+    return _get_handle(
+        _g1_handles, key,
+        lambda: _lib.zkp_bn254_g1_msm_register(
+            len(points), b"".join(_g1_to_wire(p) for p in points)),
+    )
+
+
+def g2_fixed_handle(key, points) -> Optional[int]:
+    return _get_handle(
+        _g2_handles, key,
+        lambda: _lib.zkp_bn254_g2_msm_register(
+            len(points), b"".join(_g2_to_wire(p) for p in points)),
+    )
+
+
+def groth16_prove_msms(ha, hb1, hh, hl, hb2, z: Sequence[int], h: Sequence[int],
+                       wit_off: int):
+    """All five Groth16 query MSMs in one window-chunked OMP dispatch.
+    Returns (a_acc, b_g1_acc, h_acc, l_acc, b_g2_acc)."""
+    r = _bn254_r
+    zb = b"".join((s % r).to_bytes(32, "little") for s in z)
+    hb = b"".join((s % r).to_bytes(32, "little") for s in h)
+    out = ctypes.create_string_buffer(4 * 96 + 192)
+    _lib.zkp_groth16_prove_msms(
+        ha, hb1, hh, hl, hb2, len(z), len(h), wit_off, zb, hb, out
+    )
+    g1s = [_g1_from_wire(out.raw[i * 96 : (i + 1) * 96]) for i in range(4)]
+    b_g2 = _g2_from_wire(out.raw[384:576])
+    return g1s[0], g1s[1], g1s[2], g1s[3], b_g2
 
 
 def bn254_g1_msm_fixed(key, scalars: Sequence[int], points):

@@ -3063,9 +3063,118 @@ static int bp_prove_one(const fixed_tab<ge, edniels>& vs,
     return 0;
 }
 
+// -- window-range partial of a fixed-table MSM (task unit for the Groth16
+// five-MSM dispatcher: every task is ~a dozen window rows, so four G1 MSMs
+// and one G2 MSM load-balance across cores regardless of their sizes) ------
+
+template <typename PT, typename AF, PT (*ADD)(const PT&, const PT&),
+          PT (*MADD)(const PT&, const AF&), PT (*INF)()>
+PT fixed_msm_range(const fixed_tab<PT, AF>& ft, const uint8_t* scalars,
+                   int w_lo, int w_hi) {
+    uint64_t nbuckets = (1ULL << ft.c) - 1;
+    std::vector<PT> buckets(nbuckets);
+    std::vector<char> used(nbuckets, 0);
+    for (int w = w_lo; w < w_hi; w++) {
+        int shift = w * ft.c;
+        const AF* trow = ft.tab.data() + (size_t)w * ft.n;
+        const PT* prow = ft.tab_pt.data() + (size_t)w * ft.n;
+        for (uint64_t i = 0; i < ft.n; i++) {
+            int byte = shift >> 3, bit = shift & 7;
+            if (byte >= 32) continue;
+            const uint8_t* s = scalars + 32 * i;
+            uint32_t frag = s[byte];
+            if (byte + 1 < 32) frag |= (uint32_t)s[byte + 1] << 8;
+            if (byte + 2 < 32) frag |= (uint32_t)s[byte + 2] << 16;
+            uint64_t idx = (frag >> bit) & nbuckets;
+            if (!idx || ft.is_inf[i]) continue;
+            if (used[idx - 1])
+                buckets[idx - 1] = MADD(buckets[idx - 1], trow[i]);
+            else {
+                buckets[idx - 1] = prow[i];
+                used[idx - 1] = true;
+            }
+        }
+    }
+    PT running = INF(), total = INF();
+    bool run_set = false, tot_set = false;
+    for (int64_t idx = (int64_t)nbuckets - 1; idx >= 0; idx--) {
+        if (used[idx]) {
+            running = run_set ? ADD(running, buckets[idx]) : buckets[idx];
+            run_set = true;
+        }
+        if (run_set) {
+            total = tot_set ? ADD(total, running) : running;
+            tot_set = true;
+        }
+    }
+    return tot_set ? total : INF();
+}
+
 }  // namespace
 
 extern "C" {
+
+// Groth16 prove-side query MSMs (A, B_g1, H, L over G1; B_g2 over G2) as one
+// call: every MSM is cut into ~8-window tasks and the whole task list runs
+// under one OpenMP loop, so the G2 MSM no longer serializes after the G1s
+// (maps ark-groth16's rayon-parallel prover internals, snark.rs:364).
+// z: nz*32 scalars (shared by A / B_g1 / B_g2; L reads z + wit_off*32),
+// h: nh*32. out: 4 G1 Jacobian (96B) A,B_g1,H,L then 1 G2 (192B) B_g2.
+void zkp_groth16_prove_msms(int ha, int hb1, int hh, int hl, int hb2,
+                            uint64_t nz, uint64_t nh, uint64_t wit_off,
+                            const uint8_t* z, const uint8_t* h,
+                            uint8_t* out) {
+    struct task {
+        int msm;  // 0..3 = G1 (a, b1, h, l), 4 = G2 (b2)
+        int w_lo, w_hi;
+    };
+    const fixed_tab<bg1, g1aff>* g1t[4] = {&G1_FIXED[ha], &G1_FIXED[hb1],
+                                           &G1_FIXED[hh], &G1_FIXED[hl]};
+    const uint8_t* g1s[4] = {z, z, h, z + 32 * wit_off};
+    uint64_t g1n[4] = {nz, nz, nh, nz - wit_off};
+    const fixed_tab<bg2, g2aff>& g2t = G2_FIXED[hb2];
+    (void)g1n;
+    std::vector<task> tasks;
+    // Two window-halves per MSM (same reduction count as the sequential
+    //2-chunk path — more tasks would each pay a full 2^c bucket reduction).
+    // G2 halves first: they are the heaviest (~3x cost per add), and dynamic
+    // scheduling balances best when the big tasks lead.
+    {
+        int mid = (g2t.nwin + 1) / 2;
+        tasks.push_back({4, 0, mid});
+        tasks.push_back({4, mid, g2t.nwin});
+    }
+    for (int m = 0; m < 4; m++) {
+        int mid = (g1t[m]->nwin + 1) / 2;
+        tasks.push_back({m, 0, mid});
+        tasks.push_back({m, mid, g1t[m]->nwin});
+    }
+    std::vector<bg1> g1_parts(tasks.size());
+    std::vector<bg2> g2_parts(tasks.size());
+#ifdef _OPENMP
+#pragma omp parallel for schedule(dynamic, 1)
+#endif
+    for (int64_t t = 0; t < (int64_t)tasks.size(); t++) {
+        const task& tk = tasks[t];
+        if (tk.msm == 4)
+            g2_parts[t] = fixed_msm_range<bg2, g2aff, bg2_add, bg2_madd,
+                                          bg2_inf>(g2t, z, tk.w_lo, tk.w_hi);
+        else
+            g1_parts[t] =
+                fixed_msm_range<bg1, g1aff, bg1_add, bg1_madd, bg1_inf>(
+                    *g1t[tk.msm], g1s[tk.msm], tk.w_lo, tk.w_hi);
+    }
+    bg1 g1_acc[4] = {bg1_inf(), bg1_inf(), bg1_inf(), bg1_inf()};
+    bg2 g2_acc = bg2_inf();
+    for (size_t t = 0; t < tasks.size(); t++) {
+        if (tasks[t].msm == 4)
+            g2_acc = bg2_add(g2_acc, g2_parts[t]);
+        else
+            g1_acc[tasks[t].msm] = bg1_add(g1_acc[tasks[t].msm], g1_parts[t]);
+    }
+    for (int m = 0; m < 4; m++) bg1_to_wire(g1_acc[m], out + 96 * m);
+    bg2_to_wire(g2_acc, out + 384);
+}
 
 // Batch range-proof prover over registered ED_FIXED bases. Returns 0, or the
 // first per-proof error code (1 = identity value commitment).
