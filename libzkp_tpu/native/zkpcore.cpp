@@ -10,9 +10,14 @@
 // Build: g++ -O3 -std=c++17 -shared -fPIC -o _zkpcore.so zkpcore.cpp
 
 #include <cstdint>
+#include <cstdlib>
 #include <deque>
 #include <cstring>
 #include <vector>
+
+#if defined(__AVX512IFMA__) && defined(__AVX512F__)
+#include <immintrin.h>  // 8-lane IFMA field tier (see fe8 below)
+#endif
 
 extern "C" {
 
@@ -2806,6 +2811,294 @@ static void bp_compress(const ge& p, uint8_t* out) {
     zkp_ristretto_compress(wire, out);
 }
 
+// -- AVX-512 IFMA 8-lane field tier ------------------------------------------
+// Eight curve25519 field elements per vector (lane p = proof p), 5 x 51-bit
+// limbs in 5 zmm registers. vpmadd52{lo,hi} on 51-bit operands: a 52x52
+// product splits lo52 + hi*2^52; in radix-2^51 columns the hi part lands in
+// the NEXT column doubled (2^52 = 2*2^51). Every op re-carries its result to
+// limbs <= 2^51 + 2^6 so all multiplication operands stay < 2^52 (IFMA
+// truncates operands at 52 bits — this bound is load-bearing).
+
+#if defined(__AVX512IFMA__) && defined(__AVX512F__)
+#define ZKP_HAVE_IFMA8 1
+
+struct fe8 {
+    __m512i v[5];
+};
+
+static const uint64_t FE8_MASK = 0x7FFFFFFFFFFFFULL;
+
+// parallel carry: limbs < 2^53 in -> limbs < 2^51 + 77 out (one step, no chain)
+static inline fe8 fe8_carry(const fe8& a) {
+    __m512i m = _mm512_set1_epi64(FE8_MASK);
+    __m512i c0 = _mm512_srli_epi64(a.v[0], 51);
+    __m512i c1 = _mm512_srli_epi64(a.v[1], 51);
+    __m512i c2 = _mm512_srli_epi64(a.v[2], 51);
+    __m512i c3 = _mm512_srli_epi64(a.v[3], 51);
+    __m512i c4 = _mm512_srli_epi64(a.v[4], 51);
+    // 19*c4 = 16c + 2c + c
+    __m512i c4_19 = _mm512_add_epi64(
+        _mm512_add_epi64(_mm512_slli_epi64(c4, 4), _mm512_slli_epi64(c4, 1)), c4);
+    fe8 r;
+    r.v[0] = _mm512_add_epi64(_mm512_and_epi64(a.v[0], m), c4_19);
+    r.v[1] = _mm512_add_epi64(_mm512_and_epi64(a.v[1], m), c0);
+    r.v[2] = _mm512_add_epi64(_mm512_and_epi64(a.v[2], m), c1);
+    r.v[3] = _mm512_add_epi64(_mm512_and_epi64(a.v[3], m), c2);
+    r.v[4] = _mm512_add_epi64(_mm512_and_epi64(a.v[4], m), c3);
+    return r;
+}
+
+static inline fe8 fe8_add(const fe8& a, const fe8& b) {
+    fe8 r;
+    for (int i = 0; i < 5; i++) r.v[i] = _mm512_add_epi64(a.v[i], b.v[i]);
+    return fe8_carry(r);
+}
+
+// a - b with 2p bias (same constants as scalar fe_sub), then carry
+static inline fe8 fe8_sub(const fe8& a, const fe8& b) {
+    fe8 r;
+    r.v[0] = _mm512_sub_epi64(
+        _mm512_add_epi64(a.v[0], _mm512_set1_epi64(0xFFFFFFFFFFFDAULL)), b.v[0]);
+    for (int i = 1; i < 5; i++)
+        r.v[i] = _mm512_sub_epi64(
+            _mm512_add_epi64(a.v[i], _mm512_set1_epi64(0xFFFFFFFFFFFFEULL)),
+            b.v[i]);
+    return fe8_carry(r);
+}
+
+// full 8-lane field multiplication (operands must be < 2^52 per limb)
+static inline fe8 fe8_mul(const fe8& a, const fe8& b) {
+    __m512i z = _mm512_setzero_si512();
+    __m512i lo[9], hi[9];
+    for (int k = 0; k < 9; k++) lo[k] = hi[k] = z;
+    for (int i = 0; i < 5; i++)
+        for (int j = 0; j < 5; j++) {
+            lo[i + j] = _mm512_madd52lo_epu64(lo[i + j], a.v[i], b.v[j]);
+            hi[i + j] = _mm512_madd52hi_epu64(hi[i + j], a.v[i], b.v[j]);
+        }
+    // column t value = lo[t] + 2*hi[t-1]; columns >= 5 fold with *19
+    __m512i r[5];
+    for (int t = 0; t < 5; t++) {
+        __m512i v = lo[t];
+        if (t > 0) v = _mm512_add_epi64(v, _mm512_slli_epi64(hi[t - 1], 1));
+        // column 9 has no lo part (max column index is 8)
+        __m512i f = (t < 4) ? lo[t + 5] : z;
+        __m512i fh = _mm512_slli_epi64(hi[t + 4], 1);
+        f = _mm512_add_epi64(f, fh);
+        // *19 = 16 + 2 + 1
+        f = _mm512_add_epi64(
+            _mm512_add_epi64(_mm512_slli_epi64(f, 4), _mm512_slli_epi64(f, 1)),
+            f);
+        r[t] = _mm512_add_epi64(v, f);
+    }
+    // sequential carry (values < 2^61), then one parallel pass
+    __m512i m = _mm512_set1_epi64(FE8_MASK);
+    __m512i c;
+    c = _mm512_srli_epi64(r[0], 51); r[0] = _mm512_and_epi64(r[0], m);
+    r[1] = _mm512_add_epi64(r[1], c);
+    c = _mm512_srli_epi64(r[1], 51); r[1] = _mm512_and_epi64(r[1], m);
+    r[2] = _mm512_add_epi64(r[2], c);
+    c = _mm512_srli_epi64(r[2], 51); r[2] = _mm512_and_epi64(r[2], m);
+    r[3] = _mm512_add_epi64(r[3], c);
+    c = _mm512_srli_epi64(r[3], 51); r[3] = _mm512_and_epi64(r[3], m);
+    r[4] = _mm512_add_epi64(r[4], c);
+    c = _mm512_srli_epi64(r[4], 51); r[4] = _mm512_and_epi64(r[4], m);
+    c = _mm512_add_epi64(
+        _mm512_add_epi64(_mm512_slli_epi64(c, 4), _mm512_slli_epi64(c, 1)), c);
+    r[0] = _mm512_add_epi64(r[0], c);
+    c = _mm512_srli_epi64(r[0], 51); r[0] = _mm512_and_epi64(r[0], m);
+    r[1] = _mm512_add_epi64(r[1], c);
+    fe8 out;
+    for (int t = 0; t < 5; t++) out.v[t] = r[t];
+    return out;
+}
+
+struct ge8 {
+    fe8 X, Y, Z, T;
+};
+
+// mixed add, 8 lanes: same formulas as scalar ge_madd
+static inline ge8 ge8_madd(const ge8& p, const fe8& ymx, const fe8& ypx,
+                           const fe8& t2d) {
+    fe8 A = fe8_mul(fe8_sub(p.Y, p.X), ymx);
+    fe8 B = fe8_mul(fe8_add(p.Y, p.X), ypx);
+    fe8 C = fe8_mul(p.T, t2d);
+    fe8 D = fe8_add(p.Z, p.Z);
+    fe8 E = fe8_sub(B, A);
+    fe8 F = fe8_sub(D, C);
+    fe8 G = fe8_add(D, C);
+    fe8 H = fe8_add(B, A);
+    return ge8{fe8_mul(E, F), fe8_mul(G, H), fe8_mul(F, G), fe8_mul(E, H)};
+}
+
+// lane-wise self-test of the fe8 tier against the scalar fe tier; returns 0 ok
+static int fe8_selftest() {
+    uint64_t seed = 0x243F6A8885A308D3ULL;
+    auto rnd = [&]() {
+        seed = seed * 6364136223846793005ULL + 1442695040888963407ULL;
+        return seed >> 13;
+    };
+    for (int iter = 0; iter < 64; iter++) {
+        fe a[8], b[8];
+        alignas(64) uint64_t abuf[5][8], bbuf[5][8];
+        for (int p = 0; p < 8; p++) {
+            for (int i = 0; i < 5; i++) {
+                a[p].v[i] = rnd() & FE8_MASK;
+                b[p].v[i] = rnd() & FE8_MASK;
+                abuf[i][p] = a[p].v[i];
+                bbuf[i][p] = b[p].v[i];
+            }
+        }
+        fe8 av, bv;
+        for (int i = 0; i < 5; i++) {
+            av.v[i] = _mm512_load_si512(abuf[i]);
+            bv.v[i] = _mm512_load_si512(bbuf[i]);
+        }
+        fe8 mv = fe8_mul(av, bv);
+        fe8 sv = fe8_sub(av, bv);
+        fe8 dv = fe8_add(av, bv);
+        alignas(64) uint64_t mbuf[5][8], sbuf[5][8], dbuf[5][8];
+        for (int i = 0; i < 5; i++) {
+            _mm512_store_si512(mbuf[i], mv.v[i]);
+            _mm512_store_si512(sbuf[i], sv.v[i]);
+            _mm512_store_si512(dbuf[i], dv.v[i]);
+        }
+        for (int p = 0; p < 8; p++) {
+            uint8_t want[32], got[32];
+            fe m = fe_mul(a[p], b[p]);
+            fe g{{mbuf[0][p], mbuf[1][p], mbuf[2][p], mbuf[3][p], mbuf[4][p]}};
+            fe_tobytes(m, want);
+            fe_tobytes(g, got);
+            if (std::memcmp(want, got, 32)) return 1;
+            fe s = fe_sub(a[p], b[p]);
+            fe gs{{sbuf[0][p], sbuf[1][p], sbuf[2][p], sbuf[3][p], sbuf[4][p]}};
+            fe_tobytes(s, want);
+            fe_tobytes(gs, got);
+            if (std::memcmp(want, got, 32)) return 2;
+            fe d = fe_add(a[p], b[p]);
+            fe gd{{dbuf[0][p], dbuf[1][p], dbuf[2][p], dbuf[3][p], dbuf[4][p]}};
+            fe_tobytes(d, want);
+            fe_tobytes(gd, got);
+            if (std::memcmp(want, got, 32)) return 3;
+        }
+    }
+    return 0;
+}
+struct bp_scratch8 {
+    std::vector<ge> buckets;    // [p * nb + idx], AoS (160 B each)
+    std::vector<uint64_t> used;  // 2 words x 8 proofs (bitset over idx)
+    std::vector<int16_t> digs;   // [(j * nwin + w) * 8 + p]
+};
+
+// 8 independent sparse MSMs over ONE shared column schedule (the per-round
+// coefficient support is identical across proofs of the same bit-width; only
+// the scalars differ). Bucket inserts run 8 lanes wide: the niels operand is
+// a broadcast (shared), bucket reads/writes are masked gathers/scatters into
+// per-proof bucket arenas, and the point add is the fe8 IFMA tier.
+// scals8 layout: scals8[j * 8 + p] = column j's scalar for proof p.
+static void msm_sparse8(const fixed_tab<ge, edniels>& ft, const int* cols,
+                        const sc* scals8, int nnz, bp_scratch8& scr,
+                        ge out[8]) {
+    const int c = ft.c, nwin = ft.nwin, nb = 1 << (c - 1);
+    scr.buckets.resize((size_t)8 * nb);
+    ge ident = ge_identity();
+    for (size_t i = 0; i < scr.buckets.size(); i++) scr.buckets[i] = ident;
+    scr.used.assign(16, 0);
+    scr.digs.resize((size_t)nnz * nwin * 8);
+    {
+        std::vector<int16_t> tmp(nwin);
+        for (int j = 0; j < nnz; j++)
+            for (int p = 0; p < 8; p++) {
+                sc_recode_signed(scals8[j * 8 + p], c, nwin, tmp.data());
+                for (int w = 0; w < nwin; w++)
+                    scr.digs[((size_t)j * nwin + w) * 8 + p] = tmp[w];
+            }
+    }
+    uint8_t* base = (uint8_t*)scr.buckets.data();
+    const __m512i vzero = _mm512_setzero_si512();
+    const __m512i vone = _mm512_set1_epi64(1);
+    // lane p's arena starts at p * nb * 160 bytes
+    const __m512i lane_base = _mm512_setr_epi64(
+        0ULL, (uint64_t)nb * 160, 2ULL * nb * 160, 3ULL * nb * 160,
+        4ULL * nb * 160, 5ULL * nb * 160, 6ULL * nb * 160, 7ULL * nb * 160);
+    alignas(64) int64_t idx_buf[8];
+    for (int w = 0; w < nwin; w++) {
+        const edniels* trow = ft.tab.data() + (size_t)w * ft.n;
+        for (int j = 0; j < nnz; j++) {
+            __m128i d16 = _mm_loadu_si128(
+                (const __m128i*)&scr.digs[((size_t)j * nwin + w) * 8]);
+            __m512i d = _mm512_cvtepi16_epi64(d16);
+            __mmask8 m = _mm512_cmpneq_epi64_mask(d, vzero);
+            if (!m) continue;
+            if (ft.is_inf[cols[j]]) continue;
+            __mmask8 neg = _mm512_cmplt_epi64_mask(d, vzero);
+            __m512i idx = _mm512_sub_epi64(_mm512_abs_epi64(d), vone);
+            // byte offset: idx * 160 = (idx << 7) + (idx << 5), plus lane base
+            __m512i off = _mm512_add_epi64(
+                _mm512_add_epi64(_mm512_slli_epi64(idx, 7),
+                                 _mm512_slli_epi64(idx, 5)),
+                lane_base);
+            ge8 acc;
+            __m512i addr[20];
+            for (int l = 0; l < 20; l++)
+                addr[l] = _mm512_add_epi64(off, _mm512_set1_epi64(8 * l));
+            for (int i = 0; i < 5; i++) {
+                acc.X.v[i] =
+                    _mm512_mask_i64gather_epi64(vzero, m, addr[i], base, 1);
+                acc.Y.v[i] = _mm512_mask_i64gather_epi64(vzero, m, addr[5 + i],
+                                                         base, 1);
+                acc.Z.v[i] = _mm512_mask_i64gather_epi64(vzero, m, addr[10 + i],
+                                                         base, 1);
+                acc.T.v[i] = _mm512_mask_i64gather_epi64(vzero, m, addr[15 + i],
+                                                         base, 1);
+            }
+            const edniels& q = trow[cols[j]];
+            fe nt2d = fe_neg(q.t2d);
+            fe8 ymx, ypx, t2d;
+            for (int i = 0; i < 5; i++) {
+                __m512i a = _mm512_set1_epi64(q.ymx.v[i]);
+                __m512i b = _mm512_set1_epi64(q.ypx.v[i]);
+                // negated point: (ymx, ypx, t2d) -> (ypx, ymx, -t2d)
+                ymx.v[i] = _mm512_mask_blend_epi64(neg, a, b);
+                ypx.v[i] = _mm512_mask_blend_epi64(neg, b, a);
+                t2d.v[i] = _mm512_mask_blend_epi64(
+                    neg, _mm512_set1_epi64(q.t2d.v[i]),
+                    _mm512_set1_epi64(nt2d.v[i]));
+            }
+            ge8 r = ge8_madd(acc, ymx, ypx, t2d);
+            for (int i = 0; i < 5; i++) {
+                _mm512_mask_i64scatter_epi64(base, m, addr[i], r.X.v[i], 1);
+                _mm512_mask_i64scatter_epi64(base, m, addr[5 + i], r.Y.v[i], 1);
+                _mm512_mask_i64scatter_epi64(base, m, addr[10 + i], r.Z.v[i], 1);
+                _mm512_mask_i64scatter_epi64(base, m, addr[15 + i], r.T.v[i], 1);
+            }
+            _mm512_store_si512(idx_buf, idx);
+            for (int p = 0; p < 8; p++)
+                if ((m >> p) & 1)
+                    scr.used[p * 2 + (idx_buf[p] >> 6)] |=
+                        1ULL << (idx_buf[p] & 63);
+        }
+    }
+    // per-proof signed bucket reduction (scalar; same shape as msm_sparse)
+    for (int p = 0; p < 8; p++) {
+        ge running = ge_identity(), total = ge_identity();
+        bool run_set = false, tot_set = false;
+        for (int idx = nb - 1; idx >= 0; idx--) {
+            if ((scr.used[p * 2 + (idx >> 6)] >> (idx & 63)) & 1) {
+                const ge& bkt = scr.buckets[(size_t)p * nb + idx];
+                running = run_set ? ge_add(running, bkt) : bkt;
+                run_set = true;
+            }
+            if (run_set) {
+                total = tot_set ? ge_add(total, running) : running;
+                tot_set = true;
+            }
+        }
+        out[p] = tot_set ? total : ge_identity();
+    }
+}
+#endif  // ZKP_HAVE_IFMA8
+
 // -- per-proof pipeline ------------------------------------------------------
 
 struct bp_error {
@@ -3110,6 +3403,302 @@ PT fixed_msm_range(const fixed_tab<PT, AF>& ft, const uint8_t* scalars,
     return tot_set ? total : INF();
 }
 
+#ifdef ZKP_HAVE_IFMA8
+// Eight proofs advanced in lockstep: scalar transcript/sc work per proof,
+// every MSM slot (V, S, T1, T2, each IPP L/R) one msm_sparse8 call. Bit-
+// identical schedule to bp_prove_one (differential tests pin both paths).
+static int bp_prove_eight(const fixed_tab<ge, edniels>& vs,
+                          const fixed_tab<ge, edniels>& as_tab,
+                          const fixed_tab<ge, edniels>& ipp_tab, int n,
+                          const uint64_t value[8], const sc gamma[8],
+                          const uint8_t* rnd, size_t rstride,
+                          const uint8_t* tr_states, uint8_t* out_v,
+                          uint8_t* out_proofs, size_t plen, bp_scratch8& scr8,
+                          bp_scratch& scr) {
+    merlin_t t[8];
+    for (int p = 0; p < 8; p++) t[p].s.load(tr_states + 203 * p);
+    sc one{{1, 0, 0, 0}}, two{{2, 0, 0, 0}};
+
+    // randomness
+    sc a_blind[8], s_blind[8], t1b[8], t2b[8];
+    std::vector<sc> s_L(8 * n), s_R(8 * n);
+    for (int p = 0; p < 8; p++) {
+        const uint8_t* rp = rnd + rstride * p;
+        a_blind[p] = sc_from_wide(rp);
+        s_blind[p] = sc_from_wide(rp + 64);
+        for (int i = 0; i < n; i++)
+            s_L[p * n + i] = sc_from_wide(rp + 64 * (2 + i));
+        for (int i = 0; i < n; i++)
+            s_R[p * n + i] = sc_from_wide(rp + 64 * (2 + n + i));
+        t1b[p] = sc_from_wide(rp + 64 * (2 + 2 * n));
+        t2b[p] = sc_from_wide(rp + 64 * (3 + 2 * n));
+    }
+
+    // phase 1: V = value*B + gamma*B_blinding
+    {
+        int cols[2] = {0, 1};
+        std::vector<sc> sv(2 * 8);
+        for (int p = 0; p < 8; p++) {
+            sv[0 * 8 + p] = sc{{value[p], 0, 0, 0}};
+            sv[1 * 8 + p] = gamma[p];
+        }
+        ge V[8];
+        msm_sparse8(vs, cols, sv.data(), 2, scr8, V);
+        for (int p = 0; p < 8; p++) bp_compress(V[p], out_v + 32 * p);
+    }
+    for (int p = 0; p < 8; p++) {
+        bool z = true;
+        for (int i = 0; i < 32; i++) z = z && out_v[32 * p + i] == 0;
+        if (z) return 1;
+    }
+
+    // phase 2: A (scalar 0/1 subset sums) and S (one 8-lane dense MSM)
+    uint8_t A_c[8][32], S_c[8][32];
+    for (int p = 0; p < 8; p++) {
+        int col0 = 0;
+        ge A = msm_sparse(as_tab, &col0, &a_blind[p], 1, scr);
+        const edniels* row0 = as_tab.tab.data();
+        const ge* prow0 = as_tab.tab_pt.data();
+        bool started = !sc_is_zero(a_blind[p]);
+        for (int i = 0; i < n; i++) {
+            if ((value[p] >> i) & 1) {
+                if (started)
+                    A = ge_madd(A, row0[1 + i]);
+                else {
+                    A = prow0[1 + i];
+                    started = true;
+                }
+            } else {
+                if (started)
+                    A = ge_madd(A, edniels_neg(row0[1 + n + i]));
+                else {
+                    A = ge_neg(prow0[1 + n + i]);
+                    started = true;
+                }
+            }
+        }
+        bp_compress(A, A_c[p]);
+    }
+    {
+        std::vector<int> cols(2 * n + 1);
+        std::vector<sc> sv((2 * n + 1) * 8);
+        cols[0] = 0;
+        for (int i = 0; i < n; i++) {
+            cols[1 + i] = 1 + i;
+            cols[1 + n + i] = 1 + n + i;
+        }
+        for (int p = 0; p < 8; p++) {
+            sv[0 * 8 + p] = s_blind[p];
+            for (int i = 0; i < n; i++) {
+                sv[(1 + i) * 8 + p] = s_L[p * n + i];
+                sv[(1 + n + i) * 8 + p] = s_R[p * n + i];
+            }
+        }
+        ge S[8];
+        msm_sparse8(as_tab, cols.data(), sv.data(), 2 * n + 1, scr8, S);
+        for (int p = 0; p < 8; p++) bp_compress(S[p], S_c[p]);
+    }
+
+    sc y[8], z[8], z2[8];
+    for (int p = 0; p < 8; p++) {
+        t[p].append("dom-sep", (const uint8_t*)"rangeproof v1", 13);
+        t[p].append_u64("n", (uint64_t)n);
+        t[p].append_u64("m", 1);
+        t[p].append("V", out_v + 32 * p, 32);
+        t[p].append("A", A_c[p], 32);
+        t[p].append("S", S_c[p], 32);
+        y[p] = t[p].challenge_scalar("y");
+        z[p] = t[p].challenge_scalar("z");
+        z2[p] = sc_mul(z[p], z[p]);
+    }
+
+    // phase 3: t-polynomial commitments
+    std::vector<sc> l0(8 * n), r0(8 * n), r1(8 * n);
+    sc t1v[8], t2v[8];
+    for (int p = 0; p < 8; p++) {
+        sc yi = one, pow2 = one;
+        for (int i = 0; i < n; i++) {
+            sc aL{{(value[p] >> i) & 1, 0, 0, 0}};
+            l0[p * n + i] = sc_sub(aL, z[p]);
+            sc aR = sc_sub(aL, one);
+            r0[p * n + i] =
+                sc_add(sc_mul(yi, sc_add(aR, z[p])), sc_mul(z2[p], pow2));
+            r1[p * n + i] = sc_mul(yi, s_R[p * n + i]);
+            yi = sc_mul(yi, y[p]);
+            pow2 = sc_mul(pow2, two);
+        }
+        t1v[p] = sc_add(sc_inner(&l0[p * n], &r1[p * n], n),
+                        sc_inner(&s_L[p * n], &r0[p * n], n));
+        t2v[p] = sc_inner(&s_L[p * n], &r1[p * n], n);
+    }
+    uint8_t T1_c[8][32], T2_c[8][32];
+    {
+        int cols[2] = {0, 1};
+        std::vector<sc> sv(2 * 8);
+        ge T[8];
+        for (int p = 0; p < 8; p++) {
+            sv[0 * 8 + p] = t1v[p];
+            sv[1 * 8 + p] = t1b[p];
+        }
+        msm_sparse8(vs, cols, sv.data(), 2, scr8, T);
+        for (int p = 0; p < 8; p++) bp_compress(T[p], T1_c[p]);
+        for (int p = 0; p < 8; p++) {
+            sv[0 * 8 + p] = t2v[p];
+            sv[1 * 8 + p] = t2b[p];
+        }
+        msm_sparse8(vs, cols, sv.data(), 2, scr8, T);
+        for (int p = 0; p < 8; p++) bp_compress(T[p], T2_c[p]);
+    }
+
+    // phase 4: x challenge, blinded openings, IPP inputs
+    std::vector<sc> av(8 * n), bv(8 * n), gc(8 * n), hc(8 * n);
+    sc w[8];
+    sc t_x[8], t_x_blinding[8], e_blinding[8];
+    for (int p = 0; p < 8; p++) {
+        t[p].append("T_1", T1_c[p], 32);
+        t[p].append("T_2", T2_c[p], 32);
+        sc x = t[p].challenge_scalar("x");
+        for (int i = 0; i < n; i++) {
+            av[p * n + i] = sc_add(l0[p * n + i], sc_mul(s_L[p * n + i], x));
+            bv[p * n + i] = sc_add(r0[p * n + i], sc_mul(r1[p * n + i], x));
+        }
+        t_x[p] = sc_inner(&av[p * n], &bv[p * n], n);
+        t_x_blinding[p] = sc_add(
+            sc_add(sc_mul(z2[p], gamma[p]), sc_mul(x, t1b[p])),
+            sc_mul(sc_mul(x, x), t2b[p]));
+        e_blinding[p] = sc_add(a_blind[p], sc_mul(x, s_blind[p]));
+        uint8_t sb[32];
+        sc_tobytes(t_x[p], sb);
+        t[p].append("t_x", sb, 32);
+        sc_tobytes(t_x_blinding[p], sb);
+        t[p].append("t_x_blinding", sb, 32);
+        sc_tobytes(e_blinding[p], sb);
+        t[p].append("e_blinding", sb, 32);
+        w[p] = t[p].challenge_scalar("w");
+        sc y_inv = sc_inv(y[p]);
+        sc yi = one;
+        for (int i = 0; i < n; i++) {
+            gc[p * n + i] = one;
+            hc[p * n + i] = yi;
+            yi = sc_mul(yi, y_inv);
+        }
+        t[p].append("dom-sep", (const uint8_t*)"ipp v1", 6);
+        t[p].append_u64("n", (uint64_t)n);
+        uint8_t* outp = out_proofs + plen * p;
+        std::memcpy(outp, A_c[p], 32);
+        std::memcpy(outp + 32, S_c[p], 32);
+        std::memcpy(outp + 64, T1_c[p], 32);
+        std::memcpy(outp + 96, T2_c[p], 32);
+        sc_tobytes(t_x[p], outp + 128);
+        sc_tobytes(t_x_blinding[p], outp + 160);
+        sc_tobytes(e_blinding[p], outp + 192);
+    }
+
+    // phase 5: IPP rounds in lockstep
+    std::vector<int> cols(n + 1);
+    std::vector<sc> sv((n + 1) * 8);
+    int m = n, round = 0;
+    while (m > 1) {
+        int half = m / 2;
+        sc cL[8], cR[8];
+        for (int p = 0; p < 8; p++) {
+            cL[p] = sc{{0, 0, 0, 0}};
+            cR[p] = sc{{0, 0, 0, 0}};
+            for (int i = 0; i < half; i++) {
+                cL[p] = sc_add(cL[p],
+                               sc_mul(av[p * n + i], bv[p * n + half + i]));
+                cR[p] = sc_add(cR[p],
+                               sc_mul(av[p * n + half + i], bv[p * n + i]));
+            }
+        }
+        ge Lp[8], Rp[8];
+        // L lane
+        {
+            int nnz = 0;
+            for (int k = 0; k < n; k++) {
+                int i = k % m;
+                if (i >= half) {
+                    cols[nnz] = k;
+                    for (int p = 0; p < 8; p++)
+                        sv[nnz * 8 + p] =
+                            sc_mul(av[p * n + i - half], gc[p * n + k]);
+                } else {
+                    cols[nnz] = n + k;
+                    for (int p = 0; p < 8; p++)
+                        sv[nnz * 8 + p] =
+                            sc_mul(bv[p * n + half + i], hc[p * n + k]);
+                }
+                nnz++;
+            }
+            cols[nnz] = 2 * n;
+            for (int p = 0; p < 8; p++)
+                sv[nnz * 8 + p] = sc_mul(cL[p], w[p]);
+            nnz++;
+            msm_sparse8(ipp_tab, cols.data(), sv.data(), nnz, scr8, Lp);
+        }
+        // R lane
+        {
+            int nnz = 0;
+            for (int k = 0; k < n; k++) {
+                int i = k % m;
+                if (i < half) {
+                    cols[nnz] = k;
+                    for (int p = 0; p < 8; p++)
+                        sv[nnz * 8 + p] =
+                            sc_mul(av[p * n + half + i], gc[p * n + k]);
+                } else {
+                    cols[nnz] = n + k;
+                    for (int p = 0; p < 8; p++)
+                        sv[nnz * 8 + p] =
+                            sc_mul(bv[p * n + i - half], hc[p * n + k]);
+                }
+                nnz++;
+            }
+            cols[nnz] = 2 * n;
+            for (int p = 0; p < 8; p++)
+                sv[nnz * 8 + p] = sc_mul(cR[p], w[p]);
+            nnz++;
+            msm_sparse8(ipp_tab, cols.data(), sv.data(), nnz, scr8, Rp);
+        }
+        for (int p = 0; p < 8; p++) {
+            uint8_t L_c[32], R_c[32];
+            bp_compress(Lp[p], L_c);
+            bp_compress(Rp[p], R_c);
+            uint8_t* lr = out_proofs + plen * p + 224 + 64 * round;
+            std::memcpy(lr, L_c, 32);
+            std::memcpy(lr + 32, R_c, 32);
+            t[p].append("L", L_c, 32);
+            t[p].append("R", R_c, 32);
+            sc u = t[p].challenge_scalar("u");
+            sc u_inv = sc_inv(u);
+            for (int i = 0; i < half; i++) {
+                av[p * n + i] = sc_add(sc_mul(av[p * n + i], u),
+                                       sc_mul(u_inv, av[p * n + half + i]));
+                bv[p * n + i] = sc_add(sc_mul(bv[p * n + i], u_inv),
+                                       sc_mul(u, bv[p * n + half + i]));
+            }
+            for (int k = 0; k < n; k++) {
+                if ((k % m) < half) {
+                    gc[p * n + k] = sc_mul(gc[p * n + k], u_inv);
+                    hc[p * n + k] = sc_mul(hc[p * n + k], u);
+                } else {
+                    gc[p * n + k] = sc_mul(gc[p * n + k], u);
+                    hc[p * n + k] = sc_mul(hc[p * n + k], u_inv);
+                }
+            }
+        }
+        m = half;
+        round++;
+    }
+    for (int p = 0; p < 8; p++) {
+        uint8_t* lr = out_proofs + plen * p + 224 + 64 * round;
+        sc_tobytes(av[p * n], lr);
+        sc_tobytes(bv[p * n], lr + 32);
+    }
+    return 0;
+}
+#endif  // ZKP_HAVE_IFMA8
+
 }  // namespace
 
 extern "C" {
@@ -3176,6 +3765,15 @@ void zkp_groth16_prove_msms(int ha, int hb1, int hh, int hl, int hb2,
     bg2_to_wire(g2_acc, out + 384);
 }
 
+// 0 = vector tier matches the scalar tier; -1 = not compiled in.
+int zkp_simd_selftest() {
+#ifdef ZKP_HAVE_IFMA8
+    return fe8_selftest();
+#else
+    return -1;
+#endif
+}
+
 // Batch range-proof prover over registered ED_FIXED bases. Returns 0, or the
 // first per-proof error code (1 = identity value commitment).
 // proof stride: (9 + 2*log2(n)) * 32 bytes; rnd stride: (2n + 4) * 64 bytes.
@@ -3192,15 +3790,44 @@ int zkp_bp_prove_batch(int h_vs, int h_as, int h_ipp, uint64_t n,
     size_t plen = (9 + 2 * (size_t)rounds) * 32;
     size_t rstride = (2 * n + 4) * 64;
     int err = 0;
+    uint64_t ngroups = 0;  // leading groups of 8 on the IFMA lockstep path
+#ifdef ZKP_HAVE_IFMA8
+    if (!std::getenv("LIBZKP_NO_IFMA")) ngroups = batch / 8;
+#endif
 #ifdef _OPENMP
 #pragma omp parallel
 #endif
     {
         bp_scratch scr;
+#ifdef ZKP_HAVE_IFMA8
+        bp_scratch8 scr8;
+#ifdef _OPENMP
+#pragma omp for schedule(dynamic, 1) nowait
+#endif
+        for (int64_t g = 0; g < (int64_t)ngroups; g++) {
+            uint64_t value[8];
+            sc gamma[8];
+            for (int p = 0; p < 8; p++) {
+                std::memcpy(&value[p], values + 8 * (8 * g + p), 8);
+                gamma[p] = sc_frombytes(gammas + 32 * (8 * g + p));
+            }
+            int rc = bp_prove_eight(
+                vs, as_tab, ipp_tab, (int)n, value, gamma,
+                rnd + rstride * 8 * g, rstride, transcripts + 203 * 8 * g,
+                out_v + 32 * 8 * g, out_proofs + plen * 8 * g, plen, scr8,
+                scr);
+            if (rc) {
+#ifdef _OPENMP
+#pragma omp critical
+#endif
+                err = rc;
+            }
+        }
+#endif
 #ifdef _OPENMP
 #pragma omp for schedule(dynamic, 1)
 #endif
-        for (int64_t b = 0; b < (int64_t)batch; b++) {
+        for (int64_t b = (int64_t)(ngroups * 8); b < (int64_t)batch; b++) {
             uint64_t value;
             std::memcpy(&value, values + 8 * b, 8);
             sc gamma = sc_frombytes(gammas + 32 * b);
