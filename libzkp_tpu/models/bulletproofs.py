@@ -779,6 +779,10 @@ def _rlc_weight() -> int:
 
 def verify_single(proof: RangeProof, t: Transcript, V: bytes, n: int) -> bool:
     """Verify a single-value range proof against compressed commitment V."""
+    if _use_native_prover():
+        res = _batch_verify_groups_native([[(proof, t, V, n)]])
+        if res is not None:
+            return res[0]
     try:
         terms = verification_terms(proof, t, V, n)
         if terms is None:
@@ -787,6 +791,72 @@ def verify_single(proof: RangeProof, t: Transcript, V: bytes, n: int) -> bool:
         return check_terms([(terms, 1, _rlc_weight())])
     except Exception:
         return False
+
+
+def _verify_fix_handle():
+    """Registered handle for the verification basis [B_bl, B] + G + H."""
+    from .. import native
+
+    B, B_blinding = pedersen_gens()
+    G, H = bp_gens(64)
+    basis = [B_blinding, B] + list(G) + list(H)
+    return native.ed_fixed_handle(tuple(basis), basis)
+
+
+def _batch_verify_groups_native(groups) -> Optional[List[bool]]:
+    """Whole-pipeline native RLC verification (transcript replay, scalar
+    derivation, grand MSM all in one call; bisection on failure)."""
+    from .. import native
+
+    h_fix = _verify_fix_handle()
+    if h_fix is None:
+        return None
+    results = [False] * len(groups)
+    flat = []  # (group_idx, proof_bytes, V, transcript, n)
+    for gi, g in enumerate(groups):
+        if not g:  # zero instances (e.g. single-element consistency): vacuous
+            results[gi] = True
+        for p, t, V, n in g:
+            try:
+                flat.append((gi, p.to_bytes(), bytes(V), t.strobe.state_bytes(), n))
+            except Exception:
+                flat.append((gi, b"", b"\0" * 32, b"\0" * 203, 64))
+
+    def _check(idxs: List[int], allow_struct: bool) -> None:
+        ns = [flat[i][4] for i in idxs]
+        proofs = [flat[i][1] for i in idxs]
+        vs = [flat[i][2] for i in idxs]
+        trans = [flat[i][3] for i in idxs]
+        rhos = [_rlc_weight().to_bytes(32, "little") for _ in idxs]
+        sigmas = [_rlc_weight().to_bytes(32, "little") for _ in idxs]
+        rc, bad = native.bp_verify_rlc(h_fix, ns, proofs, vs, trans, rhos, sigmas)
+        if rc == 2 and allow_struct:
+            # drop every group containing a structurally-bad instance, retry
+            bad_groups = {flat[idxs[j]][0] for j, b in enumerate(bad) if b}
+            keep = [i for i in idxs if flat[i][0] not in bad_groups]
+            if keep:
+                _check(keep, False)
+            return
+        if rc == 1:
+            for i in idxs:
+                results[flat[i][0]] = True
+            return
+        # combined relation failed: bisect on group boundaries
+        gidxs = sorted({flat[i][0] for i in idxs})
+        if len(gidxs) > 1:
+            mid = len(gidxs) // 2
+            lo = set(gidxs[:mid])
+            _check([i for i in idxs if flat[i][0] in lo], False)
+            _check([i for i in idxs if flat[i][0] not in lo], False)
+
+    try:
+        if flat:
+            _check(list(range(len(flat))), True)
+    except Exception:
+        return None  # caller falls back to the Python tier
+    # group verdict: every instance of the group must have passed together —
+    # results[] was only set group-atomically above, so it already holds.
+    return results
 
 
 def batch_verify_groups(groups: List[List[Tuple[RangeProof, Transcript, bytes, int]]]) -> List[bool]:
@@ -798,6 +868,10 @@ def batch_verify_groups(groups: List[List[Tuple[RangeProof, Transcript, bytes, i
     On a combined-check failure the batch bisects, so a few bad proofs cost
     O(log n) extra MSMs instead of losing amortization entirely.
     """
+    if _use_native_prover():
+        res = _batch_verify_groups_native(groups)
+        if res is not None:
+            return res
     results = [False] * len(groups)
     term_groups: List[Optional[List[VerificationTerms]]] = []
     for g in groups:

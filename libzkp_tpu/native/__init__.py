@@ -139,6 +139,11 @@ def _load() -> Optional[ctypes.CDLL]:
     lib.zkp_groth16_prove_msms.argtypes = [
         ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int,
         u64, u64, u64, ctypes.c_char_p, ctypes.c_char_p, ctypes.c_char_p]
+    lib.zkp_bp_verify_rlc.argtypes = [
+        ctypes.c_int, u64, ctypes.c_char_p, ctypes.POINTER(ctypes.c_uint32),
+        ctypes.c_char_p, ctypes.c_char_p, ctypes.c_char_p, ctypes.c_char_p,
+        ctypes.c_char_p, ctypes.c_char_p]
+    lib.zkp_bp_verify_rlc.restype = ctypes.c_int
     return lib
 
 
@@ -385,6 +390,24 @@ def bn254_g2_msm_fixed_many(key, scalar_vecs, points):
     out = ctypes.create_string_buffer(192 * batch)
     _lib.zkp_bn254_g2_msm_fixed_many(h, batch, sc, out)
     return [_g2_from_wire(out.raw[i * 192 : (i + 1) * 192]) for i in range(batch)]
+
+
+def bp_verify_rlc(h_fix: int, ns, proofs, vs, transcripts, rhos, sigmas):
+    """RLC batch verify: (rc, bad_list). rc 1 = pass, 0 = fail, 2 = structural
+    failures flagged in bad_list (relation not evaluated)."""
+    count = len(ns)
+    offs = (ctypes.c_uint32 * (count + 1))()
+    blob = bytearray()
+    for i, p in enumerate(proofs):
+        offs[i] = len(blob)
+        blob += p
+    offs[count] = len(blob)
+    bad = ctypes.create_string_buffer(count)
+    rc = _lib.zkp_bp_verify_rlc(
+        h_fix, count, bytes(ns), offs, bytes(blob), b"".join(vs),
+        b"".join(transcripts), b"".join(rhos), b"".join(sigmas), bad,
+    )
+    return rc, list(bad.raw[:count])
 
 
 def g1_fixed_handle(key, points) -> Optional[int]:

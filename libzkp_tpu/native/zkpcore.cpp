@@ -15,6 +15,10 @@
 #include <cstring>
 #include <vector>
 
+#ifdef _OPENMP
+#include <omp.h>
+#endif
+
 #if defined(__AVX512IFMA__) && defined(__AVX512F__)
 #include <immintrin.h>  // 8-lane IFMA field tier (see fe8 below)
 #endif
@@ -3403,6 +3407,177 @@ PT fixed_msm_range(const fixed_tab<PT, AF>& ft, const uint8_t* scalars,
     return tot_set ? total : INF();
 }
 
+// -- RLC batch verification ---------------------------------------------------
+
+// delta(y, z) = (z - z^2) <1, y^n> - z^3 <1, 2^n>  (single-party m=1)
+static sc bp_delta(int n, const sc& y, const sc& z) {
+    sc one{{1, 0, 0, 0}};
+    sc sum_y{{0, 0, 0, 0}}, yi = one;
+    for (int i = 0; i < n; i++) {
+        sum_y = sc_add(sum_y, yi);
+        yi = sc_mul(yi, y);
+    }
+    uint64_t s2 = (n >= 64) ? ~0ULL : ((1ULL << n) - 1);  // 2^n - 1 fits u64
+    sc sum_2{{s2, 0, 0, 0}};
+    sc z2 = sc_mul(z, z);
+    return sc_sub(sc_mul(sc_sub(z, z2), sum_y), sc_mul(sc_mul(z2, z), sum_2));
+}
+
+static bool sc_read_canonical(const uint8_t* b, sc& out) {
+    std::memcpy(out.v, b, 32);
+    return sc_cmp(out, SC_L) < 0;
+}
+
+struct bp_verify_acc {
+    sc acc_b{{0, 0, 0, 0}}, acc_bb{{0, 0, 0, 0}};
+    sc g_acc[64], h_acc[64];
+    std::vector<uint8_t> dyn_scalars;  // 32 B each
+    std::vector<uint8_t> dyn_points;   // 128 B wire each
+    bp_verify_acc() {
+        for (int i = 0; i < 64; i++) g_acc[i] = h_acc[i] = sc{{0, 0, 0, 0}};
+    }
+    void dyn(const sc& s, const uint8_t* wire) {
+        uint8_t sb[32];
+        sc_tobytes(s, sb);
+        dyn_scalars.insert(dyn_scalars.end(), sb, sb + 32);
+        dyn_points.insert(dyn_points.end(), wire, wire + 128);
+    }
+};
+
+// Replay + accumulate ONE instance's two verification relations, weighted by
+// rho (IPP check) and sigma (t check). Mirrors models/bulletproofs.py
+// verification_terms/check_terms exactly. Returns false on structural
+// failure (bad point, identity commitment, non-canonical scalar).
+static bool bp_verify_accumulate(const fixed_tab<ge, edniels>& /*unused*/,
+                                 int n, const uint8_t* proof, size_t plen,
+                                 const uint8_t* V, const uint8_t* tr_state,
+                                 const sc& rho, const sc& sigma,
+                                 bp_verify_acc& acc) {
+    int rounds = 0;
+    for (int m = n; m > 1; m >>= 1) rounds++;
+    if (plen != (size_t)(9 + 2 * rounds) * 32) return false;
+    const uint8_t* A_c = proof;
+    const uint8_t* S_c = proof + 32;
+    const uint8_t* T1_c = proof + 64;
+    const uint8_t* T2_c = proof + 96;
+    sc t_x, t_x_bl, e_bl, a_sc, b_sc;
+    if (!sc_read_canonical(proof + 128, t_x)) return false;
+    if (!sc_read_canonical(proof + 160, t_x_bl)) return false;
+    if (!sc_read_canonical(proof + 192, e_bl)) return false;
+    const uint8_t* lr = proof + 224;
+    if (!sc_read_canonical(lr + 64 * rounds, a_sc)) return false;
+    if (!sc_read_canonical(lr + 64 * rounds + 32, b_sc)) return false;
+
+    static const uint8_t ZERO32[32] = {0};
+    if (!std::memcmp(V, ZERO32, 32)) return false;  // identity commitment
+
+    // decompress the dynamic points
+    uint8_t V_w[128], A_w[128], S_w[128], T1_w[128], T2_w[128];
+    if (!zkp_ristretto_decompress(V, V_w)) return false;
+    if (!zkp_ristretto_decompress(A_c, A_w)) return false;
+    if (!zkp_ristretto_decompress(S_c, S_w)) return false;
+    if (!zkp_ristretto_decompress(T1_c, T1_w)) return false;
+    if (!zkp_ristretto_decompress(T2_c, T2_w)) return false;
+    std::vector<uint8_t> L_w(128 * rounds), R_w(128 * rounds);
+    for (int j = 0; j < rounds; j++) {
+        if (!std::memcmp(lr + 64 * j, ZERO32, 32)) return false;
+        if (!std::memcmp(lr + 64 * j + 32, ZERO32, 32)) return false;
+        if (!zkp_ristretto_decompress(lr + 64 * j, &L_w[128 * j])) return false;
+        if (!zkp_ristretto_decompress(lr + 64 * j + 32, &R_w[128 * j]))
+            return false;
+    }
+
+    // transcript replay
+    merlin_t t;
+    t.s.load(tr_state);
+    t.append("dom-sep", (const uint8_t*)"rangeproof v1", 13);
+    t.append_u64("n", (uint64_t)n);
+    t.append_u64("m", 1);
+    t.append("V", V, 32);
+    t.append("A", A_c, 32);
+    t.append("S", S_c, 32);
+    sc y = t.challenge_scalar("y");
+    sc z = t.challenge_scalar("z");
+    t.append("T_1", T1_c, 32);
+    t.append("T_2", T2_c, 32);
+    sc x = t.challenge_scalar("x");
+    t.append("t_x", proof + 128, 32);
+    t.append("t_x_blinding", proof + 160, 32);
+    t.append("e_blinding", proof + 192, 32);
+    sc w = t.challenge_scalar("w");
+    t.append("dom-sep", (const uint8_t*)"ipp v1", 6);
+    t.append_u64("n", (uint64_t)n);
+    std::vector<sc> u(rounds), u_sq(rounds), u_inv_sq(rounds);
+    for (int j = 0; j < rounds; j++) {
+        t.append("L", lr + 64 * j, 32);
+        t.append("R", lr + 64 * j + 32, 32);
+        u[j] = t.challenge_scalar("u");
+        if (sc_is_zero(u[j])) return false;  // uninvertible challenge
+        u_sq[j] = sc_mul(u[j], u[j]);
+    }
+    // batch inversion of the round challenges (Montgomery trick)
+    sc allinv;
+    {
+        std::vector<sc> pref(rounds);
+        sc run{{1, 0, 0, 0}};
+        for (int j = 0; j < rounds; j++) {
+            run = sc_mul(run, u[j]);
+            pref[j] = run;
+        }
+        sc inv_all = sc_inv(run);
+        allinv = inv_all;
+        for (int j = rounds; j-- > 0;) {
+            sc uj_inv = (j == 0) ? inv_all : sc_mul(inv_all, pref[j - 1]);
+            inv_all = sc_mul(inv_all, u[j]);
+            u_inv_sq[j] = sc_mul(uj_inv, uj_inv);
+        }
+    }
+    // s[i] = prod u_j^{+-1}, + when bit (rounds-1-j) of i is set
+    std::vector<sc> s(n);
+    s[0] = allinv;
+    for (int i = 1; i < n; i++) {
+        int lg = 63 - __builtin_clzll((uint64_t)i);
+        int k = 1 << lg;
+        s[i] = sc_mul(s[i - k], u_sq[rounds - 1 - lg]);
+    }
+
+    sc z2 = sc_mul(z, z);
+    sc x2 = sc_mul(x, x);
+    sc zero{{0, 0, 0, 0}};
+    // g_scalars[i] = -z - a*s[i]; h_scalars[i] = z + (z2*2^i - b*s[n-1-i])*y^-i
+    sc y_inv = sc_inv(y);
+    sc yi_inv{{1, 0, 0, 0}}, pow2{{1, 0, 0, 0}};
+    sc two{{2, 0, 0, 0}};
+    for (int i = 0; i < n; i++) {
+        sc gs = sc_sub(sc_sub(zero, z), sc_mul(a_sc, s[i]));
+        acc.g_acc[i] = sc_add(acc.g_acc[i], sc_mul(rho, gs));
+        sc hs = sc_add(
+            z, sc_mul(sc_sub(sc_mul(z2, pow2), sc_mul(b_sc, s[n - 1 - i])),
+                      yi_inv));
+        acc.h_acc[i] = sc_add(acc.h_acc[i], sc_mul(rho, hs));
+        yi_inv = sc_mul(yi_inv, y_inv);
+        pow2 = sc_mul(pow2, two);
+    }
+    sc c1_b = sc_sub(t_x, bp_delta(n, y, z));
+    sc c2_b = sc_mul(w, sc_sub(t_x, sc_mul(a_sc, b_sc)));
+    acc.acc_b = sc_add(acc.acc_b, sc_add(sc_mul(rho, c2_b), sc_mul(sigma, c1_b)));
+    acc.acc_bb = sc_add(
+        acc.acc_bb,
+        sc_add(sc_mul(rho, sc_sub(zero, e_bl)), sc_mul(sigma, t_x_bl)));
+    // c2_dyn: A*1, S*x, L_j*u_sq, R_j*u_inv_sq (weighted rho)
+    acc.dyn(rho, A_w);
+    acc.dyn(sc_mul(rho, x), S_w);
+    for (int j = 0; j < rounds; j++) {
+        acc.dyn(sc_mul(rho, u_sq[j]), &L_w[128 * j]);
+        acc.dyn(sc_mul(rho, u_inv_sq[j]), &R_w[128 * j]);
+    }
+    // c1_dyn: V*(-z2), T1*(-x), T2*(-x2) (weighted sigma)
+    acc.dyn(sc_mul(sigma, sc_sub(zero, z2)), V_w);
+    acc.dyn(sc_mul(sigma, sc_sub(zero, x)), T1_w);
+    acc.dyn(sc_mul(sigma, sc_sub(zero, x2)), T2_w);
+    return true;
+}
+
 #ifdef ZKP_HAVE_IFMA8
 // Eight proofs advanced in lockstep: scalar transcript/sc work per proof,
 // every MSM slot (V, S, T1, T2, each IPP L/R) one msm_sparse8 call. Bit-
@@ -3763,6 +3938,86 @@ void zkp_groth16_prove_msms(int ha, int hb1, int hh, int hl, int hb2,
     }
     for (int m = 0; m < 4; m++) bg1_to_wire(g1_acc[m], out + 96 * m);
     bg2_to_wire(g2_acc, out + 384);
+}
+
+// RLC batch verification of range-proof instances (one grand MSM).
+// h_fix: registered [B_blinding, B] + G(64) + H(64) table. Per instance:
+// ns[i] (8..64), proof bytes at proof_offs[i] in proof_blob, V (32 B),
+// transcript snapshot (203 B), rho/sigma weights (32 B canonical scalars).
+// Returns 1 = combined relation holds, 0 = it does not, 2 = structural
+// failures present (bad_out[i] = 1; relation NOT evaluated — caller drops
+// the bad instances' groups and calls again).
+int zkp_bp_verify_rlc(int h_fix, uint64_t count, const uint8_t* ns,
+                      const uint32_t* proof_offs, const uint8_t* proof_blob,
+                      const uint8_t* vs, const uint8_t* trans,
+                      const uint8_t* rhos, const uint8_t* sigmas,
+                      uint8_t* bad_out) {
+    std::vector<bp_verify_acc> partial;
+    int bad = 0;
+#ifdef _OPENMP
+    int nthreads = count >= 8 ? 2 : 1;
+#else
+    int nthreads = 1;
+#endif
+    partial.resize(nthreads);
+    const fixed_tab<ge, edniels>& ft = ED_FIXED[h_fix];
+#ifdef _OPENMP
+#pragma omp parallel for schedule(static) num_threads(nthreads) \
+    reduction(| : bad)
+#endif
+    for (int64_t i = 0; i < (int64_t)count; i++) {
+#ifdef _OPENMP
+        bp_verify_acc& acc = partial[omp_get_thread_num() % nthreads];
+#else
+        bp_verify_acc& acc = partial[0];
+#endif
+        sc rho = sc_frombytes(rhos + 32 * i);
+        sc sigma = sc_frombytes(sigmas + 32 * i);
+        // proof_offs has count+1 entries (the last is the blob length)
+        size_t off = proof_offs[i];
+        size_t plen = proof_offs[i + 1] - off;
+        bool ok = bp_verify_accumulate(ft, ns[i], proof_blob + off, plen,
+                                       vs + 32 * i, trans + 203 * i, rho,
+                                       sigma, acc);
+        bad_out[i] = ok ? 0 : 1;
+        bad |= !ok;
+    }
+    if (bad) return 2;
+    // merge thread partials
+    bp_verify_acc& acc = partial[0];
+    for (int p = 1; p < nthreads; p++) {
+        acc.acc_b = sc_add(acc.acc_b, partial[p].acc_b);
+        acc.acc_bb = sc_add(acc.acc_bb, partial[p].acc_bb);
+        for (int i = 0; i < 64; i++) {
+            acc.g_acc[i] = sc_add(acc.g_acc[i], partial[p].g_acc[i]);
+            acc.h_acc[i] = sc_add(acc.h_acc[i], partial[p].h_acc[i]);
+        }
+        acc.dyn_scalars.insert(acc.dyn_scalars.end(),
+                               partial[p].dyn_scalars.begin(),
+                               partial[p].dyn_scalars.end());
+        acc.dyn_points.insert(acc.dyn_points.end(),
+                              partial[p].dyn_points.begin(),
+                              partial[p].dyn_points.end());
+    }
+    // fixed-basis part over [B_blinding, B] + G + H
+    uint8_t fix_scalars[130 * 32];
+    sc_tobytes(acc.acc_bb, fix_scalars);
+    sc_tobytes(acc.acc_b, fix_scalars + 32);
+    for (int i = 0; i < 64; i++) {
+        sc_tobytes(acc.g_acc[i], fix_scalars + 32 * (2 + i));
+        sc_tobytes(acc.h_acc[i], fix_scalars + 32 * (66 + i));
+    }
+    ge c_fixed = fixed_msm<ge, edniels, ge_add, ge_madd, ge_double,
+                           ge_identity>(ft, fix_scalars);
+    uint8_t dyn_out[128];
+    ed_msm_native(acc.dyn_points.size() / 128, acc.dyn_scalars.data(),
+                  acc.dyn_points.data(), dyn_out);
+    ge total = ge_add(c_fixed, ge_from_wire(dyn_out));
+    uint8_t comp[32];
+    bp_compress(total, comp);
+    for (int i = 0; i < 32; i++)
+        if (comp[i]) return 0;
+    return 1;
 }
 
 // 0 = vector tier matches the scalar tier; -1 = not compiled in.
