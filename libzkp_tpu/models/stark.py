@@ -7,9 +7,12 @@ assertions — stark.rs:720-790), same parameters
 (``ProofOptions::new(32, 8, 0, None, 8, 31)``, stark.rs:800-808), same field
 (f128) and hash (Blake3-256). The pipeline is architected like winterfell's
 (trace LDE -> Merkle commit -> constraint composition -> DEEP -> FRI ->
-queries) but implemented from scratch; the wire format is this module's own
-versioned layout (byte-interop golden vectors vs the Rust binary are a
-cross-toolchain harness concern, see docs/INTEROP.md).
+queries) but implemented from scratch; proof bytes are emitted and parsed as
+a winterfell 0.10 ``Proof`` container (context ‖ num_unique_queries ‖
+commitments ‖ trace/constraint queries ‖ OOD frame ‖ FRI proof ‖ pow nonce)
+— the component layout and the field map live in
+:mod:`libzkp_tpu.models.winterfell_wire`, with the remaining golden-vector
+pin points catalogued in docs/INTEROP.md §3.
 
 The generic :class:`Air`/:func:`prove`/:func:`verify` interfaces support any
 width/length power-of-two trace; batched proving vectorizes the LDE NTT on
@@ -21,10 +24,11 @@ from __future__ import annotations
 import functools
 import struct
 from dataclasses import dataclass, field as dc_field
-from typing import List, Sequence, Tuple
+from typing import List, Optional, Sequence, Tuple
 
 from ..ops import ntt as poly
 from ..ops.field import F128, PrimeField
+from . import winterfell_wire as ww
 from .merkle import MerkleTree, hash_element_rows, hash_elements
 from .random_coin import RandomCoin
 
@@ -32,7 +36,6 @@ from .random_coin import RandomCoin
 # (asserted at prove time via offset^N != 1).
 DOMAIN_OFFSET = 3
 
-PROOF_FORMAT_VERSION = 1
 
 
 @dataclass(frozen=True)
@@ -102,81 +105,6 @@ class Air:
 
 # ---------------------------------------------------------------------------
 # Serialization helpers
-# ---------------------------------------------------------------------------
-
-
-class _Writer:
-    def __init__(self):
-        self.buf = bytearray()
-
-    def u8(self, v):
-        self.buf.append(v & 0xFF)
-
-    def u16(self, v):
-        self.buf += struct.pack("<H", v)
-
-    def u32(self, v):
-        self.buf += struct.pack("<I", v)
-
-    def u64(self, v):
-        self.buf += struct.pack("<Q", v)
-
-    def felt(self, F, v):
-        self.buf += int(v).to_bytes(F.nbytes, "little")
-
-    def felts(self, F, vs):
-        for v in vs:
-            self.felt(F, v)
-
-    def raw(self, b):
-        self.buf += b
-
-    def bytes(self) -> bytes:
-        return bytes(self.buf)
-
-
-class _Reader:
-    def __init__(self, data: bytes):
-        self.data = bytes(data)
-        self.pos = 0
-
-    def _take(self, n: int) -> bytes:
-        if self.pos + n > len(self.data):
-            raise ValueError("truncated STARK proof")
-        out = self.data[self.pos : self.pos + n]
-        self.pos += n
-        return out
-
-    def u8(self):
-        return self._take(1)[0]
-
-    def u16(self):
-        return struct.unpack("<H", self._take(2))[0]
-
-    def u32(self):
-        return struct.unpack("<I", self._take(4))[0]
-
-    def u64(self):
-        return struct.unpack("<Q", self._take(8))[0]
-
-    def felt(self, F):
-        v = int.from_bytes(self._take(F.nbytes), "little")
-        if v >= F.p:
-            raise ValueError("non-canonical field element")
-        return v
-
-    def felts(self, F, n):
-        return [self.felt(F) for _ in range(n)]
-
-    def raw(self, n):
-        return self._take(n)
-
-    def done(self) -> bool:
-        return self.pos == len(self.data)
-
-
-# ---------------------------------------------------------------------------
-# FRI
 # ---------------------------------------------------------------------------
 
 
@@ -372,52 +300,50 @@ def prove(air: Air, trace_columns: List[List[int]], precomputed=None) -> bytes:
         nonce += 1
     positions = coin.draw_integers(opts.num_queries, N, nonce)
 
-    # 9. serialize
-    wtr = _Writer()
-    wtr.u8(PROOF_FORMAT_VERSION)
-    wtr.u32(n)
-    wtr.u8(w)
-    wtr.raw(opts.to_bytes())
-    wtr.raw(trace_tree.root)
-    wtr.raw(comp_tree.root)
-    wtr.u8(k)
-    wtr.felts(F, ood_cur)
-    wtr.felts(F, ood_nxt)
-    wtr.felts(F, ood_comp)
-    wtr.u8(len(layer_sizes))
-    for tree in fri_trees:
-        wtr.raw(tree.root)
-    wtr.u16(len(remainder))
-    wtr.felts(F, remainder)
-    wtr.u64(nonce)
-    wtr.u8(len(positions))
-    # Batched openings: rows for all queried positions, then the minimal
-    # Merkle node set (winterfell BatchMerkleProof equivalent).
-    for q in positions:
-        wtr.felts(F, [trace_lde[i][q] for i in range(w)])
-    t_nodes = trace_tree.open_many(positions)
-    wtr.u16(len(t_nodes))
-    for node in t_nodes:
-        wtr.raw(node)
-    for q in positions:
-        wtr.felts(F, [comp_lde[j][q] for j in range(k)])
-    c_nodes = comp_tree.open_many(positions)
-    wtr.u16(len(c_nodes))
-    for node in c_nodes:
-        wtr.raw(node)
-    # FRI layers: deduplicated folded positions per layer.
+    # 9. serialize as a winterfell 0.10 Proof (see winterfell_wire field map)
+    buf = bytearray()
+    ww.write_context(buf, w, n, p, opts)
+    buf.append(len(positions))  # num_unique_queries
+    ww.write_commitments(
+        buf, [trace_tree.root, comp_tree.root] + [t.root for t in fri_trees]
+    )
+
+    def _rows_bytes(lde, width, qs):
+        out = bytearray()
+        for q in qs:
+            for i in range(width):
+                out += int(lde[i][q]).to_bytes(F.nbytes, "little")
+        return bytes(out)
+
+    # trace segments: Vec<Queries> with one (main) segment
+    ww.write_usize(buf, 1)
+    ww.write_queries(
+        buf,
+        ww.batch_proof_nodes(trace_tree, positions),
+        _rows_bytes(trace_lde, w, positions),
+    )
+    # constraint segment queries
+    ww.write_queries(
+        buf,
+        ww.batch_proof_nodes(comp_tree, positions),
+        _rows_bytes(comp_lde, k, positions),
+    )
+    # OOD frame: current ‖ next trace rows, then composition evaluations
+    felt = lambda vs: b"".join(int(v).to_bytes(F.nbytes, "little") for v in vs)
+    ww.write_ood_frame(buf, felt(ood_cur + ood_nxt), felt(ood_comp))
+    # FRI proof
+    fri_layers = []
     cur_positions = list(positions)
     for li, size_l in enumerate(layer_sizes):
         stride = size_l // opts.folding
         fold_positions = sorted(set(q % stride for q in cur_positions))
-        for r in fold_positions:
-            wtr.felts(F, fri_rows[li][r])
-        l_nodes = fri_trees[li].open_many(fold_positions)
-        wtr.u16(len(l_nodes))
-        for node in l_nodes:
-            wtr.raw(node)
+        values = b"".join(felt(fri_rows[li][r]) for r in fold_positions)
+        paths = ww.batch_proof_nodes(fri_trees[li], fold_positions)
+        fri_layers.append((values, paths))
         cur_positions = fold_positions
-    return wtr.bytes()
+    ww.write_fri_proof(buf, fri_layers, felt(remainder))
+    buf += nonce.to_bytes(8, "little")
+    return bytes(buf)
 
 
 # ---------------------------------------------------------------------------
@@ -437,42 +363,69 @@ def _verify_inner(air: Air, proof_bytes: bytes) -> bool:
     F = air.field
     p = F.p
     opts = air.options
-    rdr = _Reader(proof_bytes)
 
-    if rdr.u8() != PROOF_FORMAT_VERSION:
+    # --- parse the winterfell container (winterfell_wire field map) ---
+    data = bytes(proof_bytes)
+    w_ctx, n_ctx, modulus, opt_tuple, pos = ww.read_context(data, 0)
+    if n_ctx != air.trace_length or w_ctx != air.trace_width or modulus != p:
         return False
-    n = rdr.u32()
-    w = rdr.u8()
-    if n != air.trace_length or w != air.trace_width:
+    # AcceptableOptions::OptionSet equivalent (stark.rs:905-907)
+    if opt_tuple != (
+        opts.num_queries, opts.blowup, opts.grinding, opts.folding,
+        opts.max_remainder_degree,
+    ):
         return False
-    popts = ProofOptions.from_bytes(rdr.raw(6))
-    if popts != opts:  # AcceptableOptions::OptionSet equivalent (stark.rs:905-907)
-        return False
+    n, w = n_ctx, w_ctx
     N = n * opts.blowup
     g_n = F.root_of_unity(n)
     g_N = F.root_of_unity(N)
     offset = DOMAIN_OFFSET
-
-    trace_root = rdr.raw(32)
-    comp_root = rdr.raw(32)
-    k = rdr.u8()
-    if k != air.num_composition_columns():
-        return False
-    ood_cur = rdr.felts(F, w)
-    ood_nxt = rdr.felts(F, w)
-    ood_comp = rdr.felts(F, k)
-
-    num_layers = rdr.u8()
+    k = air.num_composition_columns()
     layer_sizes = _fri_layer_plan(opts, N)
-    if num_layers != len(layer_sizes):
+    num_layers = len(layer_sizes)
+
+    n_positions = data[pos]
+    pos += 1
+    trace_root, comp_root, fri_roots, pos = ww.read_commitments(
+        data, pos, num_layers
+    )
+    n_segments, pos = ww.read_usize(data, pos)
+    if n_segments != 1:
         return False
-    fri_roots = [rdr.raw(32) for _ in range(num_layers)]
-    rem_len = rdr.u16()
-    if rem_len > opts.max_remainder_degree + 1:
+    t_paths, t_values, pos = ww.read_queries(data, pos)
+    c_paths, c_values, pos = ww.read_queries(data, pos)
+    ood_states, ood_evals, pos = ww.read_ood_frame(data, pos)
+    fri_layer_blobs, rem_bytes, pos = ww.read_fri_proof(data, pos)
+    if len(fri_layer_blobs) != num_layers:
         return False
-    remainder = rdr.felts(F, rem_len)
-    nonce = rdr.u64()
-    n_positions = rdr.u8()
+    if len(data) < pos + 8:
+        return False
+    nonce = int.from_bytes(data[pos : pos + 8], "little")
+    if pos + 8 != len(data):
+        return False
+
+    def _felts(blob: bytes, count: int) -> Optional[List[int]]:
+        if len(blob) != count * F.nbytes:
+            return None
+        out = []
+        for i in range(count):
+            v = int.from_bytes(blob[i * F.nbytes : (i + 1) * F.nbytes], "little")
+            if v >= p:
+                return None
+            out.append(v)
+        return out
+
+    ood_all = _felts(ood_states, 2 * w)
+    ood_comp = _felts(ood_evals, k)
+    if ood_all is None or ood_comp is None:
+        return False
+    ood_cur, ood_nxt = ood_all[:w], ood_all[w:]
+    rem_count = len(rem_bytes) // F.nbytes
+    if rem_count > opts.max_remainder_degree + 1:
+        return False
+    remainder = _felts(rem_bytes, rem_count)
+    if remainder is None:
+        return False
 
     # Rebuild the coin transcript
     coin = RandomCoin(air.context_bytes())
@@ -518,22 +471,24 @@ def _verify_inner(air: Air, proof_bytes: bytes) -> bool:
     if acc != hz:
         return False
 
-    # --- query checks (batched Merkle openings) ---
+    # --- query checks (winterfell BatchMerkleProof openings) ---
     depth_t = (N - 1).bit_length()
-    trace_rows = [rdr.felts(F, w) for _ in positions]
-    n_nodes = rdr.u16()
-    t_nodes = [rdr.raw(32) for _ in range(n_nodes)]
-    if not MerkleTree.verify_many(
+    flat = _felts(t_values, w * len(positions))
+    if flat is None:
+        return False
+    trace_rows = [flat[qi * w : (qi + 1) * w] for qi in range(len(positions))]
+    if not ww.batch_proof_verify(
         trace_root, depth_t, positions,
-        [hash_elements(F, row) for row in trace_rows], t_nodes,
+        [hash_elements(F, row) for row in trace_rows], t_paths,
     ):
         return False
-    comp_rows = [rdr.felts(F, k) for _ in positions]
-    n_nodes = rdr.u16()
-    c_nodes = [rdr.raw(32) for _ in range(n_nodes)]
-    if not MerkleTree.verify_many(
+    flat = _felts(c_values, k * len(positions))
+    if flat is None:
+        return False
+    comp_rows = [flat[qi * k : (qi + 1) * k] for qi in range(len(positions))]
+    if not ww.batch_proof_verify(
         comp_root, depth_t, positions,
-        [hash_elements(F, row) for row in comp_rows], c_nodes,
+        [hash_elements(F, row) for row in comp_rows], c_paths,
     ):
         return False
 
@@ -543,13 +498,18 @@ def _verify_inner(air: Air, proof_bytes: bytes) -> bool:
     for li, size_l in enumerate(layer_sizes):
         stride = size_l // opts.folding
         fold_positions = sorted(set(q % stride for q in cur_positions))
-        rows = {r: rdr.felts(F, opts.folding) for r in fold_positions}
-        n_nodes = rdr.u16()
-        l_nodes = [rdr.raw(32) for _ in range(n_nodes)]
+        values, paths = fri_layer_blobs[li]
+        flat = _felts(values, opts.folding * len(fold_positions))
+        if flat is None:
+            return False
+        rows = {
+            r: flat[i * opts.folding : (i + 1) * opts.folding]
+            for i, r in enumerate(fold_positions)
+        }
         depth_l = (stride - 1).bit_length()
-        if not MerkleTree.verify_many(
+        if not ww.batch_proof_verify(
             fri_roots[li], depth_l, fold_positions,
-            [hash_elements(F, rows[r]) for r in fold_positions], l_nodes,
+            [hash_elements(F, rows[r]) for r in fold_positions], paths,
         ):
             return False
         fri_layer_rows.append(rows)
@@ -596,4 +556,4 @@ def _verify_inner(air: Air, proof_bytes: bytes) -> bool:
         if poly.poly_eval(F, remainder, x_fin) != cur_val:
             return False
 
-    return rdr.done()
+    return True

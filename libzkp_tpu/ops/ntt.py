@@ -76,6 +76,11 @@ if _native.HAVE_NATIVE:
         assert n & (n - 1) == 0, "size must be a power of two"
         if n == 1:
             return [values[0] % F.p]
+        # Domains too large for one chip split over the mesh `shard` axis
+        # (four-step all_to_all NTT); declined below the size gate.
+        sharded = maybe_ntt_sharded(F.p, values, invert=invert)
+        if sharded is not None:
+            return sharded
         root = F.root_of_unity(n)
         if invert:
             return _native.ntt(F.p, values, F.inv(root), F.inv(n))
@@ -229,6 +234,137 @@ def _ntt_jitted(p: int, invert: bool):
 def ntt_batch(ctx: LimbContext, values_mont: jnp.ndarray, invert: bool = False) -> jnp.ndarray:
     """Jit-compiled batched NTT (compiled once per (field, direction, shape))."""
     return _ntt_jitted(ctx.p, invert)(values_mont)
+
+
+# ---------------------------------------------------------------------------
+# Intra-NTT sharding: one transform split across chips (SURVEY §2.3 "NTT
+# engine ... butterfly stages with all_to_all"). Four-step (Bailey)
+# decomposition N = N1*N2: size-N1 column transforms local to each shard,
+# a twiddle scaling, ONE all_to_all transpose over the `shard` mesh axis,
+# then size-N2 row transforms local again. This is the path that lets a
+# single proof's domain exceed one chip's memory/compute.
+# ---------------------------------------------------------------------------
+
+
+@functools.lru_cache(maxsize=8)
+def _four_step_twiddles(p: int, n1: int, n2: int, invert: bool):
+    """(N2, N1) table of w^{±j2*k1} in Montgomery limb form (host numpy)."""
+    import numpy as np
+
+    from .limb import _int_to_limbs
+
+    F = PrimeField(p, "tw4")
+    ctx = get_context(p)
+    w = F.root_of_unity(n1 * n2)
+    if invert:
+        w = F.inv(w)
+    out = np.zeros((n2, n1, ctx.n), dtype=np.int32)
+    for j2 in range(n2):
+        wj = pow(w, j2, p)
+        cur = 1
+        for k1 in range(n1):
+            out[j2, k1] = _int_to_limbs(cur * ctx.R % p, ctx.n)
+            cur = cur * wj % p
+    return out
+
+
+@functools.lru_cache(maxsize=8)
+def _ntt_sharded_jitted(p: int, n1: int, n2: int, invert: bool, mesh):
+    from jax.experimental.shard_map import shard_map
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from ..parallel import collective
+
+    ctx = get_context(p)
+
+    def step(xl: jnp.ndarray, twl: jnp.ndarray) -> jnp.ndarray:
+        # xl: (N2/P, N1, limbs) — rows j2 local, columns j1 complete
+        xm = ctx.to_mont(xl)
+        b = ntt_device(ctx, xm, invert=invert)  # size-N1 transforms, local
+        b = ctx.mont_mul(b, twl)  # twiddle w^{j2*k1}
+        # transpose across the mesh: (N2/P, N1) -> (N2, N1/P)
+        c = collective.all_to_all(b, "shard", split_axis=1, concat_axis=0)
+        c = jnp.transpose(c, (1, 0, 2))  # (N1/P, N2, limbs)
+        d = ntt_device(ctx, c, invert=invert)  # size-N2 transforms, local
+        return ctx.from_mont(d)
+
+    return jax.jit(
+        shard_map(
+            step,
+            mesh=mesh,
+            in_specs=(P("shard"), P("shard")),
+            out_specs=P("shard"),
+            check_rep=False,
+        )
+    )
+
+
+def ntt_sharded(p: int, values, mesh, invert: bool = False):
+    """One size-N NTT split over the mesh ``shard`` axis; returns int list.
+
+    Requires N = N1*N2 with both factors divisible by the shard count (i.e.
+    N >= shard_count^2). Bit-exact against the host :func:`ntt` model
+    (asserted by ``__graft_entry__.dryrun_multichip`` on the virtual mesh).
+    Engaged by the STARK prover for domains at or above
+    ``LIBZKP_NTT_SHARD_MIN`` (see :func:`maybe_ntt_sharded`).
+    """
+    ctx = get_context(p)
+    N = len(values)
+    assert N & (N - 1) == 0, "N must be a power of two"
+    P_sh = mesh.shape["shard"]
+    lg = N.bit_length() - 1
+    n1 = 1 << (lg // 2)
+    n2 = N // n1
+    if n1 % P_sh or n2 % P_sh:
+        n1 = max(n1, P_sh)
+        n2 = N // n1
+    assert n1 % P_sh == 0 and n2 % P_sh == 0, "N too small for this mesh"
+    import numpy as np
+
+    from jax.sharding import NamedSharding, PartitionSpec as Pspec
+
+    # A[j2][j1] = x[j1*N2 + j2]
+    x = ctx.encode(list(values)).reshape(n1, n2, ctx.n)
+    x = jnp.transpose(x, (1, 0, 2))  # (N2, N1, limbs), shard over j2
+    tw = jnp.asarray(_four_step_twiddles(p, n1, n2, invert))
+    x = jax.device_put(x, NamedSharding(mesh, Pspec("shard")))
+    tw = jax.device_put(tw, NamedSharding(mesh, Pspec("shard")))
+    out = _ntt_sharded_jitted(p, n1, n2, invert, mesh)(x, tw)  # (N1, N2, limbs)
+    m = ctx.decode(out)  # row-major (k1, k2)
+    # X[N1*k2 + k1] = M[k1][k2]
+    res = [0] * N
+    for k1 in range(n1):
+        row = k1 * n2
+        for k2 in range(n2):
+            res[n1 * k2 + k1] = m[row + k2]
+    return res
+
+
+def maybe_ntt_sharded(p: int, values, invert: bool = False):
+    """Production gate for the intra-NTT sharded path: engages when the
+    domain is at least ``LIBZKP_NTT_SHARD_MIN`` (default 2^18) and a
+    multi-device mesh is up; returns None otherwise (caller runs the local
+    tier). One proof's domain is no longer bounded by one chip."""
+    import os
+
+    try:
+        min_n = int(os.environ.get("LIBZKP_NTT_SHARD_MIN", str(1 << 18)))
+    except ValueError:
+        min_n = 1 << 18
+    if len(values) < max(min_n, 4):
+        return None
+    from ..parallel import mesh as meshmod
+
+    if not meshmod.use_mesh():
+        return None
+    mesh = meshmod.get_mesh()
+    P_sh = mesh.shape["shard"]
+    if P_sh < 2 or len(values) < P_sh * P_sh:
+        return None
+    try:
+        return ntt_sharded(p, values, mesh, invert=invert)
+    except Exception:
+        return None
 
 
 @functools.lru_cache(maxsize=None)

@@ -30,9 +30,14 @@ def all_gather(x, axis: str = "shard", *, gather_axis: int = 0, tiled: bool = Fa
     return jax.lax.all_gather(x, axis, axis=gather_axis, tiled=tiled)
 
 
-def all_to_all(x, axis: str, split_axis: int, concat_axis: int):
-    """Transpose a dimension across a mesh axis (NTT butterfly exchanges)."""
-    return jax.lax.all_to_all(x, axis, split_axis, concat_axis)
+def all_to_all(x, axis: str, split_axis: int, concat_axis: int, *, tiled: bool = True):
+    """Transpose a dimension across a mesh axis (NTT butterfly exchanges).
+
+    ``tiled=True`` (the default) is the block-transpose form: ``split_axis``
+    is divided into axis-size blocks that land concatenated on
+    ``concat_axis`` — the four-step NTT's inter-chip exchange.
+    """
+    return jax.lax.all_to_all(x, axis, split_axis, concat_axis, tiled=tiled)
 
 
 def ppermute(x, axis: str, perm):

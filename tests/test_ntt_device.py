@@ -38,3 +38,42 @@ def test_ntt_device_batched():
     got = ctx.decode(ctx.from_mont(out))
     want = [v for b in batches for v in poly.ntt(F128, b)]
     assert got == want
+
+
+class TestShardedNTT:
+    """Four-step intra-NTT sharding over the `shard` mesh axis: one
+    transform's butterflies split across devices with a single tiled
+    all_to_all exchange (SURVEY.md §2.3 "NTT engine")."""
+
+    def test_bit_exact_vs_host(self):
+        import jax
+
+        from libzkp_tpu.ops import ntt as nt
+        from libzkp_tpu.ops.field import BN254_FR, F128
+        from libzkp_tpu.parallel import mesh as meshmod
+
+        if len(jax.devices()) < 2:
+            import pytest
+
+            pytest.skip("needs a multi-device mesh")
+        mesh = meshmod.get_mesh(dp=len(jax.devices()) // 2, shard=2)
+        for F in (F128, BN254_FR):
+            vals = [(i * 104729 + 7) % F.p for i in range(64)]
+            want = nt.ntt_py(F, vals)
+            got = nt.ntt_sharded(F.p, vals, mesh)
+            assert got == want
+            assert nt.ntt_sharded(F.p, got, mesh, invert=True) == vals
+
+    def test_shard4(self):
+        import jax
+        import pytest
+
+        from libzkp_tpu.ops import ntt as nt
+        from libzkp_tpu.ops.field import F128
+        from libzkp_tpu.parallel import mesh as meshmod
+
+        if len(jax.devices()) < 4:
+            pytest.skip("needs >= 4 devices")
+        mesh = meshmod.get_mesh(dp=len(jax.devices()) // 4, shard=4)
+        vals = [(i * 31 + 5) % F128.p for i in range(256)]
+        assert nt.ntt_sharded(F128.p, vals, mesh) == nt.ntt_py(F128, vals)

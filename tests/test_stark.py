@@ -113,3 +113,71 @@ def test_coset_lde_batch_matches_host():
     for t, c, l in zip(traces, polys, ldes):
         assert c == poly.interpolate(F128, t)
         assert l == poly.evaluate_coset(F128, c, 64, 3)
+
+
+class TestWinterfellContainer:
+    """Layout pins for the winterfell 0.10 proof container
+    (libzkp_tpu/models/winterfell_wire.py field map)."""
+
+    def test_vint64_roundtrip(self):
+        from libzkp_tpu.models import winterfell_wire as ww
+
+        for v in [0, 1, 127, 128, 16383, 16384, 2**21 - 1, 2**21, 2**55,
+                  2**56, 2**63, 2**64 - 1]:
+            buf = bytearray()
+            ww.write_usize(buf, v)
+            got, pos = ww.read_usize(bytes(buf), 0)
+            assert got == v and pos == len(buf), v
+        # one-byte encodings are odd; value = byte >> 1
+        buf = bytearray()
+        ww.write_usize(buf, 5)
+        assert buf == bytes([(5 << 1) | 1])
+
+    def test_container_structure(self):
+        from libzkp_tpu.models import winterfell_wire as ww
+        from libzkp_tpu.models.stark_backend import (
+            DEFAULT_OPTIONS, prove_improvement)
+
+        proof = prove_improvement(5, 9)
+        w, n, modulus, opts, pos = ww.read_context(proof, 0)
+        assert (w, n) == (1, 8)
+        from libzkp_tpu.ops.field import F128
+
+        assert modulus == F128.p
+        assert opts == (32, 8, 0, 8, 31)  # ProofOptions(32, 8, 0, None, 8, 31)
+        nuq = proof[pos]
+        assert nuq == 32
+        # pow nonce is the trailing u64
+        assert len(proof) > pos + 8
+
+    def test_exhaustive_tamper(self):
+        from libzkp_tpu.models.stark_backend import (
+            prove_improvement, verify_improvement)
+
+        sp = prove_improvement(5, 9)
+        assert verify_improvement(sp, 5, 9)
+        for pos in range(0, len(sp), 7):  # every 7th byte: fast full sweep
+            b = bytearray(sp)
+            b[pos] ^= 0xFF
+            assert not verify_improvement(bytes(b), 5, 9), f"byte {pos}"
+
+    def test_batch_merkle_proof_sound(self):
+        import os
+        import random
+
+        from libzkp_tpu.models import winterfell_wire as ww
+        from libzkp_tpu.models.merkle import MerkleTree
+
+        random.seed(3)
+        leaves = [os.urandom(32) for _ in range(64)]
+        tree = MerkleTree(leaves)
+        positions = sorted(random.sample(range(64), 9))
+        blob = ww.batch_proof_nodes(tree, positions)
+        lv = [leaves[q] for q in positions]
+        assert ww.batch_proof_verify(tree.root, tree.depth, positions, lv, blob)
+        for pos in range(len(blob)):
+            b = bytearray(blob)
+            b[pos] ^= 0xFF
+            assert not ww.batch_proof_verify(
+                tree.root, tree.depth, positions, lv, bytes(b)
+            ), f"blob byte {pos} unchecked"
