@@ -107,10 +107,14 @@ def _read_byte_vec(data: bytes, pos: int) -> Tuple[bytes, int]:
 # ---------------------------------------------------------------------------
 
 
-def _covered(positions_set, level: int, idx: int) -> bool:
-    """Does the subtree rooted at (level, idx) contain a queried leaf?"""
-    lo = idx << level
-    return any(lo <= q < lo + (1 << level) for q in positions_set)
+def _coverage(positions, depth: int) -> List[set]:
+    """cov[level] = subtree indices at that level containing a queried leaf."""
+    cov = []
+    cur = set(positions)
+    for _ in range(depth + 1):
+        cov.append(cur)
+        cur = {i >> 1 for i in cur}
+    return cov
 
 
 def batch_proof_nodes(tree, positions: Sequence[int]) -> bytes:
@@ -124,8 +128,8 @@ def batch_proof_nodes(tree, positions: Sequence[int]) -> bytes:
     provided byte escapes the integrity check.
     """
     positions = sorted(set(positions))
-    pset = set(positions)
     depth = tree.depth
+    cov = _coverage(positions, depth)
     out = bytearray([depth])
     emitted = set()
     for q in positions:
@@ -133,7 +137,7 @@ def batch_proof_nodes(tree, positions: Sequence[int]) -> bytes:
         idx = q
         for level in range(depth):
             sib = idx ^ 1
-            if not _covered(pset, level, sib) and (level, sib) not in emitted:
+            if sib not in cov[level] and (level, sib) not in emitted:
                 nodes.append(tree.levels[level][sib])
                 emitted.add((level, sib))
             idx >>= 1
@@ -161,7 +165,6 @@ def batch_proof_verify(
         if nodes_blob[0] != depth:
             return False
         pos = 1
-        known = {}  # (level, index) -> digest
         per_query: List[List[bytes]] = []
         for _ in positions:
             cnt = nodes_blob[pos]
@@ -175,40 +178,38 @@ def batch_proof_verify(
             per_query.append(nodes)
         if pos != len(nodes_blob):
             return False
-        for q, leaf in zip(positions, leaves):
-            known[(0, q)] = bytes(leaf)
         # replay emission order to place each provided node
-        pset = set(positions)
+        cov = _coverage(positions, depth)
         emitted = {}
         for qi, q in enumerate(positions):
             it = iter(per_query[qi])
             idx = q
             for level in range(depth):
                 sib = idx ^ 1
-                if not _covered(pset, level, sib) and (level, sib) not in emitted:
+                if sib not in cov[level] and (level, sib) not in emitted:
                     emitted[(level, sib)] = next(it, None)
                     if emitted[(level, sib)] is None:
                         return False
                 idx >>= 1
             if next(it, None) is not None:
                 return False  # extra nodes
-        known.update(emitted)
-
-        def get(level: int, index: int) -> Optional[bytes]:
-            v = known.get((level, index))
-            if v is not None:
-                return v
-            if level == 0:
-                return None
-            l = get(level - 1, 2 * index)
-            r = get(level - 1, 2 * index + 1)
-            if l is None or r is None:
-                return None
-            v = merge_digests(l, r)
-            known[(level, index)] = v
-            return v
-
-        return get(depth, 0) == bytes(root)
+        # bottom-up: at each level every path node's sibling is known
+        # (queried, emitted, or derived), so parents pair off exactly
+        levels: List[dict] = [dict() for _ in range(depth + 1)]
+        for q, leaf in zip(positions, leaves):
+            levels[0][q] = bytes(leaf)
+        for (lv, idx), dg in emitted.items():
+            levels[lv][idx] = dg
+        for lv in range(depth):
+            cur = levels[lv]
+            nxt = levels[lv + 1]
+            for idx, dg in cur.items():
+                if idx & 1:
+                    continue
+                sib = cur.get(idx + 1)
+                if sib is not None:
+                    nxt[idx >> 1] = merge_digests(dg, sib)
+        return levels[depth].get(0) == bytes(root)
     except (IndexError, ValueError):
         return False
 
