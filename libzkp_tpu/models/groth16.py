@@ -413,10 +413,7 @@ def prove_assigned_many(
             distinct.append(z)
         assign.append(slot)
 
-    h_list = threads.run_many(
-        lambda z: native.groth16_h(n, n_constraints, num_instance, R, root, 5, csr, z),
-        distinct,
-    )
+    h_list = _h_many(pk, distinct, num_instance, n_constraints, n, root, csr)
     accs = _accs_many(pk, distinct, num_instance, h_list)
 
     # Group proofs by distinct statement: a large group's (A, B, C) folds
@@ -436,6 +433,48 @@ def prove_assigned_many(
         for i in idxs:
             out[i] = _finish_proof(pk, *accs[slot])
     return out  # type: ignore[return-value]
+
+
+def _h_many(pk, distinct, num_instance, n_constraints, n, root, csr):
+    """h-polynomials for a bucket of distinct assignments.
+
+    ``LIBZKP_DEVICE_H=1`` routes the 7-NTT half through the device
+    (:mod:`libzkp_tpu.ops.groth16_device`, batched as one jit over the whole
+    bucket; sparse spmv stays native). Measured on the tunneled v5e the
+    device path LOSES at the production shape (n=512: 12.6 vs 2.0 ms/proof
+    at 256-proof buckets — the per-stage limb tensors are latency-bound at
+    this domain size; see BASELINE.md "Device MSM engine" table), so it is
+    explicit opt-in; the default is the native single-call pipeline per
+    assignment (maps ark-groth16's QAP NTTs, snark.rs:364).
+    """
+    import os
+
+    from .. import native
+    from ..utils import threads
+
+    if os.environ.get("LIBZKP_DEVICE_H") == "1" and len(distinct) >= int(
+        os.environ.get("LIBZKP_DEVICE_H_MIN", "64")
+    ):
+        try:
+            from ..ops.groth16_device import h_batch_device
+
+            abc = threads.run_many(
+                lambda z: native.groth16_spmv(
+                    n, n_constraints, num_instance, R, csr, z
+                ),
+                distinct,
+            )
+            return h_batch_device(
+                n, [t[0] for t in abc], [t[1] for t in abc], [t[2] for t in abc]
+            )
+        except Exception:
+            pass  # device path is an optimization; fall through to native
+    return threads.run_many(
+        lambda z: native.groth16_h(
+            n, n_constraints, num_instance, R, root, 5, csr, z
+        ),
+        distinct,
+    )
 
 
 def _finish_proof_group(

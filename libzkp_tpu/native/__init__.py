@@ -144,6 +144,13 @@ def _load() -> Optional[ctypes.CDLL]:
         ctypes.c_char_p, ctypes.c_char_p, ctypes.c_char_p, ctypes.c_char_p,
         ctypes.c_char_p, ctypes.c_char_p]
     lib.zkp_bp_verify_rlc.restype = ctypes.c_int
+    lib.zkp_groth16_spmv.argtypes = [
+        u64, u64, u64, u64, ctypes.c_char_p,
+        ctypes.c_char_p, ctypes.c_char_p, ctypes.c_char_p, u64,
+        ctypes.c_char_p, ctypes.c_char_p, ctypes.c_char_p, u64,
+        ctypes.c_char_p, ctypes.c_char_p, ctypes.c_char_p, u64,
+        ctypes.c_char_p, ctypes.c_char_p, ctypes.c_char_p, ctypes.c_char_p]
+    lib.zkp_groth16_spmv.restype = ctypes.c_int
     return lib
 
 
@@ -608,6 +615,24 @@ def groth16_h(
     if rc != 0:
         raise AssertionError("h degree exceeds n-2: unsatisfied constraint system?")
     return [int.from_bytes(out.raw[i * 32 : (i + 1) * 32], "little") for i in range(n - 1)]
+
+
+def groth16_spmv(n: int, n_constraints: int, n_instance: int, p: int, csr, z):
+    """az/bz/cz evaluation vectors (lists of ints) — the sparse half of the
+    h-pipeline; the NTT half can then run on the device (groth16_device)."""
+    zb = b"".join((v % p).to_bytes(32, "little") for v in z)
+    az = ctypes.create_string_buffer(32 * n)
+    bz = ctypes.create_string_buffer(32 * n)
+    cz = ctypes.create_string_buffer(32 * n)
+    (ap, ai, ac, an), (bp, bi, bc, bn_), (cp, ci, cc, cn) = csr
+    _lib.zkp_groth16_spmv(
+        n, n_constraints, n_instance, len(z), p.to_bytes(32, "little"),
+        ap, ai, ac, an, bp, bi, bc, bn_, cp, ci, cc, cn, zb, az, bz, cz,
+    )
+    rd = lambda buf: [
+        int.from_bytes(buf.raw[i * 32 : (i + 1) * 32], "little") for i in range(n)
+    ]
+    return rd(az), rd(bz), rd(cz)
 
 
 def ntt(p: int, values: Sequence[int], root: int, scale: Optional[int]) -> List[int]:

@@ -2360,6 +2360,50 @@ void spmv(const mctx& c, uint64_t rows, const uint32_t* ptr, const uint32_t* idx
 extern "C" {
 
 // Returns 0 on success, 1 if h has unexpected top coefficient (unsatisfied CS).
+// spmv-only slice of the h-pipeline: az/bz/cz evaluation vectors (canonical
+// bytes), for the DEVICE h-path which runs the 7 NTTs as one batched jit
+// (libzkp_tpu/ops/groth16_device.py) while the irregular sparse part stays
+// native.
+int zkp_groth16_spmv(uint64_t n, uint64_t n_constraints, uint64_t n_instance,
+                     uint64_t n_vars, const uint8_t* mod,
+                     const uint32_t* a_ptr, const uint32_t* a_idx,
+                     const uint8_t* a_coef, uint64_t a_nnz,
+                     const uint32_t* b_ptr, const uint32_t* b_idx,
+                     const uint8_t* b_coef, uint64_t b_nnz,
+                     const uint32_t* c_ptr, const uint32_t* c_idx,
+                     const uint8_t* c_coef, uint64_t c_nnz, const uint8_t* z,
+                     uint8_t* az_out, uint8_t* bz_out, uint8_t* cz_out) {
+    mctx c;
+    mctx_init(c, mod);
+    auto load_vec = [&](const uint8_t* src, uint64_t cnt) {
+        std::vector<u256> v(cnt);
+        for (uint64_t i = 0; i < cnt; i++) {
+            u256 raw;
+            std::memcpy(raw.v, src + 32 * i, 32);
+            v[i] = mx_mul(c, raw, c.r2);
+        }
+        return v;
+    };
+    std::vector<u256> z_m = load_vec(z, n_vars);
+    std::vector<u256> ac = load_vec(a_coef, a_nnz), bc = load_vec(b_coef, b_nnz),
+                      cc = load_vec(c_coef, c_nnz);
+    std::vector<u256> az(n, u256{{0, 0, 0, 0}}), bz(n, u256{{0, 0, 0, 0}}),
+        cz(n, u256{{0, 0, 0, 0}});
+    spmv(c, n_constraints, a_ptr, a_idx, ac.data(), z_m.data(), az.data());
+    spmv(c, n_constraints, b_ptr, b_idx, bc.data(), z_m.data(), bz.data());
+    spmv(c, n_constraints, c_ptr, c_idx, cc.data(), z_m.data(), cz.data());
+    for (uint64_t i = 0; i < n_instance; i++) az[n_constraints + i] = z_m[i];
+    u256 one_raw{{1, 0, 0, 0}};
+    for (uint64_t i = 0; i < n; i++) {
+        u256 a = mx_mul(c, az[i], one_raw), b = mx_mul(c, bz[i], one_raw),
+             d = mx_mul(c, cz[i], one_raw);
+        std::memcpy(az_out + 32 * i, a.v, 32);
+        std::memcpy(bz_out + 32 * i, b.v, 32);
+        std::memcpy(cz_out + 32 * i, d.v, 32);
+    }
+    return 0;
+}
+
 int zkp_groth16_h(uint64_t n, uint64_t n_constraints, uint64_t n_instance,
                   uint64_t n_vars, const uint8_t* mod, const uint8_t* root,
                   const uint8_t* coset_g, const uint32_t* a_ptr,

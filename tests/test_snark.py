@@ -144,3 +144,36 @@ def test_fast_path_proofs_verify():
         assert verify_equality(prove_equality(v, v), v, v)
     for v, s in ((25, [10, 25, 40]), (7, [7]), (3, list(range(1, 65)))):
         assert verify_membership(prove_membership(v, s), s)
+
+
+class TestDeviceHPipeline:
+    """The device QAP h-pipeline (ops/groth16_device.py: 7 NTTs per proof as
+    one batched jit) must be bit-exact vs the native C++ pipeline."""
+
+    def test_differential_vs_native(self):
+        import libzkp_tpu.api as zkp
+
+        zkp.prove_equality(42, 42)  # seeds the CSR cache + setup
+        from libzkp_tpu import native
+        from libzkp_tpu.models import groth16 as g
+        from libzkp_tpu.models.snark_backend import (
+            _circuit_meta, _equality_assignment, _get_equality_setup)
+        from libzkp_tpu.ops import mimc
+        from libzkp_tpu.ops.field import BN254_FR
+        from libzkp_tpu.ops.groth16_device import h_batch_device
+
+        pk = _get_equality_setup()
+        ni, nc = _circuit_meta["equality"]
+        n = len(pk.h_query) + 1
+        zs = [
+            _equality_assignment(v, v, mimc.mimc_hash_native(v))
+            for v in (42, 7, 123456)
+        ]
+        csr = g._csr_cache.get(("equality", n, nc, len(zs[0])))
+        root = BN254_FR.root_of_unity(n)
+        want = [native.groth16_h(n, nc, ni, g.R, root, 5, csr, z) for z in zs]
+        abc = [native.groth16_spmv(n, nc, ni, g.R, csr, z) for z in zs]
+        got = h_batch_device(
+            n, [t[0] for t in abc], [t[1] for t in abc], [t[2] for t in abc]
+        )
+        assert got == want
