@@ -57,10 +57,33 @@ DEFAULT_OPTIONS = stark.ProofOptions(
 )
 
 
+def _use_native_stark() -> bool:
+    from .. import native
+
+    return native.HAVE_NATIVE and not _os.environ.get("LIBZKP_NO_NATIVE_STARK")
+
+
+def _prove_native(pairs) -> List[bytes]:
+    """Whole-pipeline native prover (zkpcore.cpp stark_improve_one), OMP
+    across pairs; byte-exact vs the Python pipeline (tests/test_stark.py)."""
+    from .. import native
+
+    ctxs = [
+        ImprovementAir(TRACE_LENGTH, [o, n], DEFAULT_OPTIONS).context_bytes()
+        for o, n in pairs
+    ]
+    return native.stark_prove_improvement_batch(
+        pairs, F128.p, F128.root_of_unity(TRACE_LENGTH * DEFAULT_OPTIONS.blowup),
+        ctxs,
+    )
+
+
 def prove_improvement(old: int, new: int) -> bytes:
     """Generate a STARK proof that ``new > old`` (stark.rs:857-892)."""
     if new <= old:
         raise ValueError("new value must be greater than old value")
+    if _use_native_stark():
+        return _prove_native([(old, new)])[0]
     F = F128
     air = ImprovementAir(TRACE_LENGTH, [old, new], DEFAULT_OPTIONS)
     # Build the trace: t[0]=old, t[i+1]=t[i]+step (exact linear interpolation).
@@ -168,10 +191,15 @@ def prove_improvement_batch(pairs) -> List[bytes]:
     interpolations + coset LDEs as ONE jitted call sharded over ``dp``) or
     the forked host path (process-parallel across cores); per-proof
     transcript/Merkle/FRI assembly stays on the host (SURVEY.md §2.3)."""
-    airs, cols = [], []
     for old, new in pairs:
         if new <= old:
             raise ValueError("new value must be greater than old value")
+    # Fast path: the whole pipeline in one native call, OMP across pairs —
+    # measured ~5x the forked-host and device-LDE paths at every batch size.
+    if _use_native_stark():
+        return _prove_native(list(pairs))
+    airs, cols = [], []
+    for old, new in pairs:
         air = ImprovementAir(TRACE_LENGTH, [old, new], DEFAULT_OPTIONS)
         airs.append(air)
         cols.append(_build_trace(air, old))

@@ -151,6 +151,10 @@ def _load() -> Optional[ctypes.CDLL]:
         ctypes.c_char_p, ctypes.c_char_p, ctypes.c_char_p, u64,
         ctypes.c_char_p, ctypes.c_char_p, ctypes.c_char_p, ctypes.c_char_p]
     lib.zkp_groth16_spmv.restype = ctypes.c_int
+    lib.zkp_stark_prove_improvement_batch.argtypes = [
+        u64, ctypes.POINTER(ctypes.c_uint64), ctypes.c_char_p, ctypes.c_char_p,
+        ctypes.c_char_p, u64, ctypes.c_char_p, u64,
+        ctypes.POINTER(ctypes.c_int64)]
     return lib
 
 
@@ -615,6 +619,36 @@ def groth16_h(
     if rc != 0:
         raise AssertionError("h degree exceeds n-2: unsatisfied constraint system?")
     return [int.from_bytes(out.raw[i * 32 : (i + 1) * 32], "little") for i in range(n - 1)]
+
+
+_STARK_OUT_STRIDE = 8192
+
+
+def stark_prove_improvement_batch(pairs, p: int, root64: int, ctx_list):
+    """Whole-pipeline STARK improvement prover (see zkpcore.cpp
+    zkp_stark_prove_improvement_batch). pairs: [(old, new)]; ctx_list: the
+    per-pair random-coin seed material (equal lengths). Returns proof-bytes
+    list; raises ValueError when a pair has no valid witness."""
+    batch = len(pairs)
+    ctx_stride = len(ctx_list[0])
+    assert all(len(cb) == ctx_stride for cb in ctx_list)
+    pair_arr = (ctypes.c_uint64 * (2 * batch))()
+    for i, (old, new) in enumerate(pairs):
+        pair_arr[2 * i] = old
+        pair_arr[2 * i + 1] = new
+    out = ctypes.create_string_buffer(_STARK_OUT_STRIDE * batch)
+    lens = (ctypes.c_int64 * batch)()
+    _lib.zkp_stark_prove_improvement_batch(
+        batch, pair_arr, p.to_bytes(32, "little"),
+        (root64 % p).to_bytes(32, "little"), b"".join(ctx_list), ctx_stride,
+        out, _STARK_OUT_STRIDE, lens,
+    )
+    res = []
+    for i in range(batch):
+        if lens[i] < 0:
+            raise ValueError("invalid improvement witness")
+        res.append(out.raw[i * _STARK_OUT_STRIDE : i * _STARK_OUT_STRIDE + lens[i]])
+    return res
 
 
 def groth16_spmv(n: int, n_constraints: int, n_instance: int, p: int, csr, z):

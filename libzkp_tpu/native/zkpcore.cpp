@@ -9,6 +9,7 @@
 //
 // Build: g++ -O3 -std=c++17 -shared -fPIC -o _zkpcore.so zkpcore.cpp
 
+#include <algorithm>
 #include <cstdint>
 #include <cstdlib>
 #include <deque>
@@ -2491,6 +2492,505 @@ int zkp_groth16_h(uint64_t n, uint64_t n_constraints, uint64_t n_instance,
         std::memcpy(h_out + 32 * i, out.v, 32);
     }
     return rc;
+}
+
+}  // extern "C"
+
+// ===========================================================================
+// STARK improvement-proof fast path: the reference's whole winterfell prover
+// for the fixed ImprovementAir (1 column x 8 rows, ProofOptions(32,8,0,
+// None,8,31) — /root/reference/src/backend/stark.rs:87-186) runs natively:
+// f128 NTT/LDE, Blake3 Merkle commitments, DEEP-ALI composition, the random
+// coin, query openings and the winterfell 0.10 container. The pipeline is
+// deterministic, so it is differentially pinned BYTE-EXACT against the
+// Python model (models/stark.py) in tests/test_stark.py.
+// ===========================================================================
+
+namespace {
+
+struct b3coin {  // models/random_coin.py RandomCoin (DefaultRandomCoin port)
+    uint8_t seed[32];
+    uint64_t counter = 0;
+
+    void init(const uint8_t* material, uint64_t len) {
+        zkp_blake3(material, len, seed);
+        counter = 0;
+    }
+    void reseed(const uint8_t* digest) {
+        uint8_t buf[64];
+        std::memcpy(buf, seed, 32);
+        std::memcpy(buf + 32, digest, 32);
+        zkp_blake3(buf, 64, seed);
+        counter = 0;
+    }
+    void next_digest(uint8_t out[32]) {
+        counter++;
+        uint8_t buf[40];
+        std::memcpy(buf, seed, 32);
+        std::memcpy(buf + 32, &counter, 8);
+        zkp_blake3(buf, 40, out);
+    }
+};
+
+// vint64 usize (winter-utils write_usize; see winterfell_wire.py)
+static void wf_usize(std::vector<uint8_t>& out, uint64_t v) {
+    for (int len = 1; len <= 8; len++) {
+        if (v < (1ULL << (7 * len))) {
+            uint64_t enc = (v << len) | (1ULL << (len - 1));
+            for (int i = 0; i < len; i++) out.push_back((uint8_t)(enc >> (8 * i)));
+            return;
+        }
+    }
+    out.push_back(0);
+    for (int i = 0; i < 8; i++) out.push_back((uint8_t)(v >> (8 * i)));
+}
+
+struct wf_tree {  // Blake3 Merkle tree over 32-byte leaves (power of two)
+    std::vector<std::vector<uint8_t>> levels;  // levels[l]: digests * 32B
+
+    void build(const std::vector<uint8_t>& leaves, int n) {
+        levels.clear();
+        levels.push_back(leaves);
+        int width = n;
+        while (width > 1) {
+            const std::vector<uint8_t>& cur = levels.back();
+            std::vector<uint8_t> nxt(32 * (width / 2));
+            for (int i = 0; i < width / 2; i++)
+                zkp_blake3(cur.data() + 64 * i, 64, nxt.data() + 32 * i);
+            levels.push_back(std::move(nxt));
+            width /= 2;
+        }
+    }
+    const uint8_t* root() const { return levels.back().data(); }
+    int depth() const { return (int)levels.size() - 1; }
+
+    // winterfell_wire.batch_proof_nodes port (positions sorted ascending)
+    void batch_nodes(const int* pos, int np, std::vector<uint8_t>& out) const {
+        int d = depth();
+        out.push_back((uint8_t)d);
+        // coverage sets per level as bitmasks (leaf count <= 64 here)
+        std::vector<uint64_t> cov(d + 1, 0);
+        for (int i = 0; i < np; i++) cov[0] |= 1ULL << pos[i];
+        for (int l = 0; l < d; l++) {
+            uint64_t c = cov[l], up = 0;
+            while (c) {
+                int b = __builtin_ctzll(c);
+                c &= c - 1;
+                up |= 1ULL << (b >> 1);
+            }
+            cov[l + 1] = up;
+        }
+        std::vector<uint64_t> emitted(d, 0);
+        for (int i = 0; i < np; i++) {
+            size_t cnt_at = out.size();
+            out.push_back(0);
+            int idx = pos[i], cnt = 0;
+            for (int l = 0; l < d; l++) {
+                int sib = idx ^ 1;
+                if (!((cov[l] >> sib) & 1) && !((emitted[l] >> sib) & 1)) {
+                    const uint8_t* node = levels[l].data() + 32 * sib;
+                    out.insert(out.end(), node, node + 32);
+                    emitted[l] |= 1ULL << sib;
+                    cnt++;
+                }
+                idx >>= 1;
+            }
+            out[cnt_at] = (uint8_t)cnt;
+        }
+    }
+};
+
+// f128 helpers over the generic Montgomery machinery (mctx / u256)
+static u256 f128_from_u64(const mctx& c, uint64_t v) {
+    u256 raw{{v, 0, 0, 0}};
+    return mx_mul(c, raw, c.r2);
+}
+
+static void f128_to_bytes(const mctx& c, const u256& m, uint8_t out[16]) {
+    u256 one_raw{{1, 0, 0, 0}};
+    u256 v = mx_mul(c, m, one_raw);
+    std::memcpy(out, v.v, 16);
+}
+
+static u256 f128_from_bytes(const mctx& c, const uint8_t* b) {
+    u256 raw{{0, 0, 0, 0}};
+    std::memcpy(raw.v, b, 16);
+    return mx_mul(c, raw, c.r2);
+}
+
+// draw a field element (models/random_coin.py draw_felt: rejection on 16B LE)
+static u256 coin_draw_felt(b3coin& coin, const mctx& c, const uint8_t* mod16) {
+    for (int tries = 0; tries < 1000; tries++) {
+        uint8_t h[32];
+        coin.next_digest(h);
+        // compare h[:16] (LE) < modulus
+        bool less = false;
+        for (int i = 15; i >= 0; i--) {
+            if (h[i] < mod16[i]) { less = true; break; }
+            if (h[i] > mod16[i]) break;
+        }
+        if (less) return f128_from_bytes(c, h);
+    }
+    return u256{{0, 0, 0, 0}};  // unreachable in practice
+}
+
+// Full prover for one (old, new) pair. out must hold >= 8192 bytes.
+// Returns the proof length, or -1 on constraint failure.
+static int stark_improve_one(const mctx& c, const uint8_t* mod32,
+                             const u256& root64_m, uint64_t old_v,
+                             uint64_t new_v, const uint8_t* ctx_bytes,
+                             uint64_t ctx_len, uint8_t* out_buf) {
+    const int n = 8, N = 64, NQ = 32, REM = 32;
+    const uint8_t* mod16 = mod32;  // f128 modulus fits 16 bytes
+    u256 zero{{0, 0, 0, 0}};
+
+    // domain constants
+    u256 root64_inv = mx_inv(c, root64_m);
+    u256 root8_m = root64_m;  // root8 = root64^8: three squarings
+    for (int i = 0; i < 3; i++) root8_m = mx_mul(c, root8_m, root8_m);
+    u256 root8_inv = mx_inv(c, root8_m);
+    u256 n_inv = mx_inv(c, f128_from_u64(c, n));
+    u256 N_inv = mx_inv(c, f128_from_u64(c, N));
+    u256 offset = f128_from_u64(c, 3);  // DOMAIN_OFFSET
+    u256 offset_inv = mx_inv(c, offset);
+
+    // trace: t[0] = old, t[i+1] = t[i] + step, step = (new-old)/7
+    u256 old_m = f128_from_u64(c, old_v), new_m = f128_from_u64(c, new_v);
+    u256 step = mx_mul(c, mx_sub(c, new_m, old_m),
+                       mx_inv(c, f128_from_u64(c, 7)));
+    std::vector<u256> trace(n);
+    trace[0] = old_m;
+    for (int i = 1; i < n; i++) trace[i] = mx_add(c, trace[i - 1], step);
+
+    // trace poly + LDE
+    std::vector<u256> tp = trace;
+    ntt_mont(c, tp, root8_inv);
+    for (auto& x : tp) x = mx_mul(c, x, n_inv);
+    std::vector<u256> tl(N, zero);
+    {
+        u256 pw = c.one_m;
+        for (int i = 0; i < n; i++) {
+            tl[i] = mx_mul(c, tp[i], pw);
+            pw = mx_mul(c, pw, offset);
+        }
+        ntt_mont(c, tl, root64_m);
+    }
+
+    // trace commitment
+    std::vector<uint8_t> t_leaves(32 * N);
+    for (int r = 0; r < N; r++) {
+        uint8_t e[16];
+        f128_to_bytes(c, tl[r], e);
+        zkp_blake3(e, 16, t_leaves.data() + 32 * r);
+    }
+    wf_tree t_tree;
+    t_tree.build(t_leaves, N);
+
+    b3coin coin;
+    coin.init(ctx_bytes, ctx_len);
+    coin.reseed(t_tree.root());
+    u256 alpha = coin_draw_felt(coin, c, mod16);
+    u256 beta0 = coin_draw_felt(coin, c, mod16);
+    u256 beta1 = coin_draw_felt(coin, c, mod16);
+
+    // composition evaluations over the LDE domain
+    std::vector<u256> xs(N);
+    {
+        u256 x = offset;
+        u256 gN = root64_m;
+        for (int r = 0; r < N; r++) {
+            xs[r] = x;
+            x = mx_mul(c, x, gN);
+        }
+    }
+    u256 exemption = c.one_m;  // g8^(n-1)
+    {
+        u256 g = root8_m;
+        for (int i = 0; i < n - 1; i++) exemption = mx_mul(c, exemption, g);
+    }
+    std::vector<u256> comp(N);
+    std::vector<u256> den0(N), den1(N), denz(N);
+    u256 g8_0 = c.one_m;                // g8^0 (assertion step 0)
+    u256 g8_7 = exemption;              // g8^7 (assertion step 7)
+    for (int r = 0; r < N; r++) {
+        // x^n - 1 via 3 squarings
+        u256 xn = xs[r];
+        for (int m = n; m > 1; m >>= 1) xn = mx_mul(c, xn, xn);
+        denz[r] = mx_sub(c, xn, c.one_m);
+        den0[r] = mx_sub(c, xs[r], g8_0);
+        den1[r] = mx_sub(c, xs[r], g8_7);
+    }
+    // batch inversion of the three denominator vectors
+    std::vector<u256> all(3 * N);
+    for (int r = 0; r < N; r++) {
+        all[r] = denz[r];
+        all[N + r] = den0[r];
+        all[2 * N + r] = den1[r];
+    }
+    {
+        std::vector<u256> pref(3 * N);
+        u256 run = c.one_m;
+        for (int i = 0; i < 3 * N; i++) {
+            run = mx_mul(c, run, all[i]);
+            pref[i] = run;
+        }
+        u256 inv = mx_inv(c, run);
+        for (int i = 3 * N; i-- > 0;) {
+            u256 x_inv = (i == 0) ? inv : mx_mul(c, inv, pref[i - 1]);
+            inv = mx_mul(c, inv, all[i]);
+            all[i] = x_inv;
+        }
+    }
+    for (int r = 0; r < N; r++) {
+        u256 cur = tl[r];
+        u256 nxt = tl[(r + 8) % N];  // blowup = 8
+        u256 tr = mx_sub(c, mx_sub(c, nxt, cur), step);
+        u256 zinv = mx_mul(c, all[r], mx_sub(c, xs[r], exemption));
+        u256 acc = mx_mul(c, mx_mul(c, alpha, tr), zinv);
+        acc = mx_add(c, acc,
+                     mx_mul(c, mx_mul(c, beta0, mx_sub(c, cur, old_m)),
+                            all[N + r]));
+        acc = mx_add(c, acc,
+                     mx_mul(c, mx_mul(c, beta1, mx_sub(c, cur, new_m)),
+                            all[2 * N + r]));
+        comp[r] = acc;
+    }
+    // interpolate off the coset: iNTT + N^{-1} + offset^{-i}
+    std::vector<u256> cc = comp;
+    ntt_mont(c, cc, root64_inv);
+    {
+        u256 pw = c.one_m;
+        for (int i = 0; i < N; i++) {
+            cc[i] = mx_mul(c, mx_mul(c, cc[i], N_inv), pw);
+            pw = mx_mul(c, pw, offset_inv);
+        }
+    }
+    // degree < k*n = 8: take chunk 0, pad, evaluate back on the coset
+    std::vector<u256> ch(cc.begin(), cc.begin() + n);
+    std::vector<u256> cl(N, zero);
+    {
+        u256 pw = c.one_m;
+        for (int i = 0; i < n; i++) {
+            cl[i] = mx_mul(c, ch[i], pw);
+            pw = mx_mul(c, pw, offset);
+        }
+        ntt_mont(c, cl, root64_m);
+    }
+    std::vector<uint8_t> c_leaves(32 * N);
+    for (int r = 0; r < N; r++) {
+        uint8_t e[16];
+        f128_to_bytes(c, cl[r], e);
+        zkp_blake3(e, 16, c_leaves.data() + 32 * r);
+    }
+    wf_tree c_tree;
+    c_tree.build(c_leaves, N);
+    coin.reseed(c_tree.root());
+
+    // OOD evaluations at z / zg
+    u256 z = coin_draw_felt(coin, c, mod16);
+    u256 zg = mx_mul(c, z, root8_m);
+    auto horner = [&](const std::vector<u256>& p, int deg_n, const u256& at) {
+        u256 acc = zero;
+        for (int i = deg_n - 1; i >= 0; i--)
+            acc = mx_add(c, mx_mul(c, acc, at), p[i]);
+        return acc;
+    };
+    u256 ood_cur = horner(tp, n, z);
+    u256 ood_nxt = horner(tp, n, zg);
+    u256 ood_comp = horner(ch, n, z);
+    {
+        uint8_t buf[48];
+        f128_to_bytes(c, ood_cur, buf);
+        f128_to_bytes(c, ood_nxt, buf + 16);
+        f128_to_bytes(c, ood_comp, buf + 32);
+        uint8_t dg[32];
+        zkp_blake3(buf, 48, dg);
+        coin.reseed(dg);
+    }
+    u256 g0 = coin_draw_felt(coin, c, mod16);
+    u256 g1 = coin_draw_felt(coin, c, mod16);
+    u256 g2 = coin_draw_felt(coin, c, mod16);
+
+    // DEEP composition over the LDE domain
+    std::vector<u256> ixz(N), ixzg(N);
+    for (int r = 0; r < N; r++) {
+        ixz[r] = mx_sub(c, xs[r], z);
+        ixzg[r] = mx_sub(c, xs[r], zg);
+    }
+    {
+        std::vector<u256> both(2 * N);
+        for (int r = 0; r < N; r++) {
+            both[r] = ixz[r];
+            both[N + r] = ixzg[r];
+        }
+        std::vector<u256> pref(2 * N);
+        u256 run = c.one_m;
+        for (int i = 0; i < 2 * N; i++) {
+            run = mx_mul(c, run, both[i]);
+            pref[i] = run;
+        }
+        u256 inv = mx_inv(c, run);
+        for (int i = 2 * N; i-- > 0;) {
+            u256 x_inv = (i == 0) ? inv : mx_mul(c, inv, pref[i - 1]);
+            inv = mx_mul(c, inv, both[i]);
+            both[i] = x_inv;
+        }
+        for (int r = 0; r < N; r++) {
+            ixz[r] = both[r];
+            ixzg[r] = both[N + r];
+        }
+    }
+    std::vector<u256> deep(N);
+    for (int r = 0; r < N; r++) {
+        u256 acc = mx_mul(c, mx_mul(c, g0, mx_sub(c, tl[r], ood_cur)), ixz[r]);
+        acc = mx_add(
+            c, acc,
+            mx_mul(c, mx_mul(c, g1, mx_sub(c, tl[r], ood_nxt)), ixzg[r]));
+        acc = mx_add(
+            c, acc,
+            mx_mul(c, mx_mul(c, g2, mx_sub(c, cl[r], ood_comp)), ixz[r]));
+        deep[r] = acc;
+    }
+
+    // FRI: zero layers at these options; remainder = off-coset interpolation
+    std::vector<u256> rem = deep;
+    ntt_mont(c, rem, root64_inv);
+    {
+        u256 pw = c.one_m;
+        for (int i = 0; i < N; i++) {
+            rem[i] = mx_mul(c, mx_mul(c, rem[i], N_inv), pw);
+            pw = mx_mul(c, pw, offset_inv);
+        }
+    }
+    for (int i = REM; i < N; i++)
+        if (u256_cmp(mx_mul(c, rem[i], u256{{1, 0, 0, 0}}), zero) != 0)
+            return -1;  // FRI remainder degree too high: not a valid witness
+    {
+        std::vector<uint8_t> buf(16 * REM);
+        for (int i = 0; i < REM; i++)
+            f128_to_bytes(c, rem[i], buf.data() + 16 * i);
+        uint8_t dg[32];
+        zkp_blake3(buf.data(), buf.size(), dg);
+        coin.reseed(dg);
+    }
+
+    // PoW (grinding 0 -> nonce 0) + query positions
+    uint64_t nonce = 0;
+    {
+        uint8_t nb[8] = {0};
+        uint8_t dg[32];
+        zkp_blake3(nb, 8, dg);
+        coin.reseed(dg);
+    }
+    int positions[NQ];
+    int npos = 0;
+    {
+        uint64_t seen = 0;
+        for (int tries = 0; tries < 1000 && npos < NQ; tries++) {
+            uint8_t h[32];
+            coin.next_digest(h);
+            uint64_t v;
+            std::memcpy(&v, h, 8);
+            int q = (int)(v & (N - 1));
+            if (!((seen >> q) & 1)) {
+                seen |= 1ULL << q;
+                positions[npos++] = q;
+            }
+        }
+        std::sort(positions, positions + npos);
+    }
+
+    // ---- winterfell container emission ----
+    std::vector<uint8_t> o;
+    o.reserve(8192);
+    // Context: TraceInfo + modulus + options (see winterfell_wire.py)
+    wf_usize(o, 1);   // main segment width
+    wf_usize(o, 0);   // aux width
+    wf_usize(o, 0);   // aux rands
+    wf_usize(o, n);   // trace length
+    o.push_back(0);   // meta len u16
+    o.push_back(0);
+    o.push_back(16);  // modulus byte length
+    o.insert(o.end(), mod32, mod32 + 16);
+    const uint8_t opts[8] = {NQ, 8, 0, 1, 8, 31, 1, 1};
+    o.insert(o.end(), opts, opts + 8);
+    o.push_back((uint8_t)npos);  // num_unique_queries
+    // Commitments
+    wf_usize(o, 64);
+    o.insert(o.end(), t_tree.root(), t_tree.root() + 32);
+    o.insert(o.end(), c_tree.root(), c_tree.root() + 32);
+    // trace queries: Vec<Queries> of 1
+    wf_usize(o, 1);
+    auto emit_queries = [&](const wf_tree& tree, const std::vector<u256>& lde) {
+        std::vector<uint8_t> paths;
+        tree.batch_nodes(positions, npos, paths);
+        wf_usize(o, paths.size());
+        o.insert(o.end(), paths.begin(), paths.end());
+        wf_usize(o, (uint64_t)16 * npos);
+        for (int i = 0; i < npos; i++) {
+            uint8_t e[16];
+            f128_to_bytes(c, lde[positions[i]], e);
+            o.insert(o.end(), e, e + 16);
+        }
+    };
+    emit_queries(t_tree, tl);
+    emit_queries(c_tree, cl);
+    // OOD frame
+    wf_usize(o, 32);
+    {
+        uint8_t e[16];
+        f128_to_bytes(c, ood_cur, e);
+        o.insert(o.end(), e, e + 16);
+        f128_to_bytes(c, ood_nxt, e);
+        o.insert(o.end(), e, e + 16);
+    }
+    wf_usize(o, 16);
+    {
+        uint8_t e[16];
+        f128_to_bytes(c, ood_comp, e);
+        o.insert(o.end(), e, e + 16);
+    }
+    // FRI proof: zero layers, remainder, partitions
+    wf_usize(o, 0);
+    wf_usize(o, (uint64_t)16 * REM);
+    for (int i = 0; i < REM; i++) {
+        uint8_t e[16];
+        f128_to_bytes(c, rem[i], e);
+        o.insert(o.end(), e, e + 16);
+    }
+    o.push_back(1);
+    for (int i = 0; i < 8; i++) o.push_back((uint8_t)(nonce >> (8 * i)));
+    std::memcpy(out_buf, o.data(), o.size());
+    return (int)o.size();
+}
+
+}  // namespace
+
+extern "C" {
+
+// Batch of improvement proofs (OMP across pairs). pairs: (old,new) u64 LE
+// pairs; ctx_bytes: per-pair random-coin seed material at ctx_stride.
+// out: batch * out_stride buffer; out_lens[i] = proof length or -1.
+void zkp_stark_prove_improvement_batch(
+    uint64_t batch, const uint64_t* pairs, const uint8_t* mod32,
+    const uint8_t* root64, const uint8_t* ctx_bytes, uint64_t ctx_stride,
+    uint8_t* out, uint64_t out_stride, int64_t* out_lens) {
+    mctx c;
+    mctx_init(c, mod32);
+    u256 root_m;
+    {
+        u256 raw{{0, 0, 0, 0}};
+        std::memcpy(raw.v, root64, 16);
+        root_m = mx_mul(c, raw, c.r2);
+    }
+#ifdef _OPENMP
+#pragma omp parallel for schedule(dynamic, 4) if (batch > 8)
+#endif
+    for (int64_t i = 0; i < (int64_t)batch; i++) {
+        out_lens[i] = stark_improve_one(
+            c, mod32, root_m, pairs[2 * i], pairs[2 * i + 1],
+            ctx_bytes + ctx_stride * i, ctx_stride, out + out_stride * i);
+    }
 }
 
 }  // extern "C"

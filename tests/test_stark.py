@@ -181,3 +181,42 @@ class TestWinterfellContainer:
             assert not ww.batch_proof_verify(
                 tree.root, tree.depth, positions, lv, bytes(b)
             ), f"blob byte {pos} unchecked"
+
+
+class TestNativeStarkProver:
+    """The native whole-pipeline improvement prover must be byte-exact vs
+    the Python pipeline (the protocol is deterministic: same trace, same
+    coin, same container)."""
+
+    def test_byte_exact(self):
+        from libzkp_tpu import native
+        from libzkp_tpu.models import stark
+        from libzkp_tpu.models import stark_backend as sb
+
+        if not native.HAVE_NATIVE:
+            pytest.skip("native tier unavailable")
+        pairs = [(30, 50), (1, 8), (0, 2**63 - 1), (5, 5 + 7 * 3)]
+        got = sb._prove_native(pairs)
+        for (old, new), g in zip(pairs, got):
+            air = sb.ImprovementAir(sb.TRACE_LENGTH, [old, new], sb.DEFAULT_OPTIONS)
+            want = stark.prove(air, [sb._build_trace(air, old)])
+            assert g == want
+            assert sb.verify_improvement(g, old, new)
+
+    def test_cross_tier_verify(self):
+        import os
+
+        from libzkp_tpu import native
+        from libzkp_tpu.models import stark_backend as sb
+
+        if not native.HAVE_NATIVE:
+            pytest.skip("native tier unavailable")
+        p_native = sb.prove_improvement(3, 9)
+        os.environ["LIBZKP_NO_NATIVE_STARK"] = "1"
+        try:
+            p_python = sb.prove_improvement(3, 9)
+            assert sb.verify_improvement(p_native, 3, 9)
+        finally:
+            del os.environ["LIBZKP_NO_NATIVE_STARK"]
+        assert sb.verify_improvement(p_python, 3, 9)
+        assert p_native == p_python  # deterministic protocol
