@@ -255,6 +255,17 @@ def verify_improvement(proof_bytes: bytes, old: int, new: int) -> bool:
         air = ImprovementAir(TRACE_LENGTH, [old, new], DEFAULT_OPTIONS)
     except Exception:
         return False
+    if _use_native_stark():
+        try:
+            from .. import native
+
+            return native.stark_verify_improvement(
+                old, new, F128.p,
+                F128.root_of_unity(TRACE_LENGTH * DEFAULT_OPTIONS.blowup),
+                air.context_bytes(), bytes(proof_bytes),
+            )
+        except Exception:
+            return False
     return stark.verify(air, proof_bytes)
 
 

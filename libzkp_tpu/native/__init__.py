@@ -155,6 +155,10 @@ def _load() -> Optional[ctypes.CDLL]:
         u64, ctypes.POINTER(ctypes.c_uint64), ctypes.c_char_p, ctypes.c_char_p,
         ctypes.c_char_p, u64, ctypes.c_char_p, u64,
         ctypes.POINTER(ctypes.c_int64)]
+    lib.zkp_stark_verify_improvement.argtypes = [
+        ctypes.c_char_p, ctypes.c_char_p, u64, u64, ctypes.c_char_p, u64,
+        ctypes.c_char_p, u64]
+    lib.zkp_stark_verify_improvement.restype = ctypes.c_int
     return lib
 
 
@@ -649,6 +653,16 @@ def stark_prove_improvement_batch(pairs, p: int, root64: int, ctx_list):
             raise ValueError("invalid improvement witness")
         res.append(out.raw[i * _STARK_OUT_STRIDE : i * _STARK_OUT_STRIDE + lens[i]])
     return res
+
+
+def stark_verify_improvement(old: int, new: int, p: int, root64: int,
+                             ctx_bytes: bytes, proof: bytes) -> bool:
+    return bool(
+        _lib.zkp_stark_verify_improvement(
+            p.to_bytes(32, "little"), (root64 % p).to_bytes(32, "little"),
+            old, new, ctx_bytes, len(ctx_bytes), proof, len(proof),
+        )
+    )
 
 
 def groth16_spmv(n: int, n_constraints: int, n_instance: int, p: int, csr, z):

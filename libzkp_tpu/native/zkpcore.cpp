@@ -2964,9 +2964,319 @@ static int stark_improve_one(const mctx& c, const uint8_t* mod32,
     return (int)o.size();
 }
 
+// vint64 reader; returns false on truncation
+static bool wf_read_usize(const uint8_t* d, size_t len, size_t& pos,
+                          uint64_t& out) {
+    if (pos >= len) return false;
+    uint8_t first = d[pos];
+    if (first == 0) {
+        if (pos + 9 > len) return false;
+        std::memcpy(&out, d + pos + 1, 8);
+        pos += 9;
+        return true;
+    }
+    int l = __builtin_ctz(first) + 1;
+    if (pos + l > (int64_t)len) return false;
+    uint64_t enc = 0;
+    std::memcpy(&enc, d + pos, l < 8 ? l : 8);
+    out = enc >> l;
+    pos += l;
+    return true;
+}
+
+// Verifier twin of stark_improve_one; mirrors models/stark.py _verify_inner
+// for the fixed ImprovementAir shape. Returns 1 accept / 0 reject; never
+// faults on malformed input (every read is bounds-checked).
+static int stark_verify_one(const mctx& c, const uint8_t* mod32,
+                            const u256& root64_m, uint64_t old_v,
+                            uint64_t new_v, const uint8_t* ctx_bytes,
+                            uint64_t ctx_len, const uint8_t* pf, size_t plen) {
+    const int n = 8, N = 64, REM = 32;
+    const uint8_t* mod16 = mod32;
+    u256 zero{{0, 0, 0, 0}};
+    size_t pos = 0;
+    uint64_t v;
+    // context: TraceInfo(1, 0, 0, 8) + meta(0) + modulus + options
+    if (!wf_read_usize(pf, plen, pos, v) || v != 1) return 0;
+    if (!wf_read_usize(pf, plen, pos, v) || v != 0) return 0;
+    if (!wf_read_usize(pf, plen, pos, v) || v != 0) return 0;
+    if (!wf_read_usize(pf, plen, pos, v) || v != (uint64_t)n) return 0;
+    if (pos + 2 > plen || pf[pos] || pf[pos + 1]) return 0;
+    pos += 2;
+    if (pos + 1 > plen || pf[pos] != 16) return 0;
+    pos += 1;
+    if (pos + 16 > plen || std::memcmp(pf + pos, mod16, 16)) return 0;
+    pos += 16;
+    static const uint8_t OPTS[8] = {32, 8, 0, 1, 8, 31, 1, 1};
+    if (pos + 8 > plen || std::memcmp(pf + pos, OPTS, 8)) return 0;
+    pos += 8;
+    if (pos + 1 > plen) return 0;
+    int npos = pf[pos++];
+    if (npos < 1 || npos > 32) return 0;
+    // commitments
+    if (!wf_read_usize(pf, plen, pos, v) || v != 64 || pos + 64 > plen) return 0;
+    const uint8_t* t_root = pf + pos;
+    const uint8_t* c_root = pf + pos + 32;
+    pos += 64;
+    // trace queries (one segment)
+    if (!wf_read_usize(pf, plen, pos, v) || v != 1) return 0;
+    uint64_t tp_len, tv_len, cp_len, cv_len;
+    if (!wf_read_usize(pf, plen, pos, tp_len) || pos + tp_len > plen) return 0;
+    const uint8_t* t_paths = pf + pos;
+    pos += tp_len;
+    if (!wf_read_usize(pf, plen, pos, tv_len) || pos + tv_len > plen) return 0;
+    const uint8_t* t_vals = pf + pos;
+    pos += tv_len;
+    if (!wf_read_usize(pf, plen, pos, cp_len) || pos + cp_len > plen) return 0;
+    const uint8_t* c_paths = pf + pos;
+    pos += cp_len;
+    if (!wf_read_usize(pf, plen, pos, cv_len) || pos + cv_len > plen) return 0;
+    const uint8_t* c_vals = pf + pos;
+    pos += cv_len;
+    if (tv_len != (uint64_t)16 * npos || cv_len != (uint64_t)16 * npos) return 0;
+    // OOD frame
+    if (!wf_read_usize(pf, plen, pos, v) || v != 32 || pos + 32 > plen) return 0;
+    const uint8_t* ood_b = pf + pos;
+    pos += 32;
+    if (!wf_read_usize(pf, plen, pos, v) || v != 16 || pos + 16 > plen) return 0;
+    const uint8_t* oodc_b = pf + pos;
+    pos += 16;
+    // FRI: zero layers, remainder, partitions
+    if (!wf_read_usize(pf, plen, pos, v) || v != 0) return 0;
+    if (!wf_read_usize(pf, plen, pos, v) || v != (uint64_t)16 * REM) return 0;
+    if (pos + 16 * REM > plen) return 0;
+    const uint8_t* rem_b = pf + pos;
+    pos += 16 * REM;
+    if (pos + 1 > plen || pf[pos] != 1) return 0;
+    pos += 1;
+    if (pos + 8 != plen) return 0;
+    uint64_t nonce;
+    std::memcpy(&nonce, pf + pos, 8);
+
+    // canonical field-element loads (reject >= modulus)
+    auto load_felt = [&](const uint8_t* b, u256& out) {
+        u256 raw{{0, 0, 0, 0}};
+        std::memcpy(raw.v, b, 16);
+        u256 m{{0, 0, 0, 0}};
+        std::memcpy(m.v, mod16, 16);
+        if (u256_cmp(raw, m) >= 0) return false;
+        out = mx_mul(c, raw, c.r2);
+        return true;
+    };
+    u256 ood_cur, ood_nxt, ood_comp;
+    if (!load_felt(ood_b, ood_cur) || !load_felt(ood_b + 16, ood_nxt) ||
+        !load_felt(oodc_b, ood_comp))
+        return 0;
+    std::vector<u256> rem(REM);
+    for (int i = 0; i < REM; i++)
+        if (!load_felt(rem_b + 16 * i, rem[i])) return 0;
+    std::vector<u256> t_rows(npos), c_rows(npos);
+    for (int i = 0; i < npos; i++) {
+        if (!load_felt(t_vals + 16 * i, t_rows[i])) return 0;
+        if (!load_felt(c_vals + 16 * i, c_rows[i])) return 0;
+    }
+
+    // coin replay
+    b3coin coin;
+    coin.init(ctx_bytes, ctx_len);
+    coin.reseed(t_root);
+    u256 alpha = coin_draw_felt(coin, c, mod16);
+    u256 beta0 = coin_draw_felt(coin, c, mod16);
+    u256 beta1 = coin_draw_felt(coin, c, mod16);
+    coin.reseed(c_root);
+    u256 z = coin_draw_felt(coin, c, mod16);
+    u256 root8_m = root64_m;
+    for (int i = 0; i < 3; i++) root8_m = mx_mul(c, root8_m, root8_m);
+    u256 zg = mx_mul(c, z, root8_m);
+    {
+        uint8_t buf[48];
+        std::memcpy(buf, ood_b, 32);
+        std::memcpy(buf + 32, oodc_b, 16);
+        uint8_t dg[32];
+        zkp_blake3(buf, 48, dg);
+        coin.reseed(dg);
+    }
+    u256 g0 = coin_draw_felt(coin, c, mod16);
+    u256 g1 = coin_draw_felt(coin, c, mod16);
+    u256 g2 = coin_draw_felt(coin, c, mod16);
+    {
+        uint8_t dg[32];
+        zkp_blake3(rem_b, 16 * REM, dg);
+        coin.reseed(dg);
+    }
+    // grinding factor 0: any nonce passes the PoW check
+    {
+        uint8_t nb[8];
+        std::memcpy(nb, &nonce, 8);
+        uint8_t dg[32];
+        zkp_blake3(nb, 8, dg);
+        coin.reseed(dg);
+    }
+    int positions[32];
+    int np = 0;
+    {
+        uint64_t seen = 0;
+        for (int tries = 0; tries < 1000 && np < 32; tries++) {
+            uint8_t h[32];
+            coin.next_digest(h);
+            uint64_t w;
+            std::memcpy(&w, h, 8);
+            int q = (int)(w & (N - 1));
+            if (!((seen >> q) & 1)) {
+                seen |= 1ULL << q;
+                positions[np++] = q;
+            }
+        }
+        std::sort(positions, positions + np);
+    }
+    if (np != npos) return 0;
+
+    // OOD constraint check (the ALI equation)
+    u256 old_m = f128_from_u64(c, old_v), new_m = f128_from_u64(c, new_v);
+    u256 step = mx_mul(c, mx_sub(c, new_m, old_m),
+                       mx_inv(c, f128_from_u64(c, 7)));
+    u256 exemption = c.one_m;
+    for (int i = 0; i < n - 1; i++) exemption = mx_mul(c, exemption, root8_m);
+    u256 zn = z;
+    for (int m = n; m > 1; m >>= 1) zn = mx_mul(c, zn, zn);
+    u256 znm1 = mx_sub(c, zn, c.one_m);
+    if (u256_cmp(mx_mul(c, znm1, u256{{1, 0, 0, 0}}), zero) == 0) return 0;
+    u256 den0 = mx_sub(c, z, c.one_m);           // z - g^0
+    u256 den1 = mx_sub(c, z, exemption);         // z - g^7
+    if (u256_cmp(mx_mul(c, den0, u256{{1, 0, 0, 0}}), zero) == 0) return 0;
+    if (u256_cmp(mx_mul(c, den1, u256{{1, 0, 0, 0}}), zero) == 0) return 0;
+    u256 t_ev = mx_sub(c, mx_sub(c, ood_nxt, ood_cur), step);
+    u256 zinv = mx_mul(c, mx_inv(c, znm1), mx_sub(c, z, exemption));
+    u256 acc = mx_mul(c, mx_mul(c, alpha, t_ev), zinv);
+    acc = mx_add(c, acc, mx_mul(c, mx_mul(c, beta0, mx_sub(c, ood_cur, old_m)),
+                                mx_inv(c, den0)));
+    acc = mx_add(c, acc, mx_mul(c, mx_mul(c, beta1, mx_sub(c, ood_cur, new_m)),
+                                mx_inv(c, den1)));
+    if (u256_cmp(mx_mul(c, mx_sub(c, acc, ood_comp), u256{{1, 0, 0, 0}}),
+                 zero) != 0)
+        return 0;
+
+    // batched Merkle openings (dual of wf_tree::batch_nodes)
+    auto verify_batch = [&](const uint8_t* root, const uint8_t* paths,
+                            uint64_t paths_len, const u256* rows) {
+        const int depth = 6;
+        if (paths_len < 1 || paths[0] != depth) return false;
+        // leaf digests
+        uint8_t known[7][64][32];
+        uint64_t have[7] = {0, 0, 0, 0, 0, 0, 0};
+        for (int i = 0; i < np; i++) {
+            uint8_t e[16];
+            f128_to_bytes(c, rows[i], e);
+            zkp_blake3(e, 16, known[0][positions[i]]);
+            have[0] |= 1ULL << positions[i];
+        }
+        uint64_t cov[7];
+        cov[0] = have[0];
+        for (int l = 0; l < depth; l++) {
+            uint64_t cc = cov[l], up = 0;
+            while (cc) {
+                int b = __builtin_ctzll(cc);
+                cc &= cc - 1;
+                up |= 1ULL << (b >> 1);
+            }
+            cov[l + 1] = up;
+        }
+        size_t pp = 1;
+        uint64_t emitted[7] = {0, 0, 0, 0, 0, 0, 0};
+        for (int i = 0; i < np; i++) {
+            if (pp >= paths_len) return false;
+            int cnt = paths[pp++];
+            int idx = positions[i];
+            for (int l = 0; l < depth; l++) {
+                int sib = idx ^ 1;
+                if (!((cov[l] >> sib) & 1) && !((emitted[l] >> sib) & 1)) {
+                    if (cnt <= 0 || pp + 32 > paths_len) return false;
+                    std::memcpy(known[l][sib], paths + pp, 32);
+                    pp += 32;
+                    cnt--;
+                    emitted[l] |= 1ULL << sib;
+                    have[l] |= 1ULL << sib;
+                }
+                idx >>= 1;
+            }
+            if (cnt != 0) return false;
+        }
+        if (pp != paths_len) return false;
+        for (int l = 0; l < depth; l++) {
+            uint64_t cc = have[l];
+            while (cc) {
+                int b = __builtin_ctzll(cc);
+                cc &= cc - 1;
+                if (b & 1) continue;
+                if ((have[l] >> (b + 1)) & 1) {
+                    uint8_t buf[64];
+                    std::memcpy(buf, known[l][b], 32);
+                    std::memcpy(buf + 32, known[l][b + 1], 32);
+                    zkp_blake3(buf, 64, known[l + 1][b >> 1]);
+                    have[l + 1] |= 1ULL << (b >> 1);
+                }
+            }
+        }
+        return ((have[depth] >> 0) & 1) &&
+               std::memcmp(known[depth][0], root, 32) == 0;
+    };
+    if (!verify_batch(t_root, t_paths, tp_len, t_rows.data())) return 0;
+    if (!verify_batch(c_root, c_paths, cp_len, c_rows.data())) return 0;
+
+    // DEEP values at query positions must equal the remainder polynomial
+    u256 offset = f128_from_u64(c, 3);
+    for (int i = 0; i < npos; i++) {
+        int q = positions[i];
+        u256 xq = offset;
+        {
+            u256 g = root64_m;
+            for (int b = 0; b < 6; b++) {
+                if ((q >> b) & 1) xq = mx_mul(c, xq, g);
+                g = mx_mul(c, g, g);
+            }
+        }
+        u256 dz = mx_sub(c, xq, z), dzg = mx_sub(c, xq, zg);
+        if (u256_cmp(mx_mul(c, dz, u256{{1, 0, 0, 0}}), zero) == 0) return 0;
+        if (u256_cmp(mx_mul(c, dzg, u256{{1, 0, 0, 0}}), zero) == 0) return 0;
+        u256 ixz = mx_inv(c, dz), ixzg = mx_inv(c, dzg);
+        u256 deep =
+            mx_mul(c, mx_mul(c, g0, mx_sub(c, t_rows[i], ood_cur)), ixz);
+        deep = mx_add(
+            c, deep,
+            mx_mul(c, mx_mul(c, g1, mx_sub(c, t_rows[i], ood_nxt)), ixzg));
+        deep = mx_add(
+            c, deep,
+            mx_mul(c, mx_mul(c, g2, mx_sub(c, c_rows[i], ood_comp)), ixz));
+        u256 val = zero;
+        for (int j = REM - 1; j >= 0; j--)
+            val = mx_add(c, mx_mul(c, val, xq), rem[j]);
+        if (u256_cmp(mx_mul(c, mx_sub(c, val, deep), u256{{1, 0, 0, 0}}),
+                     zero) != 0)
+            return 0;
+    }
+    return 1;
+}
+
 }  // namespace
 
 extern "C" {
+
+// Verify one improvement proof against (old, new). 1 accept / 0 reject.
+int zkp_stark_verify_improvement(const uint8_t* mod32, const uint8_t* root64,
+                                 uint64_t old_v, uint64_t new_v,
+                                 const uint8_t* ctx_bytes, uint64_t ctx_len,
+                                 const uint8_t* proof, uint64_t proof_len) {
+    mctx c;
+    mctx_init(c, mod32);
+    u256 root_m;
+    {
+        u256 raw{{0, 0, 0, 0}};
+        std::memcpy(raw.v, root64, 16);
+        root_m = mx_mul(c, raw, c.r2);
+    }
+    return stark_verify_one(c, mod32, root_m, old_v, new_v, ctx_bytes,
+                            ctx_len, proof, proof_len);
+}
 
 // Batch of improvement proofs (OMP across pairs). pairs: (old,new) u64 LE
 // pairs; ctx_bytes: per-pair random-coin seed material at ctx_stride.

@@ -220,3 +220,25 @@ class TestNativeStarkProver:
             del os.environ["LIBZKP_NO_NATIVE_STARK"]
         assert sb.verify_improvement(p_python, 3, 9)
         assert p_native == p_python  # deterministic protocol
+
+
+class TestNativeStarkVerifier:
+    """Native verifier must agree with the Python verifier on valid,
+    tampered, truncated, and wrong-public-input cases."""
+
+    def test_agreement_sweep(self):
+        from libzkp_tpu import native
+        from libzkp_tpu.models import stark
+        from libzkp_tpu.models import stark_backend as sb
+
+        if not native.HAVE_NATIVE:
+            pytest.skip("native tier unavailable")
+        p = sb.prove_improvement(30, 50)
+        air = sb.ImprovementAir(sb.TRACE_LENGTH, [30, 50], sb.DEFAULT_OPTIONS)
+        assert sb.verify_improvement(p, 30, 50)
+        assert not sb.verify_improvement(p, 30, 51)
+        for pos in range(0, len(p), 11):
+            b = bytes(bytearray(p[:pos]) + bytes([p[pos] ^ 0xFF]) + p[pos + 1:])
+            assert sb.verify_improvement(b, 30, 50) == stark.verify(air, b)
+        for cut in range(0, len(p), 97):
+            assert not sb.verify_improvement(p[:cut], 30, 50)
