@@ -7,6 +7,7 @@ Batched tree construction for TPU-side proving lives with the batch prover.
 
 from __future__ import annotations
 
+import os
 from typing import List, Sequence
 
 from .. import native
@@ -154,12 +155,29 @@ def hash_elements(F, elements: Sequence[int]) -> bytes:
 
 
 def hash_element_rows(F, rows: Sequence[Sequence[int]]) -> List[bytes]:
-    """hash_elements over many equal-length rows, one native batch call."""
+    """hash_elements over many equal-length rows, one native batch call.
+
+    ``LIBZKP_DEVICE_HASH=1`` routes row hashing through the device compress
+    kernel (:mod:`libzkp_tpu.ops.blake3_device`) instead — measured at
+    parity with the host C++ tier for 16k single-block leaves on a tunneled
+    v5e (BASELINE.md), so it stays opt-in for co-located deployments.
+    """
     if not rows:
         return []
     width = len(rows[0])
+    nb = F.nbytes
+    if (
+        os.environ.get("LIBZKP_DEVICE_HASH") == "1"
+        and width * nb <= 64
+        and all(len(r) == width for r in rows)
+    ):
+        from ..ops.blake3_device import hash_leaves_device
+
+        items = [
+            b"".join(int(e).to_bytes(nb, "little") for e in row) for row in rows
+        ]
+        return hash_leaves_device(items)
     if native.HAVE_NATIVE and all(len(r) == width for r in rows):
-        nb = F.nbytes
         items = [
             b"".join(int(e).to_bytes(nb, "little") for e in row) for row in rows
         ]

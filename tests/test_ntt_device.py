@@ -77,3 +77,33 @@ class TestShardedNTT:
         mesh = meshmod.get_mesh(dp=len(jax.devices()) // 4, shard=4)
         vals = [(i * 31 + 5) % F128.p for i in range(256)]
         assert nt.ntt_sharded(F128.p, vals, mesh) == nt.ntt_py(F128, vals)
+
+
+class TestDeviceBlake3:
+    """The device BLAKE3 tier must match the pure-Python spec model and the
+    C++ tier (single-block leaves + full Merkle levels)."""
+
+    def test_bit_exact(self):
+        import os
+
+        from libzkp_tpu.models.merkle import MerkleTree
+        from libzkp_tpu.ops import blake3 as b3
+        from libzkp_tpu.ops.blake3_device import (
+            hash_leaves_device, merkle_tree_device)
+
+        rows = [os.urandom(16) for _ in range(32)]
+        want = [b3.blake3_256(r) for r in rows]
+        assert hash_leaves_device(rows) == want
+        leaves, levels = merkle_tree_device(rows)
+        tree = MerkleTree(want)
+        assert leaves == want
+        assert [lv for lv in levels] == tree.levels[1:]
+
+    def test_hash_element_rows_gate(self, monkeypatch):
+        from libzkp_tpu.models.merkle import hash_element_rows
+        from libzkp_tpu.ops.field import F128
+
+        rows = [[i, i * 7 + 1] for i in range(16)]
+        want = hash_element_rows(F128, rows)
+        monkeypatch.setenv("LIBZKP_DEVICE_HASH", "1")
+        assert hash_element_rows(F128, rows) == want
