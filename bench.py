@@ -2,12 +2,13 @@
 """Benchmark driver hook: prints ONE JSON line.
 
 Headline (BASELINE.md): improvement-proof (STARK) throughput through the
-library's own batch path (``process_batch``) with the device engaged — at
-the 256-proof batch size the default thresholds route every trace
-interpolation + coset LDE through the TPU NTT engine as one jitted call
-(models/stark_backend.py), with per-proof transcript/Merkle/FRI assembly
-fanned out on the host. Compared against the reference's ~15 ms/proof
-single-core number (reference README.md:330).
+library's own batch path (``process_batch``). The default route is the
+native whole-pipeline prover (zkpcore.cpp, OMP across the batch, byte-exact
+with the Python/winterfell-container model); the TPU NTT engine's batched
+LDE path remains measured separately in ``extra`` (the
+``stark_trace_ldes_per_sec_batched`` entry exercises it directly). Compared
+against the reference's ~15 ms/proof single-core number
+(reference README.md:330).
 
 ``extra`` carries the full picture: per-type single-proof latencies on the
 reference's canonical workloads (advanced/mod.rs:93-103), the mixed-batch
