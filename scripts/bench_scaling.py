@@ -57,6 +57,10 @@ def main():
     values = list(range(1, batch + 1))
     traces = [[(7 * i + j) % F128.p for j in range(8)] for i in range(256)]
 
+    from libzkp_tpu.ops.ntt import ntt_sharded
+
+    ntt_vals = [(i * 7919 + 13) % F128.p for i in range(4096)]
+
     results = {}
     base = None
     for nd in (1, 2, 4, 8):
@@ -67,6 +71,14 @@ def main():
             "mimc_per_s": round(batch / t_mimc, 1),
             "lde_per_s": round(256 / t_lde, 1),
         }
+        if nd >= 2:
+            # intra-NTT sharding: ONE 4096-point transform split across the
+            # `shard` axis (four-step all_to_all butterfly, ops/ntt.py)
+            mesh_sh = Mesh(
+                np.asarray(devices[:nd]).reshape(1, nd), ("dp", "shard")
+            )
+            t_ntt = bench(lambda: ntt_sharded(F128.p, ntt_vals, mesh_sh))
+            row["sharded_ntt_ms"] = round(t_ntt * 1e3, 1)
         if nd == 1:
             base = row
         row["mimc_eff"] = round(row["mimc_per_s"] / (base["mimc_per_s"] * nd), 3)
