@@ -2157,6 +2157,317 @@ void fixed_msm_many(const fixed_tab<PT, AF>& ft, uint64_t batch,
     }
 }
 
+// ===========================================================================
+// Batch-affine fixed-base MSM (BN254 G1/G2 — short Weierstrass, a = 0).
+//
+// Two wins over the Jacobian bucket path above:
+//  * buckets live in AFFINE coordinates and inserts are grouped into
+//    conflict-free rounds completed with one shared field inversion per
+//    round (Montgomery's trick) — an insert amortizes to ~6 field muls
+//    against ~14 for a Jacobian mixed add;
+//  * scalars are recoded into SIGNED window digits (affine negation is
+//    free), halving the bucket count and the suffix-sum reduction.
+// The twisted-Edwards (ed25519) tables keep the Jacobian/Niels path: Edwards
+// affine addition has no cheap shared-inversion form.
+// ===========================================================================
+
+struct fq_ops {
+    using F = bfq;
+    static inline F add(const F& a, const F& b) { return bfq_add(a, b); }
+    static inline F sub(const F& a, const F& b) { return bfq_sub(a, b); }
+    static inline F mul(const F& a, const F& b) { return bfq_mul(a, b); }
+    static inline F sqr(const F& a) { return bfq_sq(a); }
+    static inline F inv(const F& a) { return bfq_inv(a); }
+    static inline F neg(const F& a) { return bfq_neg(a); }
+    static inline bool eq(const F& a, const F& b) {
+        return u256_cmp(a.m, b.m) == 0;
+    }
+};
+
+struct fq2_ops {
+    using F = bfq2;
+    static inline F add(const F& a, const F& b) { return bfq2_add(a, b); }
+    static inline F sub(const F& a, const F& b) { return bfq2_sub(a, b); }
+    static inline F mul(const F& a, const F& b) { return bfq2_mul(a, b); }
+    static inline F sqr(const F& a) { return bfq2_sq(a); }
+    static inline F inv(const F& a) { return bfq2_inv(a); }
+    static inline F neg(const F& a) { return bfq2_neg(a); }
+    static inline bool eq(const F& a, const F& b) { return bfq2_eq(a, b); }
+};
+
+template <typename FO>
+struct ba_buckets {
+    using F = typename FO::F;
+    std::vector<F> x, y;
+    std::vector<char> occ;
+    void init(uint32_t half) {
+        x.resize(half);
+        y.resize(half);
+        occ.assign(half, 0);
+    }
+};
+
+// Signed-digit recoding: digit_w in [-2^(c-1)+1, 2^(c-1)] with carry into
+// the next window. Requires nwin*c >= 255 so the top carry is absorbed
+// (canonical scalars are < 2^254); callers fall back otherwise.
+static void recode_signed(const uint8_t* scalars, uint64_t n, int c, int nwin,
+                          const std::vector<char>& is_inf, int16_t* digits) {
+    const uint32_t full = 1u << c, half = 1u << (c - 1), mask = full - 1;
+    for (uint64_t i = 0; i < n; i++) {
+        const uint8_t* s = scalars + 32 * i;
+        int16_t* d = digits + (size_t)i * nwin;
+        if (!is_inf.empty() && is_inf[i]) {
+            std::memset(d, 0, sizeof(int16_t) * nwin);
+            continue;
+        }
+        uint32_t carry = 0;
+        for (int w = 0; w < nwin; w++) {
+            int shift = w * c;
+            int byte = shift >> 3, bit = shift & 7;
+            uint32_t frag = 0;
+            if (byte < 32) {
+                frag = s[byte];
+                if (byte + 1 < 32) frag |= (uint32_t)s[byte + 1] << 8;
+                if (byte + 2 < 32) frag |= (uint32_t)s[byte + 2] << 16;
+                if (byte + 3 < 32) frag |= (uint32_t)s[byte + 3] << 24;
+                frag = (frag >> bit) & mask;
+            }
+            uint32_t v = frag + carry;
+            if (v > half) {
+                d[w] = (int16_t)((int32_t)v - (int32_t)full);
+                carry = 1;
+            } else {
+                d[w] = (int16_t)v;
+                carry = 0;
+            }
+        }
+    }
+}
+
+// Accumulate windows [w_lo, w_hi) into affine buckets via conflict-free
+// batched affine additions. digits is the recode_signed array (n x nwin).
+template <typename PT, typename AF, typename FO>
+static void ba_insert_range(const fixed_tab<PT, AF>& ft,
+                            const int16_t* digits, int w_lo, int w_hi,
+                            ba_buckets<FO>& bk) {
+    using F = typename FO::F;
+    const uint64_t n = ft.n;
+    const int nwin = ft.nwin;
+    struct Ins {
+        uint32_t b;  // (bucket << 1) | negate
+        uint32_t t;  // table index (w * n + i)
+    };
+    std::vector<Ins> all;
+    all.reserve((size_t)(w_hi - w_lo) * n);
+    const uint32_t nbk = (uint32_t)bk.occ.size();
+    std::vector<uint32_t> cnt(nbk + 1, 0);
+    for (int w = w_lo; w < w_hi; w++) {
+        const size_t row = (size_t)w * n;
+        for (uint64_t i = 0; i < n; i++) {
+            int16_t d = digits[(size_t)i * nwin + w];
+            if (!d) continue;
+            uint32_t b = d > 0 ? (uint32_t)d : (uint32_t)(-(int32_t)d);
+            all.push_back(Ins{((b - 1) << 1) | (uint32_t)(d < 0), (uint32_t)(row + i)});
+            cnt[b - 1]++;
+        }
+    }
+    // Counting-sort by bucket, then round r processes the r-th occurrence of
+    // every bucket: each insert is visited exactly once (the naive
+    // defer-and-rescan loop revisits the whole tail every round, which
+    // costs more than the field arithmetic for deep buckets).
+    std::vector<uint32_t> off(nbk + 1, 0);
+    uint32_t maxmult = 0;
+    for (uint32_t b = 0; b < nbk; b++) {
+        off[b + 1] = off[b] + cnt[b];
+        if (cnt[b] > maxmult) maxmult = cnt[b];
+    }
+    std::vector<Ins> sorted(all.size());
+    {
+        std::vector<uint32_t> cursor(off.begin(), off.end() - 1);
+        for (const Ins& e : all) sorted[cursor[e.b >> 1]++] = e;
+    }
+    // Active bucket list: compacted as buckets exhaust their occurrences.
+    std::vector<uint32_t> active;
+    active.reserve(nbk);
+    for (uint32_t b = 0; b < nbk; b++)
+        if (cnt[b]) active.push_back(b);
+    // The shared-inversion prefix/suffix products are interleaved into LANES
+    // independent chains merged by one field inversion per round: a single
+    // chain is a dependent-multiply chain (~2 mul latencies per insert,
+    // which dominates everything else), while 8 chains run at multiplier
+    // throughput.
+    constexpr size_t LANES = 8;
+    struct Pend {
+        uint32_t b, t;
+        uint8_t dbl, neg;
+    };
+    std::vector<Pend> pend;
+    std::vector<F> den, pref;
+    for (uint32_t round = 0; round < maxmult && !active.empty(); round++) {
+        pend.clear();
+        den.clear();
+        size_t na = 0;
+        for (size_t a = 0; a < active.size(); a++) {
+            uint32_t b = active[a];
+            const Ins& e = sorted[off[b] + round];
+            if (round + 1 < cnt[b]) active[na++] = b;
+            const AF& q = ft.tab[e.t];
+            F qy = (e.b & 1) ? FO::neg(q.y) : q.y;
+            if (!bk.occ[b]) {
+                bk.x[b] = q.x;
+                bk.y[b] = qy;
+                bk.occ[b] = 1;
+                continue;
+            }
+            if (FO::eq(bk.x[b], q.x)) {
+                if (FO::eq(bk.y[b], qy)) {
+                    pend.push_back(Pend{b, e.t, 1, (uint8_t)(e.b & 1)});
+                    den.push_back(FO::add(qy, qy));  // doubling: 2y
+                } else {
+                    bk.occ[b] = 0;  // P + (-P) = infinity
+                }
+                continue;
+            }
+            pend.push_back(Pend{b, e.t, 0, (uint8_t)(e.b & 1)});
+            den.push_back(FO::sub(q.x, bk.x[b]));
+        }
+        active.resize(na);
+        size_t m = den.size();
+        if (m) {
+            pref.resize(m);
+            F run[LANES];
+            size_t nl = m < LANES ? m : LANES;
+            for (size_t l = 0; l < nl; l++) pref[l] = run[l] = den[l];
+            for (size_t k = nl; k < m; k++)
+                pref[k] = run[k % LANES] = FO::mul(run[k % LANES], den[k]);
+            // merge lane products, invert once, recover per-lane inverses
+            F tot = run[0];
+            for (size_t l = 1; l < nl; l++) tot = FO::mul(tot, run[l]);
+            F tinv = FO::inv(tot);
+            F lane_inv[LANES];
+            if (nl == 1) {
+                lane_inv[0] = tinv;
+            } else {
+                F suf[LANES];  // suf[l] = run[l+1] * ... * run[nl-1]
+                suf[nl - 1] = run[nl - 1];
+                for (size_t l = nl - 1; l-- > 0;) suf[l] = FO::mul(run[l], suf[l + 1]);
+                F pre = run[0];
+                lane_inv[0] = FO::mul(tinv, suf[1]);
+                for (size_t l = 1; l < nl; l++) {
+                    lane_inv[l] = (l + 1 < nl) ? FO::mul(FO::mul(tinv, pre), suf[l + 1])
+                                               : FO::mul(tinv, pre);
+                    if (l + 1 < nl) pre = FO::mul(pre, run[l]);
+                }
+            }
+            for (size_t k = m; k-- > 0;) {
+                size_t l = k % LANES;
+                F di = (k >= LANES) ? FO::mul(lane_inv[l], pref[k - LANES])
+                                    : lane_inv[l];
+                if (k >= LANES) lane_inv[l] = FO::mul(lane_inv[l], den[k]);
+                const Pend& p = pend[k];
+                const AF& q = ft.tab[p.t];
+                F lam;
+                if (p.dbl) {
+                    F x2 = FO::sqr(bk.x[p.b]);
+                    lam = FO::mul(FO::add(x2, FO::add(x2, x2)), di);  // 3x^2/2y
+                } else {
+                    F qy = p.neg ? FO::neg(q.y) : q.y;
+                    lam = FO::mul(FO::sub(qy, bk.y[p.b]), di);
+                }
+                F x3 = FO::sub(FO::sub(FO::sqr(lam), bk.x[p.b]), q.x);
+                F y3 = FO::sub(FO::mul(lam, FO::sub(bk.x[p.b], x3)), bk.y[p.b]);
+                bk.x[p.b] = x3;
+                bk.y[p.b] = y3;
+            }
+        }
+    }
+}
+
+// Weighted suffix-sum reduction: sum_{d=1..half} d * bucket[d].
+template <typename PT, typename AF, typename FO,
+          PT (*ADD)(const PT&, const PT&), PT (*MADD)(const PT&, const AF&),
+          PT (*INF)()>
+static PT ba_reduce(const ba_buckets<FO>& bk) {
+    PT running = INF(), total = INF();
+    bool run_set = false;
+    for (int64_t b = (int64_t)bk.occ.size() - 1; b >= 0; b--) {
+        if (bk.occ[b]) {
+            AF q{bk.x[b], bk.y[b]};
+            running = MADD(running, q);
+            run_set = true;
+        }
+        if (run_set) total = ADD(total, running);
+    }
+    return total;
+}
+
+// Range variant used by the window-task scheduler: caller provides the
+// shared recoded digits so carries cross chunk boundaries correctly.
+template <typename PT, typename AF, typename FO,
+          PT (*ADD)(const PT&, const PT&), PT (*MADD)(const PT&, const AF&),
+          PT (*INF)()>
+static PT fixed_msm_ba_range(const fixed_tab<PT, AF>& ft,
+                             const int16_t* digits, int w_lo, int w_hi) {
+    ba_buckets<FO> bk;
+    bk.init(1u << (ft.c - 1));
+    ba_insert_range<PT, AF, FO>(ft, digits, w_lo, w_hi, bk);
+    return ba_reduce<PT, AF, FO, ADD, MADD, INF>(bk);
+}
+
+template <typename PT, typename AF, typename FO>
+static bool ba_eligible(const fixed_tab<PT, AF>& ft) {
+    return ft.nwin > 0 && ft.c >= 2 && ft.c <= 16 && ft.nwin * ft.c >= 255;
+}
+
+// Whole-MSM entry: recode once, then accumulate (optionally in window
+// chunks under OpenMP) and combine chunk sums.
+template <typename PT, typename AF, typename FO,
+          PT (*ADD)(const PT&, const PT&), PT (*MADD)(const PT&, const AF&),
+          PT (*DBL)(const PT&), PT (*INF)()>
+static PT fixed_msm_ba(const fixed_tab<PT, AF>& ft, const uint8_t* scalars,
+                       int want_chunks = 0) {
+    if (!ba_eligible<PT, AF, FO>(ft))
+        return fixed_msm<PT, AF, ADD, MADD, DBL, INF>(ft, scalars, want_chunks);
+    std::vector<int16_t> digits((size_t)ft.n * ft.nwin);
+    recode_signed(scalars, ft.n, ft.c, ft.nwin, ft.is_inf, digits.data());
+    int nchunks = 1;
+#ifdef _OPENMP
+    nchunks = want_chunks > 0 ? want_chunks : (ft.nwin >= 8 ? 2 : 1);
+    if (nchunks > ft.nwin) nchunks = ft.nwin > 0 ? ft.nwin : 1;
+#else
+    (void)want_chunks;
+#endif
+    std::vector<PT> partial(nchunks);
+#ifdef _OPENMP
+#pragma omp parallel for schedule(static, 1)
+#endif
+    for (int chunk = 0; chunk < nchunks; chunk++) {
+        int w_lo = chunk * ft.nwin / nchunks;
+        int w_hi = (chunk + 1) * ft.nwin / nchunks;
+        partial[chunk] = fixed_msm_ba_range<PT, AF, FO, ADD, MADD, INF>(
+            ft, digits.data(), w_lo, w_hi);
+    }
+    PT acc = partial[0];
+    for (int chunk = 1; chunk < nchunks; chunk++) acc = ADD(acc, partial[chunk]);
+    return acc;
+}
+
+// Batch-of-MSMs over one fixed table, batch-affine per element (OpenMP
+// across the batch; each element runs single-chunk like fixed_msm_many).
+template <typename PT, typename AF, typename FO,
+          PT (*ADD)(const PT&, const PT&), PT (*MADD)(const PT&, const AF&),
+          PT (*DBL)(const PT&), PT (*INF)()>
+void fixed_msm_many_ba(const fixed_tab<PT, AF>& ft, uint64_t batch,
+                       const uint8_t* scalars, PT* out) {
+#ifdef _OPENMP
+#pragma omp parallel for schedule(dynamic, 1)
+#endif
+    for (uint64_t b = 0; b < batch; b++) {
+        out[b] = fixed_msm_ba<PT, AF, FO, ADD, MADD, DBL, INF>(
+            ft, scalars + b * 32 * ft.n, /*want_chunks=*/1);
+    }
+}
+
 bool ge_is_inf(const ge& p) { return fe_iszero(p.Z); }
 bool bg1_is_inf_f(const bg1& p) { return bfq_is_zero(p.Z); }
 bool bg2_is_inf_f(const bg2& p) { return bfq2_is_zero(p.Z); }
@@ -2212,23 +2523,23 @@ int zkp_bn254_g1_msm_register(uint64_t n, const uint8_t* points) {
 }
 
 void zkp_bn254_g1_msm_fixed(int handle, const uint8_t* scalars, uint8_t* out) {
-    bg1 r = fixed_msm<bg1, g1aff, bg1_add, bg1_madd, bg1_double, bg1_inf>(
-        G1_FIXED[handle], scalars);
+    bg1 r = fixed_msm_ba<bg1, g1aff, fq_ops, bg1_add, bg1_madd, bg1_double,
+                         bg1_inf>(G1_FIXED[handle], scalars);
     bg1_to_wire(r, out);
 }
 
 void zkp_bn254_g1_msm_fixed_mt(int handle, const uint8_t* scalars, uint8_t* out,
                                int nchunks) {
-    bg1 r = fixed_msm<bg1, g1aff, bg1_add, bg1_madd, bg1_double, bg1_inf>(
-        G1_FIXED[handle], scalars, nchunks);
+    bg1 r = fixed_msm_ba<bg1, g1aff, fq_ops, bg1_add, bg1_madd, bg1_double,
+                         bg1_inf>(G1_FIXED[handle], scalars, nchunks);
     bg1_to_wire(r, out);
 }
 
 void zkp_bn254_g1_msm_fixed_many(int handle, uint64_t batch,
                                  const uint8_t* scalars, uint8_t* out) {
     std::vector<bg1> res(batch);
-    fixed_msm_many<bg1, g1aff, bg1_add, bg1_madd, bg1_double, bg1_inf>(
-        G1_FIXED[handle], batch, scalars, res.data());
+    fixed_msm_many_ba<bg1, g1aff, fq_ops, bg1_add, bg1_madd, bg1_double,
+                      bg1_inf>(G1_FIXED[handle], batch, scalars, res.data());
     for (uint64_t b = 0; b < batch; b++) bg1_to_wire(res[b], out + 96 * b);
 }
 
@@ -2242,23 +2553,23 @@ int zkp_bn254_g2_msm_register(uint64_t n, const uint8_t* points) {
 }
 
 void zkp_bn254_g2_msm_fixed(int handle, const uint8_t* scalars, uint8_t* out) {
-    bg2 r = fixed_msm<bg2, g2aff, bg2_add, bg2_madd, bg2_double, bg2_inf>(
-        G2_FIXED[handle], scalars);
+    bg2 r = fixed_msm_ba<bg2, g2aff, fq2_ops, bg2_add, bg2_madd, bg2_double,
+                         bg2_inf>(G2_FIXED[handle], scalars);
     bg2_to_wire(r, out);
 }
 
 void zkp_bn254_g2_msm_fixed_mt(int handle, const uint8_t* scalars, uint8_t* out,
                                int nchunks) {
-    bg2 r = fixed_msm<bg2, g2aff, bg2_add, bg2_madd, bg2_double, bg2_inf>(
-        G2_FIXED[handle], scalars, nchunks);
+    bg2 r = fixed_msm_ba<bg2, g2aff, fq2_ops, bg2_add, bg2_madd, bg2_double,
+                         bg2_inf>(G2_FIXED[handle], scalars, nchunks);
     bg2_to_wire(r, out);
 }
 
 void zkp_bn254_g2_msm_fixed_many(int handle, uint64_t batch,
                                  const uint8_t* scalars, uint8_t* out) {
     std::vector<bg2> res(batch);
-    fixed_msm_many<bg2, g2aff, bg2_add, bg2_madd, bg2_double, bg2_inf>(
-        G2_FIXED[handle], batch, scalars, res.data());
+    fixed_msm_many_ba<bg2, g2aff, fq2_ops, bg2_add, bg2_madd, bg2_double,
+                      bg2_inf>(G2_FIXED[handle], batch, scalars, res.data());
     for (uint64_t b = 0; b < batch; b++) bg2_to_wire(res[b], out + 192 * b);
 }
 
@@ -4752,6 +5063,19 @@ void zkp_groth16_prove_msms(int ha, int hb1, int hh, int hl, int hb2,
     uint64_t g1n[4] = {nz, nz, nh, nz - wit_off};
     const fixed_tab<bg2, g2aff>& g2t = G2_FIXED[hb2];
     (void)g1n;
+    // Signed-digit recode once per scalar vector (carries cross the window
+    // halves, so the tasks share these arrays); empty = not ba-eligible.
+    std::vector<int16_t> dig[5];
+    for (int m = 0; m < 4; m++)
+        if (ba_eligible<bg1, g1aff, fq_ops>(*g1t[m])) {
+            dig[m].resize((size_t)g1t[m]->n * g1t[m]->nwin);
+            recode_signed(g1s[m], g1t[m]->n, g1t[m]->c, g1t[m]->nwin,
+                          g1t[m]->is_inf, dig[m].data());
+        }
+    if (ba_eligible<bg2, g2aff, fq2_ops>(g2t)) {
+        dig[4].resize((size_t)g2t.n * g2t.nwin);
+        recode_signed(z, g2t.n, g2t.c, g2t.nwin, g2t.is_inf, dig[4].data());
+    }
     std::vector<task> tasks;
     // Two window-halves per MSM (same reduction count as the sequential
     //2-chunk path — more tasks would each pay a full 2^c bucket reduction).
@@ -4775,12 +5099,21 @@ void zkp_groth16_prove_msms(int ha, int hb1, int hh, int hl, int hb2,
     for (int64_t t = 0; t < (int64_t)tasks.size(); t++) {
         const task& tk = tasks[t];
         if (tk.msm == 4)
-            g2_parts[t] = fixed_msm_range<bg2, g2aff, bg2_add, bg2_madd,
-                                          bg2_inf>(g2t, z, tk.w_lo, tk.w_hi);
+            g2_parts[t] =
+                dig[4].empty()
+                    ? fixed_msm_range<bg2, g2aff, bg2_add, bg2_madd, bg2_inf>(
+                          g2t, z, tk.w_lo, tk.w_hi)
+                    : fixed_msm_ba_range<bg2, g2aff, fq2_ops, bg2_add,
+                                         bg2_madd, bg2_inf>(
+                          g2t, dig[4].data(), tk.w_lo, tk.w_hi);
         else
             g1_parts[t] =
-                fixed_msm_range<bg1, g1aff, bg1_add, bg1_madd, bg1_inf>(
-                    *g1t[tk.msm], g1s[tk.msm], tk.w_lo, tk.w_hi);
+                dig[tk.msm].empty()
+                    ? fixed_msm_range<bg1, g1aff, bg1_add, bg1_madd, bg1_inf>(
+                          *g1t[tk.msm], g1s[tk.msm], tk.w_lo, tk.w_hi)
+                    : fixed_msm_ba_range<bg1, g1aff, fq_ops, bg1_add,
+                                         bg1_madd, bg1_inf>(
+                          *g1t[tk.msm], dig[tk.msm].data(), tk.w_lo, tk.w_hi);
     }
     bg1 g1_acc[4] = {bg1_inf(), bg1_inf(), bg1_inf(), bg1_inf()};
     bg2 g2_acc = bg2_inf();
