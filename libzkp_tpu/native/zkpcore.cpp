@@ -817,6 +817,250 @@ static bfq bfq_inv(const bfq& a) {
     return bfq_mul(bfq_mul(raw, r2), r2);
 }
 
+// ===========================================================================
+// 8-lane AVX-512 IFMA tier for BN254 Fq: radix-2^52 Montgomery (R52 = 2^260).
+//
+// Representation: x stored as x*2^260 mod q in five 52-bit limbs, with 2q
+// redundancy (values always < 2q ~ 2^254.6, so every limb stays < 2^52 and
+// vpmadd52 operand truncation is safe). Multiplication needs no conditional
+// subtraction: with a,b < 2q the Montgomery output (a*b + m*q)/2^260 < 1.2q.
+// Add/sub pay one masked +-2q fixup. Used by the batch-affine fixed-base
+// MSM insert phase (the Groth16 prove hot loop — maps ark-groth16's MSM
+// internals, reference src/backend/snark.rs:364).
+// ===========================================================================
+
+// 52-limb constants, filled by zkp_bn254_init (zeros until then)
+static uint64_t BQ52[5], BQ52X2[5];
+static uint64_t BQ52_NINV;  // -q^{-1} mod 2^52
+static u256 BQ_W252;        // 2^252 mod q (plain), for 52->64 conversion
+
+static const uint64_t MASK52 = 0xFFFFFFFFFFFFFULL;
+
+// split a canonical-ish u256 value (< 2^256) into 5x52 limbs
+static inline void u256_split52(const u256& m, uint64_t out[5]) {
+    out[0] = m.v[0] & MASK52;
+    out[1] = ((m.v[0] >> 52) | (m.v[1] << 12)) & MASK52;
+    out[2] = ((m.v[1] >> 40) | (m.v[2] << 24)) & MASK52;
+    out[3] = ((m.v[2] >> 28) | (m.v[3] << 36)) & MASK52;
+    out[4] = m.v[3] >> 16;
+}
+// pack 5x52 limbs (value < 2^256) back into a u256
+static inline u256 u256_pack52(const uint64_t in[5]) {
+    u256 m;
+    m.v[0] = in[0] | (in[1] << 52);
+    m.v[1] = (in[1] >> 12) | (in[2] << 40);
+    m.v[2] = (in[2] >> 24) | (in[3] << 28);
+    m.v[3] = (in[3] >> 36) | (in[4] << 16);
+    return m;
+}
+
+// bfq (x*2^256, 4x64) -> 52-limb domain (x*2^260): four modular doublings
+static inline void bfq_to52(const bfq& a, uint64_t out[5]) {
+    u256 m = a.m;
+    for (int i = 0; i < 4; i++) {
+        uint64_t carry = u256_add(m, m, m);
+        if (carry || u256_cmp(m, BQ) >= 0) u256_sub(m, m, BQ);
+    }
+    u256_split52(m, out);
+}
+// 52-limb domain (x*2^260, value < 2q) -> bfq: one Montgomery mul by 2^252
+static inline bfq bfq_from52(const uint64_t in[5]) {
+    bfq v{u256_pack52(in)};
+    bfq w{BQ_W252};
+    bfq r = bfq_mul(v, w);  // x*2^260 * 2^252 / 2^256 = x*2^256
+    if (u256_cmp(r.m, BQ) >= 0) u256_sub(r.m, r.m, BQ);
+    return r;
+}
+// scalar negate in the 52-limb domain: 2q - a (a < 2q, nonzero or exactly 0/q)
+static inline void neg52(const uint64_t a[5], uint64_t out[5]) {
+    int64_t borrow = 0;
+    for (int i = 0; i < 5; i++) {
+        int64_t d = (int64_t)BQ52X2[i] - (int64_t)a[i] + borrow;
+        out[i] = (uint64_t)d & MASK52;
+        borrow = d >> 52;  // arithmetic: -1 when d negative
+    }
+}
+
+#if defined(__AVX512IFMA__) && defined(__AVX512F__) && defined(__AVX512DQ__)
+#define ZKP_HAVE_BFQ8 1
+
+struct bfq8 {
+    __m512i v[5];
+};
+
+static inline bfq8 bfq8_set1_limbs(const uint64_t l[5]) {
+    bfq8 r;
+    for (int i = 0; i < 5; i++) r.v[i] = _mm512_set1_epi64((long long)l[i]);
+    return r;
+}
+
+// signed carry propagate limbs 0..3 into 4 (limb 4 may stay signed/wide)
+static inline void bfq8_carry_signed(__m512i r[5]) {
+    const __m512i m = _mm512_set1_epi64((long long)MASK52);
+    for (int i = 0; i < 4; i++) {
+        __m512i c = _mm512_srai_epi64(r[i], 52);
+        r[i] = _mm512_and_epi64(r[i], m);
+        r[i + 1] = _mm512_add_epi64(r[i + 1], c);
+    }
+}
+// bring a signed-top value into [0, 2q) with one masked +2q, assuming
+// value > -2q and value < 2q + 2q
+static inline void bfq8_reduce2q(__m512i r[5]) {
+    bfq8_carry_signed(r);
+    __mmask8 neg = _mm512_cmplt_epi64_mask(r[4], _mm512_setzero_si512());
+    for (int i = 0; i < 5; i++)
+        r[i] = _mm512_mask_add_epi64(r[i], neg, r[i],
+                                     _mm512_set1_epi64((long long)BQ52X2[i]));
+    bfq8_carry_signed(r);
+}
+
+static inline bfq8 bfq8_add(const bfq8& a, const bfq8& b) {
+    bfq8 r;
+    for (int i = 0; i < 5; i++) {
+        r.v[i] = _mm512_add_epi64(a.v[i], b.v[i]);
+        r.v[i] = _mm512_sub_epi64(r.v[i], _mm512_set1_epi64((long long)BQ52X2[i]));
+    }
+    bfq8_reduce2q(r.v);
+    return r;
+}
+static inline bfq8 bfq8_sub(const bfq8& a, const bfq8& b) {
+    bfq8 r;
+    for (int i = 0; i < 5; i++) r.v[i] = _mm512_sub_epi64(a.v[i], b.v[i]);
+    bfq8_reduce2q(r.v);
+    return r;
+}
+// lane-conditional negate: mask ? (2q - a) : a
+static inline bfq8 bfq8_cneg(const bfq8& a, __mmask8 mask) {
+    __m512i t[5];
+    for (int i = 0; i < 5; i++)
+        t[i] = _mm512_sub_epi64(_mm512_set1_epi64((long long)BQ52X2[i]), a.v[i]);
+    bfq8_carry_signed(t);  // 2q - a in [0, 2q], limbs normalize cleanly
+    bfq8 r;
+    for (int i = 0; i < 5; i++) r.v[i] = _mm512_mask_blend_epi64(mask, a.v[i], t[i]);
+    return r;
+}
+
+// 8-lane Montgomery multiplication, product-scanning + interleaved reduction.
+// Inputs < 2q with limbs < 2^52; output < 2q, limbs < 2^52. Column
+// accumulators stay < ~21*2^52 < 2^57 (no 64-bit overflow).
+static inline bfq8 bfq8_mul(const bfq8& a, const bfq8& b) {
+    const __m512i z = _mm512_setzero_si512();
+    __m512i t[11];
+    for (int k = 0; k < 11; k++) t[k] = z;
+    for (int i = 0; i < 5; i++)
+        for (int j = 0; j < 5; j++) {
+            t[i + j] = _mm512_madd52lo_epu64(t[i + j], a.v[i], b.v[j]);
+            t[i + j + 1] = _mm512_madd52hi_epu64(t[i + j + 1], a.v[i], b.v[j]);
+        }
+    const __m512i ninv = _mm512_set1_epi64((long long)BQ52_NINV);
+    const __m512i mask = _mm512_set1_epi64((long long)MASK52);
+    __m512i q[5];
+    for (int j = 0; j < 5; j++) q[j] = _mm512_set1_epi64((long long)BQ52[j]);
+    for (int i = 0; i < 5; i++) {
+        __m512i m = _mm512_madd52lo_epu64(z, _mm512_and_epi64(t[i], mask), ninv);
+        for (int j = 0; j < 5; j++) {
+            t[i + j] = _mm512_madd52lo_epu64(t[i + j], m, q[j]);
+            t[i + j + 1] = _mm512_madd52hi_epu64(t[i + j + 1], m, q[j]);
+        }
+        t[i + 1] = _mm512_add_epi64(t[i + 1], _mm512_srli_epi64(t[i], 52));
+    }
+    bfq8 r;
+    __m512i c = z;
+    for (int k = 0; k < 5; k++) {
+        __m512i v = _mm512_add_epi64(t[5 + k], c);
+        r.v[k] = _mm512_and_epi64(v, mask);
+        c = _mm512_srli_epi64(v, 52);
+    }
+    // value < 2q < 2^255 => carry out of limb 4 is impossible; fold anyway
+    // into limb 4 to keep the invariant explicit (c is zero here).
+    r.v[4] = _mm512_add_epi64(r.v[4], _mm512_slli_epi64(c, 52));
+    return r;
+}
+static inline bfq8 bfq8_sqr(const bfq8& a) { return bfq8_mul(a, a); }
+
+// gather 8 elements of a 5-plane SoA arena (plane stride `stride` u64s)
+static inline bfq8 bfq8_gather(const uint64_t* base, size_t stride, __m512i idx) {
+    bfq8 r;
+    for (int i = 0; i < 5; i++)
+        r.v[i] = _mm512_i64gather_epi64(idx, (const long long*)(base + i * stride), 8);
+    return r;
+}
+static inline void bfq8_scatter(uint64_t* base, size_t stride, __m512i idx,
+                                __mmask8 mask, const bfq8& a) {
+    for (int i = 0; i < 5; i++)
+        _mm512_mask_i64scatter_epi64((long long*)(base + i * stride), mask, idx,
+                                     a.v[i], 8);
+}
+// per-lane zero test (mod q): value in [0, 2q) is 0 iff limbs == 0 or == q
+static inline __mmask8 bfq8_is_zero_mask(const bfq8& a) {
+    __mmask8 z = 0xFF, e = 0xFF;
+    for (int i = 0; i < 5; i++) {
+        z &= _mm512_cmpeq_epi64_mask(a.v[i], _mm512_setzero_si512());
+        e &= _mm512_cmpeq_epi64_mask(a.v[i], _mm512_set1_epi64((long long)BQ52[i]));
+    }
+    return (__mmask8)(z | e);
+}
+
+// lane-wise self-test vs the scalar bfq tier; returns 0 ok
+static int bfq8_selftest() {
+    uint64_t seed = 0x9E3779B97F4A7C15ULL;
+    auto rnd = [&]() {
+        seed ^= seed << 13;
+        seed ^= seed >> 7;
+        seed ^= seed << 17;
+        return seed;
+    };
+    bfq a[8], b[8];
+    for (int l = 0; l < 8; l++) {
+        for (int i = 0; i < 4; i++) {
+            a[l].m.v[i] = rnd();
+            b[l].m.v[i] = rnd();
+        }
+        a[l].m.v[3] &= 0x0FFFFFFFFFFFFFFFULL;
+        b[l].m.v[3] &= 0x0FFFFFFFFFFFFFFFULL;
+        while (u256_cmp(a[l].m, BQ) >= 0) u256_sub(a[l].m, a[l].m, BQ);
+        while (u256_cmp(b[l].m, BQ) >= 0) u256_sub(b[l].m, b[l].m, BQ);
+    }
+    uint64_t al[8][5], bl[8][5];
+    alignas(64) uint64_t lane[8];
+    bfq8 av, bv;
+    for (int l = 0; l < 8; l++) {
+        bfq_to52(a[l], al[l]);
+        bfq_to52(b[l], bl[l]);
+    }
+    for (int i = 0; i < 5; i++) {
+        for (int l = 0; l < 8; l++) lane[l] = al[l][i];
+        av.v[i] = _mm512_load_si512(lane);
+        for (int l = 0; l < 8; l++) lane[l] = bl[l][i];
+        bv.v[i] = _mm512_load_si512(lane);
+    }
+    bfq8 mv = bfq8_mul(av, bv);
+    bfq8 sv = bfq8_sub(av, bv);
+    bfq8 dv = bfq8_add(av, bv);
+    bfq8 nv = bfq8_cneg(bv, 0xAA);
+    for (int l = 0; l < 8; l++) {
+        uint64_t out[5];
+        auto extract = [&](const bfq8& x) {
+            alignas(64) uint64_t tmp[8];
+            for (int i = 0; i < 5; i++) {
+                _mm512_store_si512(tmp, x.v[i]);
+                out[i] = tmp[l];
+            }
+        };
+        extract(mv);
+        if (u256_cmp(bfq_from52(out).m, bfq_mul(a[l], b[l]).m) != 0) return 1;
+        extract(sv);
+        if (u256_cmp(bfq_from52(out).m, bfq_sub(a[l], b[l]).m) != 0) return 2;
+        extract(dv);
+        if (u256_cmp(bfq_from52(out).m, bfq_add(a[l], b[l]).m) != 0) return 3;
+        extract(nv);
+        bfq want = (l & 1) ? bfq_neg(b[l]) : b[l];
+        if (u256_cmp(bfq_from52(out).m, want.m) != 0) return 4;
+    }
+    return 0;
+}
+#endif  // ZKP_HAVE_BFQ8
+
 // ---- Fq2 = Fq[u]/(u^2+1) ----
 struct bfq2 {
     bfq c0, c1;
@@ -997,6 +1241,23 @@ void zkp_bn254_init(const uint8_t* q_bytes, const uint8_t* frob_g1_bytes,
         if (carry || u256_cmp(r2, BQ) >= 0) u256_sub(r2, r2, BQ);
     }
     BQ_R2 = r2;
+    // 52-limb (IFMA) domain constants: q and 2q split into 5x52 limbs,
+    // -q^{-1} mod 2^52, and 2^252 mod q (the 52->64 conversion factor)
+    u256_split52(BQ, BQ52);
+    {
+        u256 q2 = BQ;
+        u256_add(q2, q2, BQ);  // 2q < 2^255, no carry
+        u256_split52(q2, BQ52X2);
+        uint64_t i52 = 1;
+        for (int i = 0; i < 6; i++) i52 *= 2 - BQ.v[0] * i52;
+        BQ52_NINV = (~i52 + 1) & MASK52;
+        u256 w{{1, 0, 0, 0}};
+        for (int i = 0; i < 252; i++) {
+            uint64_t carry = u256_add(w, w, w);
+            if (carry || u256_cmp(w, BQ) >= 0) u256_sub(w, w, BQ);
+        }
+        BQ_W252 = w;
+    }
     // q - 2
     u256 m2;
     u256 two{{2, 0, 0, 0}};
@@ -1962,6 +2223,11 @@ struct fixed_tab {
     std::vector<AF> tab;       // nwin * n cached-affine points
     std::vector<PT> tab_pt;    // same, as full points (bucket first-assign)
     std::vector<char> is_inf;  // per input point: skip (batch-inv can't norm)
+    // 52-limb-domain SoA copy of `tab` for the IFMA complete-add kernels:
+    // plane-major, x limbs 0-4 then y limbs 5-9 (BN254 G1; G2 uses 20
+    // planes: x.c0, x.c1, y.c0, y.c1 five limbs each). Empty when the IFMA
+    // tier is compiled out or the curve has no vector kernel.
+    std::vector<uint64_t> tab52;
 };
 
 int pick_window(uint64_t n) {
@@ -2371,6 +2637,387 @@ static bool ba_eligible(const fixed_tab<PT, AF>& ft) {
     return ft.nwin > 0 && ft.c >= 2 && ft.c <= 16 && ft.nwin * ft.c >= 255;
 }
 
+#ifdef ZKP_HAVE_BFQ8
+// ===========================================================================
+// 8-lane IFMA complete-addition bucket accumulation (BN254 G1 and G2).
+//
+// Buckets live as projective (X:Y:Z) points in the 52-limb Montgomery
+// domain, identity = (0:1:0). The a=0 complete addition law
+// (Renes-Costello-Batina 2015, algorithms 7/8; both BN254 G1 and its
+// sextic-twist G2 are a=0 curves) is branchless: first-assign, doubling
+// and cancellation need no special cases, so eight independent bucket
+// updates vectorize exactly. The conflict-free schedule (one insert per
+// distinct bucket per round) comes from the same counting sort the scalar
+// batch-affine path uses. Kernels are templated over a vector-field trait:
+// fv_g1 = 8-lane Fq, fv_g2 = 8-lane Fq2 (Karatsuba over bfq8).
+// ===========================================================================
+
+struct fv_g1 {
+    using V = bfq8;  // 8 lanes of Fq
+    using S = bfq;   // scalar Fq
+    static const int CP = 5;  // u64 planes per coordinate
+    static inline V mul(const V& a, const V& b) { return bfq8_mul(a, b); }
+    static inline V add(const V& a, const V& b) { return bfq8_add(a, b); }
+    static inline V sub(const V& a, const V& b) { return bfq8_sub(a, b); }
+    static inline V cneg(const V& a, __mmask8 m) { return bfq8_cneg(a, m); }
+    static inline V mul_b3(const V& a) {  // b3 = 9 (y^2 = x^3 + 3): 8a + a
+        V d = bfq8_add(a, a);
+        d = bfq8_add(d, d);
+        d = bfq8_add(d, d);
+        return bfq8_add(d, a);
+    }
+    static inline V zero() {
+        V r;
+        for (int i = 0; i < 5; i++) r.v[i] = _mm512_setzero_si512();
+        return r;
+    }
+    static inline V one() {
+        uint64_t l[5];
+        bfq_to52(bfq_one(), l);
+        return bfq8_set1_limbs(l);
+    }
+    static inline V gather(const uint64_t* base, size_t stride, __m512i idx) {
+        return bfq8_gather(base, stride, idx);
+    }
+    static inline void scatter(uint64_t* base, size_t stride, __m512i idx,
+                               __mmask8 m, const V& a) {
+        bfq8_scatter(base, stride, idx, m, a);
+    }
+    static inline S extract(const V& a, int lane) {
+        alignas(64) uint64_t tmp[8];
+        uint64_t l[5];
+        for (int i = 0; i < 5; i++) {
+            _mm512_store_si512(tmp, a.v[i]);
+            l[i] = tmp[lane];
+        }
+        return bfq_from52(l);
+    }
+    static inline S smul(const S& a, const S& b) { return bfq_mul(a, b); }
+    static inline S ssqr(const S& a) { return bfq_sq(a); }
+};
+
+struct bfq28 {
+    bfq8 c0, c1;
+};
+// 3*b of the G2 twist (b' = 3/(9+u)), broadcast; set when a G2 table builds
+static bfq28 G2_B3_VEC;
+
+struct fv_g2 {
+    using V = bfq28;  // 8 lanes of Fq2
+    using S = bfq2;
+    static const int CP = 10;  // c0 limbs 0-4, c1 limbs 5-9
+    static inline V mul(const V& a, const V& b) {  // Karatsuba, 3 bfq8 muls
+        bfq8 t0 = bfq8_mul(a.c0, b.c0);
+        bfq8 t1 = bfq8_mul(a.c1, b.c1);
+        bfq8 s = bfq8_mul(bfq8_add(a.c0, a.c1), bfq8_add(b.c0, b.c1));
+        return V{bfq8_sub(t0, t1), bfq8_sub(bfq8_sub(s, t0), t1)};
+    }
+    static inline V add(const V& a, const V& b) {
+        return V{bfq8_add(a.c0, b.c0), bfq8_add(a.c1, b.c1)};
+    }
+    static inline V sub(const V& a, const V& b) {
+        return V{bfq8_sub(a.c0, b.c0), bfq8_sub(a.c1, b.c1)};
+    }
+    static inline V cneg(const V& a, __mmask8 m) {
+        return V{bfq8_cneg(a.c0, m), bfq8_cneg(a.c1, m)};
+    }
+    static inline V mul_b3(const V& a) { return mul(a, G2_B3_VEC); }
+    static inline V zero() { return V{fv_g1::zero(), fv_g1::zero()}; }
+    static inline V one() { return V{fv_g1::one(), fv_g1::zero()}; }
+    static inline V gather(const uint64_t* base, size_t stride, __m512i idx) {
+        return V{bfq8_gather(base, stride, idx),
+                 bfq8_gather(base + 5 * stride, stride, idx)};
+    }
+    static inline void scatter(uint64_t* base, size_t stride, __m512i idx,
+                               __mmask8 m, const V& a) {
+        bfq8_scatter(base, stride, idx, m, a.c0);
+        bfq8_scatter(base + 5 * stride, stride, idx, m, a.c1);
+    }
+    static inline S extract(const V& a, int lane) {
+        return S{fv_g1::extract(a.c0, lane), fv_g1::extract(a.c1, lane)};
+    }
+    static inline S smul(const S& a, const S& b) { return bfq2_mul(a, b); }
+    static inline S ssqr(const S& a) { return bfq2_sq(a); }
+};
+
+template <typename FV>
+struct p8t {
+    typename FV::V X, Y, Z;
+};
+
+// P (projective) + Q (affine, never identity): RCB'15 algorithm 8.
+template <typename FV>
+static inline p8t<FV> p8_add_mixed(const p8t<FV>& P, const typename FV::V& qx,
+                                   const typename FV::V& qy) {
+    using V = typename FV::V;
+    V t0 = FV::mul(P.X, qx);
+    V t1 = FV::mul(P.Y, qy);
+    V t3 = FV::add(qx, qy);
+    V t4 = FV::add(P.X, P.Y);
+    t3 = FV::mul(t3, t4);
+    t4 = FV::add(t0, t1);
+    t3 = FV::sub(t3, t4);  // X1Y2 + X2Y1
+    t4 = FV::mul(qy, P.Z);
+    t4 = FV::add(t4, P.Y);  // Y1 + Y2 Z1
+    V Y3 = FV::mul(qx, P.Z);
+    Y3 = FV::add(Y3, P.X);  // X1 + X2 Z1
+    V X3 = FV::add(t0, t0);
+    t0 = FV::add(X3, t0);     // 3 X1 X2
+    V t2 = FV::mul_b3(P.Z);   // b3 Z1
+    V Z3 = FV::add(t1, t2);
+    t1 = FV::sub(t1, t2);
+    Y3 = FV::mul_b3(Y3);
+    X3 = FV::mul(t4, Y3);
+    t2 = FV::mul(t3, t1);
+    X3 = FV::sub(t2, X3);
+    Y3 = FV::mul(Y3, t0);
+    t1 = FV::mul(t1, Z3);
+    Y3 = FV::add(t1, Y3);
+    t0 = FV::mul(t0, t3);
+    Z3 = FV::mul(Z3, t4);
+    Z3 = FV::add(Z3, t0);
+    return p8t<FV>{X3, Y3, Z3};
+}
+
+// P + Q, both projective: RCB'15 algorithm 7. Complete (identity, doubling,
+// cancellation all flow through the same arithmetic).
+template <typename FV>
+static inline p8t<FV> p8_add(const p8t<FV>& P, const p8t<FV>& Q) {
+    using V = typename FV::V;
+    V t0 = FV::mul(P.X, Q.X);
+    V t1 = FV::mul(P.Y, Q.Y);
+    V t2 = FV::mul(P.Z, Q.Z);
+    V t3 = FV::add(P.X, P.Y);
+    V t4 = FV::add(Q.X, Q.Y);
+    t3 = FV::mul(t3, t4);
+    t4 = FV::add(t0, t1);
+    t3 = FV::sub(t3, t4);
+    t4 = FV::add(P.Y, P.Z);
+    V X3 = FV::add(Q.Y, Q.Z);
+    t4 = FV::mul(t4, X3);
+    X3 = FV::add(t1, t2);
+    t4 = FV::sub(t4, X3);
+    X3 = FV::add(P.X, P.Z);
+    V Y3 = FV::add(Q.X, Q.Z);
+    X3 = FV::mul(X3, Y3);
+    Y3 = FV::add(t0, t2);
+    Y3 = FV::sub(X3, Y3);
+    X3 = FV::add(t0, t0);
+    t0 = FV::add(X3, t0);
+    t2 = FV::mul_b3(t2);
+    V Z3 = FV::add(t1, t2);
+    t1 = FV::sub(t1, t2);
+    Y3 = FV::mul_b3(Y3);
+    X3 = FV::mul(t4, Y3);
+    t2 = FV::mul(t3, t1);
+    X3 = FV::sub(t2, X3);
+    Y3 = FV::mul(Y3, t0);
+    t1 = FV::mul(t1, Z3);
+    Y3 = FV::add(t1, Y3);
+    t0 = FV::mul(t0, t3);
+    Z3 = FV::mul(Z3, t4);
+    Z3 = FV::add(Z3, t0);
+    return p8t<FV>{X3, Y3, Z3};
+}
+
+// fill ft.tab52 from the affine tables (x planes first, then y)
+static void build_tab52_g1(fixed_tab<bg1, g1aff>& ft) {
+    const size_t m = ft.tab.size();
+    ft.tab52.assign(10 * m, 0);
+    uint64_t l[5];
+    for (size_t e = 0; e < m; e++) {
+        bfq_to52(ft.tab[e].x, l);
+        for (int i = 0; i < 5; i++) ft.tab52[i * m + e] = l[i];
+        bfq_to52(ft.tab[e].y, l);
+        for (int i = 0; i < 5; i++) ft.tab52[(5 + i) * m + e] = l[i];
+    }
+}
+static void build_tab52_g2(fixed_tab<bg2, g2aff>& ft) {
+    const size_t m = ft.tab.size();
+    ft.tab52.assign(20 * m, 0);
+    uint64_t l[5];
+    for (size_t e = 0; e < m; e++) {
+        const bfq* comps[4] = {&ft.tab[e].x.c0, &ft.tab[e].x.c1,
+                               &ft.tab[e].y.c0, &ft.tab[e].y.c1};
+        for (int k = 0; k < 4; k++) {
+            bfq_to52(*comps[k], l);
+            for (int i = 0; i < 5; i++) ft.tab52[(5 * k + i) * m + e] = l[i];
+        }
+    }
+    // derive the twist constant 3*b' from a table point: b' = y^2 - x^3
+    bfq2 x3 = bfq2_mul(bfq2_sq(ft.tab[0].x), ft.tab[0].x);
+    bfq2 b = bfq2_sub(bfq2_sq(ft.tab[0].y), x3);
+    bfq2 b3 = bfq2_add(bfq2_add(b, b), b);
+    uint64_t c0[5], c1[5];
+    bfq_to52(b3.c0, c0);
+    bfq_to52(b3.c1, c1);
+    G2_B3_VEC = bfq28{bfq8_set1_limbs(c0), bfq8_set1_limbs(c1)};
+}
+
+// Weighted bucket reduction sum_{d=1..H} d * bucket[d-1], 8 bucket segments
+// in lanes: sum = sum_s [ W_s + s*L*T_s ] with W_s the in-segment weighted
+// suffix sum and T_s the segment total, both accumulated with complete adds.
+template <typename FV, typename PT, PT (*ADD)(const PT&, const PT&),
+          PT (*DBL)(const PT&), PT (*INF)()>
+static PT ca_reduce(const std::vector<uint64_t>& bpl, uint32_t H) {
+    const int CP = FV::CP;
+    const uint32_t L = H / 8;
+    alignas(64) long long idx0[8];
+    for (int s = 0; s < 8; s++) idx0[s] = (long long)(s * L);
+    p8t<FV> running{FV::zero(), FV::one(), FV::zero()};
+    p8t<FV> total = running;
+    for (int64_t j = (int64_t)L - 1; j >= 0; j--) {
+        __m512i idx = _mm512_add_epi64(_mm512_load_si512(idx0),
+                                       _mm512_set1_epi64(j));
+        p8t<FV> b;
+        b.X = FV::gather(bpl.data(), H, idx);
+        b.Y = FV::gather(bpl.data() + (size_t)CP * H, H, idx);
+        b.Z = FV::gather(bpl.data() + 2 * (size_t)CP * H, H, idx);
+        running = p8_add<FV>(running, b);
+        total = p8_add<FV>(total, running);
+    }
+    // extract lanes: projective 52-domain -> scalar Jacobian (XZ, YZ^2, Z)
+    PT T[8], W[8];
+    for (int s = 0; s < 8; s++) {
+        auto get = [&](const p8t<FV>& p) {
+            typename FV::S X = FV::extract(p.X, s);
+            typename FV::S Y = FV::extract(p.Y, s);
+            typename FV::S Z = FV::extract(p.Z, s);
+            return PT{FV::smul(X, Z), FV::smul(Y, FV::ssqr(Z)), Z};
+        };
+        T[s] = get(running);
+        W[s] = get(total);
+    }
+    // sum_s W_s  +  L * sum_s s*T_s
+    PT acc = INF(), stsum = INF(), wsum = INF();
+    for (int s = 7; s >= 1; s--) {
+        acc = ADD(acc, T[s]);
+        stsum = ADD(stsum, acc);
+    }
+    for (int s = 0; s < 8; s++) wsum = ADD(wsum, W[s]);
+    for (uint32_t v = L; v > 1; v >>= 1) stsum = DBL(stsum);
+    return ADD(wsum, stsum);
+}
+
+// Accumulate windows [w_lo, w_hi) into H projective buckets with 8-lane
+// complete adds, then reduce. digits = recode_signed array (n x nwin).
+template <typename FV, typename PT, PT (*ADD)(const PT&, const PT&),
+          PT (*DBL)(const PT&), PT (*INF)()>
+static PT fixed_msm_ca_range(const std::vector<uint64_t>& tab52,
+                             size_t tstride, uint64_t n, int nwin, int c,
+                             const int16_t* digits, int w_lo, int w_hi) {
+    const int CP = FV::CP;
+    const uint32_t H = 1u << (c - 1);
+    // counting-sort inserts by bucket (same scheme as ba_insert_range)
+    struct Ins {
+        uint32_t b;  // (bucket << 1) | negate
+        uint32_t t;  // table index (w * n + i)
+    };
+    std::vector<Ins> all;
+    all.reserve((size_t)(w_hi - w_lo) * n);
+    std::vector<uint32_t> cnt(H + 1, 0);
+    for (int w = w_lo; w < w_hi; w++) {
+        const size_t row = (size_t)w * n;
+        for (uint64_t i = 0; i < n; i++) {
+            int16_t d = digits[(size_t)i * nwin + w];
+            if (!d) continue;
+            uint32_t b = d > 0 ? (uint32_t)d : (uint32_t)(-(int32_t)d);
+            all.push_back(
+                Ins{((b - 1) << 1) | (uint32_t)(d < 0), (uint32_t)(row + i)});
+            cnt[b - 1]++;
+        }
+    }
+    std::vector<uint32_t> off(H + 1, 0);
+    uint32_t maxmult = 0;
+    for (uint32_t b = 0; b < H; b++) {
+        off[b + 1] = off[b] + cnt[b];
+        if (cnt[b] > maxmult) maxmult = cnt[b];
+    }
+    std::vector<Ins> sorted(all.size());
+    {
+        std::vector<uint32_t> cursor(off.begin(), off.end() - 1);
+        for (const Ins& e : all) sorted[cursor[e.b >> 1]++] = e;
+    }
+    std::vector<uint32_t> active;
+    active.reserve(H);
+    for (uint32_t b = 0; b < H; b++)
+        if (cnt[b]) active.push_back(b);
+    // bucket arena: 3*CP planes x H, identity (0:1:0) initialized.
+    // Y = 1: limb planes 0-4 of the (first) field component carry one52,
+    // any further component planes stay zero (Fq2's c1 of 1 is 0).
+    std::vector<uint64_t> bpl(3 * (size_t)CP * H, 0);
+    {
+        uint64_t one52[5];
+        bfq_to52(bfq_one(), one52);
+        for (int p = 0; p < 5; p++)
+            std::fill(bpl.begin() + ((size_t)CP + p) * H,
+                      bpl.begin() + ((size_t)CP + p) * H + H, one52[p]);
+    }
+    alignas(64) long long bi[8], ti[8];
+    alignas(64) uint64_t negbits[8];
+    for (uint32_t round = 0; round < maxmult && !active.empty(); round++) {
+        size_t na = 0, nper = active.size();
+        for (size_t a0 = 0; a0 < nper; a0 += 8) {
+            size_t gs = nper - a0 < 8 ? nper - a0 : 8;
+            for (size_t k = 0; k < 8; k++) {
+                const uint32_t b = active[a0 + (k < gs ? k : 0)];
+                const Ins& e = sorted[off[b] + round];
+                bi[k] = (long long)b;
+                ti[k] = (long long)e.t;
+                negbits[k] = (e.b & 1) ? ~0ULL : 0;
+            }
+            __m512i idxb = _mm512_load_si512(bi);
+            __m512i idxt = _mm512_load_si512(ti);
+            __mmask8 live = (__mmask8)((1u << gs) - 1);
+            __mmask8 neg = _mm512_cmpneq_epi64_mask(
+                _mm512_load_si512((const long long*)negbits),
+                _mm512_setzero_si512());
+            p8t<FV> P;
+            P.X = FV::gather(bpl.data(), H, idxb);
+            P.Y = FV::gather(bpl.data() + (size_t)CP * H, H, idxb);
+            P.Z = FV::gather(bpl.data() + 2 * (size_t)CP * H, H, idxb);
+            typename FV::V qx = FV::gather(tab52.data(), tstride, idxt);
+            typename FV::V qy =
+                FV::gather(tab52.data() + (size_t)CP * tstride, tstride, idxt);
+            qy = FV::cneg(qy, neg);
+            p8t<FV> R = p8_add_mixed<FV>(P, qx, qy);
+            FV::scatter(bpl.data(), H, idxb, live, R.X);
+            FV::scatter(bpl.data() + (size_t)CP * H, H, idxb, live, R.Y);
+            FV::scatter(bpl.data() + 2 * (size_t)CP * H, H, idxb, live, R.Z);
+        }
+        for (size_t a = 0; a < nper; a++) {
+            uint32_t b = active[a];
+            if (round + 1 < cnt[b]) active[na++] = b;
+        }
+        active.resize(na);
+    }
+    return ca_reduce<FV, PT, ADD, DBL, INF>(bpl, H);
+}
+#endif  // ZKP_HAVE_BFQ8
+
+// Window-range dispatch: IFMA complete-add kernel when compiled in and the
+// 52-domain table exists, scalar batch-affine otherwise.
+static inline bg1 g1_msm_range(const fixed_tab<bg1, g1aff>& ft,
+                               const int16_t* digits, int w_lo, int w_hi) {
+#ifdef ZKP_HAVE_BFQ8
+    if (!ft.tab52.empty() && ft.c >= 4)
+        return fixed_msm_ca_range<fv_g1, bg1, bg1_add, bg1_double, bg1_inf>(
+            ft.tab52, ft.tab.size(), ft.n, ft.nwin, ft.c, digits, w_lo, w_hi);
+#endif
+    return fixed_msm_ba_range<bg1, g1aff, fq_ops, bg1_add, bg1_madd, bg1_inf>(
+        ft, digits, w_lo, w_hi);
+}
+static inline bg2 g2_msm_range(const fixed_tab<bg2, g2aff>& ft,
+                               const int16_t* digits, int w_lo, int w_hi) {
+#ifdef ZKP_HAVE_BFQ8
+    if (!ft.tab52.empty() && ft.c >= 4)
+        return fixed_msm_ca_range<fv_g2, bg2, bg2_add, bg2_double, bg2_inf>(
+            ft.tab52, ft.tab.size(), ft.n, ft.nwin, ft.c, digits, w_lo, w_hi);
+#endif
+    return fixed_msm_ba_range<bg2, g2aff, fq2_ops, bg2_add, bg2_madd, bg2_inf>(
+        ft, digits, w_lo, w_hi);
+}
+
 // Whole-MSM entry: recode once, then accumulate (optionally in window
 // chunks under OpenMP) and combine chunk sums.
 template <typename PT, typename AF, typename FO,
@@ -2471,27 +3118,63 @@ int zkp_bn254_g1_msm_register(uint64_t n, const uint8_t* points) {
     G1_FIXED.emplace_back();
     build_fixed<bg1, g1aff, bg1_add, bg1_madd, bg1_double, bg1_inf, bg1_normalize, bg1_is_inf_f>(
         G1_FIXED.back(), pts);
+#ifdef ZKP_HAVE_BFQ8
+    if (G1_FIXED.back().nwin > 0) build_tab52_g1(G1_FIXED.back());
+#endif
     return (int)G1_FIXED.size() - 1;
 }
 
+// Whole-MSM G1 entry: like the generic fixed_msm_ba but window ranges run
+// through g1_msm_range (IFMA complete-add kernel when available).
+static bg1 g1_msm_whole(const fixed_tab<bg1, g1aff>& ft, const uint8_t* scalars,
+                        int want_chunks = 0) {
+    if (!ba_eligible<bg1, g1aff, fq_ops>(ft))
+        return fixed_msm<bg1, g1aff, bg1_add, bg1_madd, bg1_double, bg1_inf>(
+            ft, scalars, want_chunks);
+    std::vector<int16_t> digits((size_t)ft.n * ft.nwin);
+    recode_signed(scalars, ft.n, ft.c, ft.nwin, ft.is_inf, digits.data());
+    int nchunks = 1;
+#ifdef _OPENMP
+    nchunks = want_chunks > 0 ? want_chunks : (ft.nwin >= 8 ? 2 : 1);
+    if (nchunks > ft.nwin) nchunks = ft.nwin > 0 ? ft.nwin : 1;
+#else
+    (void)want_chunks;
+#endif
+    std::vector<bg1> partial(nchunks);
+#ifdef _OPENMP
+#pragma omp parallel for schedule(static, 1)
+#endif
+    for (int chunk = 0; chunk < nchunks; chunk++) {
+        int w_lo = chunk * ft.nwin / nchunks;
+        int w_hi = (chunk + 1) * ft.nwin / nchunks;
+        partial[chunk] = g1_msm_range(ft, digits.data(), w_lo, w_hi);
+    }
+    bg1 acc = partial[0];
+    for (int chunk = 1; chunk < nchunks; chunk++) acc = bg1_add(acc, partial[chunk]);
+    return acc;
+}
+
 void zkp_bn254_g1_msm_fixed(int handle, const uint8_t* scalars, uint8_t* out) {
-    bg1 r = fixed_msm_ba<bg1, g1aff, fq_ops, bg1_add, bg1_madd, bg1_double,
-                         bg1_inf>(G1_FIXED[handle], scalars);
+    bg1 r = g1_msm_whole(G1_FIXED[handle], scalars);
     bg1_to_wire(r, out);
 }
 
 void zkp_bn254_g1_msm_fixed_mt(int handle, const uint8_t* scalars, uint8_t* out,
                                int nchunks) {
-    bg1 r = fixed_msm_ba<bg1, g1aff, fq_ops, bg1_add, bg1_madd, bg1_double,
-                         bg1_inf>(G1_FIXED[handle], scalars, nchunks);
+    bg1 r = g1_msm_whole(G1_FIXED[handle], scalars, nchunks);
     bg1_to_wire(r, out);
 }
 
 void zkp_bn254_g1_msm_fixed_many(int handle, uint64_t batch,
                                  const uint8_t* scalars, uint8_t* out) {
     std::vector<bg1> res(batch);
-    fixed_msm_many_ba<bg1, g1aff, fq_ops, bg1_add, bg1_madd, bg1_double,
-                      bg1_inf>(G1_FIXED[handle], batch, scalars, res.data());
+#ifdef _OPENMP
+#pragma omp parallel for schedule(dynamic, 1)
+#endif
+    for (uint64_t b = 0; b < batch; b++)
+        res[b] = g1_msm_whole(G1_FIXED[handle],
+                              scalars + b * 32 * G1_FIXED[handle].n,
+                              /*want_chunks=*/1);
     for (uint64_t b = 0; b < batch; b++) bg1_to_wire(res[b], out + 96 * b);
 }
 
@@ -2501,27 +3184,62 @@ int zkp_bn254_g2_msm_register(uint64_t n, const uint8_t* points) {
     G2_FIXED.emplace_back();
     build_fixed<bg2, g2aff, bg2_add, bg2_madd, bg2_double, bg2_inf, bg2_normalize, bg2_is_inf_f>(
         G2_FIXED.back(), pts);
+#ifdef ZKP_HAVE_BFQ8
+    if (G2_FIXED.back().nwin > 0) build_tab52_g2(G2_FIXED.back());
+#endif
     return (int)G2_FIXED.size() - 1;
 }
 
+// Whole-MSM G2 entry mirroring g1_msm_whole (IFMA complete-add ranges).
+static bg2 g2_msm_whole(const fixed_tab<bg2, g2aff>& ft, const uint8_t* scalars,
+                        int want_chunks = 0) {
+    if (!ba_eligible<bg2, g2aff, fq2_ops>(ft))
+        return fixed_msm<bg2, g2aff, bg2_add, bg2_madd, bg2_double, bg2_inf>(
+            ft, scalars, want_chunks);
+    std::vector<int16_t> digits((size_t)ft.n * ft.nwin);
+    recode_signed(scalars, ft.n, ft.c, ft.nwin, ft.is_inf, digits.data());
+    int nchunks = 1;
+#ifdef _OPENMP
+    nchunks = want_chunks > 0 ? want_chunks : (ft.nwin >= 8 ? 2 : 1);
+    if (nchunks > ft.nwin) nchunks = ft.nwin > 0 ? ft.nwin : 1;
+#else
+    (void)want_chunks;
+#endif
+    std::vector<bg2> partial(nchunks);
+#ifdef _OPENMP
+#pragma omp parallel for schedule(static, 1)
+#endif
+    for (int chunk = 0; chunk < nchunks; chunk++) {
+        int w_lo = chunk * ft.nwin / nchunks;
+        int w_hi = (chunk + 1) * ft.nwin / nchunks;
+        partial[chunk] = g2_msm_range(ft, digits.data(), w_lo, w_hi);
+    }
+    bg2 acc = partial[0];
+    for (int chunk = 1; chunk < nchunks; chunk++) acc = bg2_add(acc, partial[chunk]);
+    return acc;
+}
+
 void zkp_bn254_g2_msm_fixed(int handle, const uint8_t* scalars, uint8_t* out) {
-    bg2 r = fixed_msm_ba<bg2, g2aff, fq2_ops, bg2_add, bg2_madd, bg2_double,
-                         bg2_inf>(G2_FIXED[handle], scalars);
+    bg2 r = g2_msm_whole(G2_FIXED[handle], scalars);
     bg2_to_wire(r, out);
 }
 
 void zkp_bn254_g2_msm_fixed_mt(int handle, const uint8_t* scalars, uint8_t* out,
                                int nchunks) {
-    bg2 r = fixed_msm_ba<bg2, g2aff, fq2_ops, bg2_add, bg2_madd, bg2_double,
-                         bg2_inf>(G2_FIXED[handle], scalars, nchunks);
+    bg2 r = g2_msm_whole(G2_FIXED[handle], scalars, nchunks);
     bg2_to_wire(r, out);
 }
 
 void zkp_bn254_g2_msm_fixed_many(int handle, uint64_t batch,
                                  const uint8_t* scalars, uint8_t* out) {
     std::vector<bg2> res(batch);
-    fixed_msm_many_ba<bg2, g2aff, fq2_ops, bg2_add, bg2_madd, bg2_double,
-                      bg2_inf>(G2_FIXED[handle], batch, scalars, res.data());
+#ifdef _OPENMP
+#pragma omp parallel for schedule(dynamic, 1)
+#endif
+    for (uint64_t b = 0; b < batch; b++)
+        res[b] = g2_msm_whole(G2_FIXED[handle],
+                              scalars + b * 32 * G2_FIXED[handle].n,
+                              /*want_chunks=*/1);
     for (uint64_t b = 0; b < batch; b++) bg2_to_wire(res[b], out + 192 * b);
 }
 
@@ -5055,17 +5773,14 @@ void zkp_groth16_prove_msms(int ha, int hb1, int hh, int hl, int hb2,
                 dig[4].empty()
                     ? fixed_msm_range<bg2, g2aff, bg2_add, bg2_madd, bg2_inf>(
                           g2t, z, tk.w_lo, tk.w_hi)
-                    : fixed_msm_ba_range<bg2, g2aff, fq2_ops, bg2_add,
-                                         bg2_madd, bg2_inf>(
-                          g2t, dig[4].data(), tk.w_lo, tk.w_hi);
+                    : g2_msm_range(g2t, dig[4].data(), tk.w_lo, tk.w_hi);
         else
             g1_parts[t] =
                 dig[tk.msm].empty()
                     ? fixed_msm_range<bg1, g1aff, bg1_add, bg1_madd, bg1_inf>(
                           *g1t[tk.msm], g1s[tk.msm], tk.w_lo, tk.w_hi)
-                    : fixed_msm_ba_range<bg1, g1aff, fq_ops, bg1_add,
-                                         bg1_madd, bg1_inf>(
-                          *g1t[tk.msm], dig[tk.msm].data(), tk.w_lo, tk.w_hi);
+                    : g1_msm_range(*g1t[tk.msm], dig[tk.msm].data(), tk.w_lo,
+                                   tk.w_hi);
     }
     bg1 g1_acc[4] = {bg1_inf(), bg1_inf(), bg1_inf(), bg1_inf()};
     bg2 g2_acc = bg2_inf();
@@ -5162,7 +5877,13 @@ int zkp_bp_verify_rlc(int h_fix, uint64_t count, const uint8_t* ns,
 // 0 = vector tier matches the scalar tier; -1 = not compiled in.
 int zkp_simd_selftest() {
 #ifdef ZKP_HAVE_IFMA8
-    return fe8_selftest();
+    int r = fe8_selftest();
+    if (r) return r;
+#ifdef ZKP_HAVE_BFQ8
+    r = bfq8_selftest();
+    if (r) return 10 + r;
+#endif
+    return 0;
 #else
     return -1;
 #endif
