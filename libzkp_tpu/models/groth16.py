@@ -311,18 +311,28 @@ class Proof:
 
 
 def _finish_proof(pk: ProvingKey, a_acc, b_g2_acc, b_g1_acc, h_acc, l_acc) -> Proof:
-    """Fold the query-MSM accumulators and fresh r/s blinding into (A, B, C)."""
+    """Fold the query-MSM accumulators and fresh r/s blinding into (A, B, C).
+
+    delta_g1/delta_g2 are key constants, so their scalar muls route through
+    the fixed-base MSM engine as 1-point MSMs (precomputed window tables,
+    ~4x faster than the generic double-and-add on the native tier); s*A and
+    r*B1 use per-proof bases and stay on the generic path.
+    """
     r = _rand_fr()
     s = _rand_fr()
-    a = bn.g1_add(bn.g1_add(pk.vk.alpha_g1, a_acc), bn.g1_scalar_mul(r, pk.delta_g1))
-    b = bn.g2_add(
-        bn.g2_add(pk.vk.beta_g2, b_g2_acc), bn.g2_scalar_mul(s, pk.vk.delta_g2)
+    a = bn.g1_add(
+        bn.g1_add(pk.vk.alpha_g1, a_acc), bn.g1_msm_fixed([r], [pk.delta_g1])
     )
-    b_g1 = bn.g1_add(bn.g1_add(pk.beta_g1, b_g1_acc), bn.g1_scalar_mul(s, pk.delta_g1))
+    b = bn.g2_add(
+        bn.g2_add(pk.vk.beta_g2, b_g2_acc), bn.g2_msm_fixed([s], [pk.vk.delta_g2])
+    )
+    b_g1 = bn.g1_add(
+        bn.g1_add(pk.beta_g1, b_g1_acc), bn.g1_msm_fixed([s], [pk.delta_g1])
+    )
     c = bn.g1_add(h_acc, l_acc)
     c = bn.g1_add(c, bn.g1_scalar_mul(s, a))
     c = bn.g1_add(c, bn.g1_scalar_mul(r, b_g1))
-    c = bn.g1_add(c, bn.g1_neg(bn.g1_scalar_mul(r * s % R, pk.delta_g1)))
+    c = bn.g1_add(c, bn.g1_neg(bn.g1_msm_fixed([r * s % R], [pk.delta_g1])))
     return Proof(a=a, b=b, c=c)
 
 

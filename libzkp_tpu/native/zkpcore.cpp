@@ -1895,7 +1895,9 @@ static bfq12 bfq12_mul_line(const bfq12& f, const bfq12& l) {
     return bfq12_mul(f, l);
 }
 
-static bfq12 miller(const bg2& qj, const bg1& pj) {
+// Affine-step Miller (per-step field inversions) — kept as the fallback for
+// the degenerate T.x == Q.x addition the projective path punts on.
+static bfq12 miller_affine(const bg2& qj, const bg1& pj) {
     bfq px, py;
     bfq2 q2x, q2y;
     if (!bg1_to_affine(pj, px, py) || !bg2_to_affine(qj, q2x, q2y)) return bfq12_one();
@@ -1917,6 +1919,168 @@ static bfq12 miller(const bg2& qj, const bg1& pj) {
     f = bfq12_mul_line(f, add_step_tw(T, Q1, px, py));
     f = bfq12_mul_line(f, add_step_tw(T, Q2, px, py));
     return f;
+}
+
+// ---- projective Miller loop (no per-step inversions) ----
+//
+// T in homogeneous projective twist coordinates; every line is scaled by a
+// nonzero Fq2 constant (2YZ for doubling, lambda for addition), which the
+// final exponentiation kills ((q^2 - 1) divides (q^12 - 1)/r), so pairing
+// values are unchanged bit-for-bit vs the affine path. Lines come out as
+// l0 + l1 w + l3 w^3 with all three coefficients in Fq2.
+
+struct twproj {
+    bfq2 X, Y, Z;
+};
+
+// (x0 + x1 v + x2 v^2) * (d + e v) over Fq2, v^3 = xi
+static inline bfq6 fq6_mul_sparse2(const bfq6& x, const bfq2& d, const bfq2& e) {
+    return bfq6{
+        bfq2_add(bfq2_mul(x.c0, d), bfq2_mul_by_xi(bfq2_mul(x.c2, e))),
+        bfq2_add(bfq2_mul(x.c1, d), bfq2_mul(x.c0, e)),
+        bfq2_add(bfq2_mul(x.c2, d), bfq2_mul(x.c1, e))};
+}
+
+// f *= l0 + l1 w + l3 w^3 = L0 + M w  with L0 = (l0,0,0), M = (l1,l3,0):
+// 15 Fq2 muls vs the full mul's 18 (Karatsuba on the w level).
+static bfq12 bfq12_mul_sparse013(const bfq12& f, const bfq2& l0,
+                                 const bfq2& l1, const bfq2& l3) {
+    bfq6 t0{bfq2_mul(f.c0.c0, l0), bfq2_mul(f.c0.c1, l0),
+            bfq2_mul(f.c0.c2, l0)};
+    bfq6 t1 = fq6_mul_sparse2(f.c1, l1, l3);
+    bfq6 s = bfq6_add(f.c0, f.c1);
+    bfq6 cross = fq6_mul_sparse2(s, bfq2_add(l0, l1), l3);
+    cross = bfq6_sub(bfq6_sub(cross, t0), t1);
+    return bfq12{bfq6_add(t0, bfq6_mul_by_v(t1)), cross};
+}
+
+// 2T with the line at P, scale 2YZ (AKLGL-style, verified against the
+// affine slope algebra via the curve equation Y^2 Z = X^3 + b' Z^3):
+//   l0 = -2YZ*yP, l1 = 3X^2*xP, l3 = 3b'Z^2 - Y^2
+static void dbl_step_proj(twproj& T, const bfq2& b3tw, const bfq& px,
+                          const bfq& py, bfq2& l0, bfq2& l1, bfq2& l3) {
+    bfq2 A = bfq2_sq(T.X);
+    bfq2 B = bfq2_sq(T.Y);
+    bfq2 C = bfq2_sq(T.Z);
+    bfq2 E = bfq2_mul(b3tw, C);              // 3 b' Z^2
+    bfq2 F = bfq2_add(bfq2_add(E, E), E);    // 9 b' Z^2
+    bfq2 H = bfq2_sub(bfq2_sub(bfq2_sq(bfq2_add(T.Y, T.Z)), B), C);  // 2YZ
+    l0 = bfq2_neg(bfq2_mul_fq(H, py));
+    bfq2 A3 = bfq2_add(bfq2_add(A, A), A);
+    l1 = bfq2_mul_fq(A3, px);
+    l3 = bfq2_sub(E, B);
+    // point update, uniform scale 4: X3 = 2 XY (B - F),
+    // Y3 = (B+F)^2 - 12 E^2, Z3 = 4 B H
+    bfq2 XY = bfq2_mul(T.X, T.Y);
+    bfq2 X3 = bfq2_mul(XY, bfq2_sub(B, F));
+    X3 = bfq2_add(X3, X3);
+    bfq2 E2 = bfq2_sq(E);
+    bfq2 E4 = bfq2_add(E2, E2);
+    E4 = bfq2_add(E4, E4);                    // 4 E^2
+    bfq2 E12 = bfq2_add(bfq2_add(E4, E4), E4);
+    bfq2 Y3 = bfq2_sub(bfq2_sq(bfq2_add(B, F)), E12);
+    bfq2 Z3 = bfq2_mul(B, H);
+    Z3 = bfq2_add(Z3, Z3);
+    Z3 = bfq2_add(Z3, Z3);
+    T = twproj{X3, Y3, Z3};
+}
+
+// T + Q (Q affine on the twist) with the line at P, scale lambda:
+//   l0 = -lambda*yP, l1 = theta*xP, l3 = lambda*y2 - theta*x2.
+// Returns false on the degenerate T.x == Q.x case (caller falls back).
+static bool add_step_proj(twproj& T, const bfq2& x2, const bfq2& y2,
+                          const bfq& px, const bfq& py, bfq2& l0, bfq2& l1,
+                          bfq2& l3) {
+    bfq2 B = bfq2_mul(x2, T.Z);
+    bfq2 theta = bfq2_sub(T.Y, bfq2_mul(y2, T.Z));
+    bfq2 lam = bfq2_sub(T.X, B);
+    if (bfq2_is_zero(lam)) return false;
+    bfq2 C = bfq2_sq(theta);
+    bfq2 D = bfq2_sq(lam);
+    bfq2 E = bfq2_mul(lam, D);
+    bfq2 F = bfq2_mul(T.Z, C);
+    bfq2 G = bfq2_mul(T.X, D);
+    bfq2 H = bfq2_add(bfq2_sub(E, bfq2_add(G, G)), F);  // E + F - 2G
+    l0 = bfq2_neg(bfq2_mul_fq(lam, py));
+    l1 = bfq2_mul_fq(theta, px);
+    l3 = bfq2_sub(bfq2_mul(lam, y2), bfq2_mul(theta, x2));
+    bfq2 X3 = bfq2_mul(lam, H);
+    bfq2 Y3 = bfq2_sub(bfq2_mul(theta, bfq2_sub(G, H)), bfq2_mul(T.Y, E));
+    bfq2 Z3 = bfq2_mul(T.Z, E);
+    T = twproj{X3, Y3, Z3};
+    return true;
+}
+
+static bfq12 miller(const bg2& qj, const bg1& pj) {
+    bfq px, py;
+    bfq2 q2x, q2y;
+    if (!bg1_to_affine(pj, px, py) || !bg2_to_affine(qj, q2x, q2y)) return bfq12_one();
+    // twist constant 3 b' = 3 (y^2 - x^3) from the (valid) input point
+    bfq2 btw = bfq2_sub(bfq2_sq(q2y), bfq2_mul(bfq2_sq(q2x), q2x));
+    bfq2 b3tw = bfq2_add(bfq2_add(btw, btw), btw);
+    twproj T{q2x, q2y, bfq2_one()};
+    bfq12 f = bfq12_one();
+    bfq2 l0, l1, l3;
+    int top = 127;
+    while (!((ATE_LOOP >> top) & 1)) top--;
+    for (int i = top - 1; i >= 0; i--) {
+        dbl_step_proj(T, b3tw, px, py, l0, l1, l3);
+        f = bfq12_mul_sparse013(bfq12_sq(f), l0, l1, l3);
+        if ((ATE_LOOP >> i) & 1) {
+            if (!add_step_proj(T, q2x, q2y, px, py, l0, l1, l3))
+                return miller_affine(qj, pj);  // degenerate: T.x == Q.x
+            f = bfq12_mul_sparse013(f, l0, l1, l3);
+        }
+    }
+    bfq2 q1x = bfq2_mul(bfq2_conj(q2x), FROB_G1[2]);
+    bfq2 q1y = bfq2_mul(bfq2_conj(q2y), FROB_G1[3]);
+    bfq2 q2x2 = bfq2_mul(bfq2_conj(q1x), FROB_G1[2]);
+    bfq2 q2y2 = bfq2_mul(bfq2_conj(q1y), FROB_G1[3]);
+    if (!add_step_proj(T, q1x, q1y, px, py, l0, l1, l3))
+        return miller_affine(qj, pj);
+    f = bfq12_mul_sparse013(f, l0, l1, l3);
+    if (!add_step_proj(T, q2x2, bfq2_neg(q2y2), px, py, l0, l1, l3))
+        return miller_affine(qj, pj);
+    f = bfq12_mul_sparse013(f, l0, l1, l3);
+    return f;
+}
+
+// Granger-Scott cyclotomic squaring (f in G_Phi6(q^2), i.e. after the easy
+// part of the final exponentiation): 9 Fq2 muls instead of the full
+// squaring's 18. Fq4 pairs in this tower (Fq12 = Fq4[w]/(w^3 - s),
+// s = v*w): (c0.c0, c1.c1), (c1.c0, c0.c2), (c0.c1, c1.c2).
+static inline void fq4_sq(const bfq2& a, const bfq2& b, bfq2& t0, bfq2& t1) {
+    bfq2 t = bfq2_mul(a, b);
+    t0 = bfq2_sub(
+        bfq2_sub(bfq2_mul(bfq2_add(a, b), bfq2_add(a, bfq2_mul_by_xi(b))), t),
+        bfq2_mul_by_xi(t));
+    t1 = bfq2_add(t, t);
+}
+static bfq12 bfq12_cyclo_sq(const bfq12& f) {
+    const bfq2 &z0 = f.c0.c0, &z4 = f.c0.c1, &z3 = f.c0.c2;
+    const bfq2 &z2 = f.c1.c0, &z1 = f.c1.c1, &z5 = f.c1.c2;
+    bfq2 t0, t1, t2, t3, t4, t5;
+    fq4_sq(z0, z1, t0, t1);
+    fq4_sq(z2, z3, t2, t3);
+    fq4_sq(z4, z5, t4, t5);
+    auto three_minus = [](const bfq2& t, const bfq2& z) {  // 3t - 2z
+        bfq2 r = bfq2_sub(t, z);
+        r = bfq2_add(r, r);
+        return bfq2_add(r, t);
+    };
+    auto three_plus = [](const bfq2& t, const bfq2& z) {  // 3t + 2z
+        bfq2 r = bfq2_add(t, z);
+        r = bfq2_add(r, r);
+        return bfq2_add(r, t);
+    };
+    bfq12 r;
+    r.c0.c0 = three_minus(t0, z0);
+    r.c1.c1 = three_plus(t1, z1);
+    r.c1.c0 = three_plus(bfq2_mul_by_xi(t5), z2);
+    r.c0.c2 = three_minus(t4, z3);
+    r.c0.c1 = three_minus(t2, z4);
+    r.c1.c2 = three_plus(t3, z5);
+    return r;
 }
 
 // pow by LE-byte exponent in NAF form; `a` must lie in the cyclotomic
@@ -1973,7 +2137,7 @@ static bfq12 bfq12_pow_naf_cyclo(const bfq12& a, const uint8_t* e, int elen) {
     bfq12 a_inv = bfq12_conj(a);
     bool started = false;
     for (int i = (int)naf.size() - 1; i >= 0; i--) {
-        if (started) r = bfq12_sq(r);
+        if (started) r = bfq12_cyclo_sq(r);
         if (naf[i] == 1) {
             r = started ? bfq12_mul(r, a) : a;
             started = true;
@@ -1985,10 +2149,64 @@ static bfq12 bfq12_pow_naf_cyclo(const bfq12& a, const uint8_t* e, int elen) {
     return started ? r : bfq12_one();
 }
 
+static inline bool bfq12_eq(const bfq12& a, const bfq12& b) {
+    const bfq* x = (const bfq*)&a;
+    const bfq* y = (const bfq*)&b;
+    for (int i = 0; i < 12; i++)
+        if (u256_cmp(x[i].m, y[i].m) != 0) return false;
+    return true;
+}
+
+// Hard part of the BN final exponentiation via the Devegili-Scott-Dahab
+// vectorial addition chain: three 63-bit x-powers (NAF, cyclotomic
+// squarings) + frobenius maps instead of one generic 1016-bit pow.
+// Validated at runtime against the generic (q^4-q^2+1)/r pow on the first
+// nontrivial call; falls back permanently if the chain ever disagrees.
+static bfq12 final_exp_hard_chain(const bfq12& m) {
+    static const uint8_t XLE[8] = {0xF1, 0x09, 0x69, 0x4A,
+                                   0xB4, 0x92, 0xE9, 0x44};  // 4965661367192848881 LE
+    bfq12 fx = bfq12_pow_naf_cyclo(m, XLE, 8);
+    bfq12 fx2 = bfq12_pow_naf_cyclo(fx, XLE, 8);
+    bfq12 fx3 = bfq12_pow_naf_cyclo(fx2, XLE, 8);
+    bfq12 fp = bfq12_frob(m);
+    bfq12 fp2 = bfq12_frob(fp);
+    bfq12 fp3 = bfq12_frob(fp2);
+    bfq12 fxp = bfq12_frob(fx);
+    bfq12 fx2p = bfq12_frob(fx2);
+    bfq12 fx3p = bfq12_frob(fx3);
+    bfq12 fx2p2 = bfq12_frob(bfq12_frob(fx2));
+    bfq12 y0 = bfq12_mul(bfq12_mul(fp, fp2), fp3);
+    bfq12 y1 = bfq12_conj(m);
+    bfq12 y2 = fx2p2;
+    bfq12 y3 = bfq12_conj(fxp);
+    bfq12 y4 = bfq12_conj(bfq12_mul(fx, fx2p));
+    bfq12 y5 = bfq12_conj(fx2);
+    bfq12 y6 = bfq12_conj(bfq12_mul(fx3, fx3p));
+    bfq12 t0 = bfq12_mul(bfq12_mul(bfq12_cyclo_sq(y6), y4), y5);
+    bfq12 t1 = bfq12_mul(bfq12_mul(y3, y5), t0);
+    t0 = bfq12_mul(t0, y2);
+    t1 = bfq12_cyclo_sq(bfq12_mul(bfq12_cyclo_sq(t1), t0));
+    t0 = bfq12_mul(t1, y1);
+    t1 = bfq12_mul(t1, y0);
+    t0 = bfq12_cyclo_sq(t0);
+    return bfq12_mul(t0, t1);
+}
+
 static bfq12 final_exp(const bfq12& f) {
     bfq12 f1 = bfq12_mul(bfq12_conj(f), bfq12_inv(f));
     bfq12 f2 = bfq12_mul(bfq12_frob(bfq12_frob(f1)), f1);
-    return bfq12_pow_naf_cyclo(f2, BN_HARD_EXP.data(), (int)BN_HARD_EXP.size());
+    static int hard_ok = -1;  // -1 unvalidated, 1 chain ok, 0 fall back
+    if (hard_ok == 1) return final_exp_hard_chain(f2);
+    if (hard_ok == 0)
+        return bfq12_pow_naf_cyclo(f2, BN_HARD_EXP.data(),
+                                   (int)BN_HARD_EXP.size());
+    bfq12 generic = bfq12_pow_naf_cyclo(f2, BN_HARD_EXP.data(),
+                                        (int)BN_HARD_EXP.size());
+    if (!bfq12_eq(f2, bfq12_one())) {
+        bfq12 chain = final_exp_hard_chain(f2);
+        hard_ok = bfq12_eq(chain, generic) ? 1 : 0;
+    }
+    return generic;
 }
 
 // pairs: n G1 (96B each) + n G2 (192B each); out: fq12 as 12 x 32B
