@@ -11,7 +11,9 @@
 
 #include <algorithm>
 #include <cstdint>
+#include <cstdio>
 #include <cstdlib>
+#include <ctime>
 #include <deque>
 #include <cstring>
 #include <vector>
@@ -4974,6 +4976,22 @@ struct ge8 {
     fe8 X, Y, Z, T;
 };
 
+// full extended-coordinates add, 8 lanes: the unified twisted-Edwards law
+// (complete on curve25519 — identity and doubling inputs need no cases),
+// same formulas as scalar ge_add. two_d is the broadcast 2d constant.
+static inline ge8 ge8_add(const ge8& p, const ge8& q, const fe8& two_d) {
+    fe8 A = fe8_mul(fe8_sub(p.Y, p.X), fe8_sub(q.Y, q.X));
+    fe8 B = fe8_mul(fe8_add(p.Y, p.X), fe8_add(q.Y, q.X));
+    fe8 C = fe8_mul(fe8_mul(p.T, two_d), q.T);
+    fe8 ZZ = fe8_mul(p.Z, q.Z);
+    fe8 D = fe8_add(ZZ, ZZ);
+    fe8 E = fe8_sub(B, A);
+    fe8 F = fe8_sub(D, C);
+    fe8 G = fe8_add(D, C);
+    fe8 H = fe8_add(B, A);
+    return ge8{fe8_mul(E, F), fe8_mul(G, H), fe8_mul(F, G), fe8_mul(E, H)};
+}
+
 // mixed add, 8 lanes: same formulas as scalar ge_madd
 static inline ge8 ge8_madd(const ge8& p, const fe8& ymx, const fe8& ypx,
                            const fe8& t2d) {
@@ -5129,29 +5147,61 @@ static void msm_sparse8(const fixed_tab<ge, edniels>& ft, const int* cols,
                 _mm512_mask_i64scatter_epi64(base, m, addr[10 + i], r.Z.v[i], 1);
                 _mm512_mask_i64scatter_epi64(base, m, addr[15 + i], r.T.v[i], 1);
             }
-            _mm512_store_si512(idx_buf, idx);
-            for (int p = 0; p < 8; p++)
-                if ((m >> p) & 1)
-                    scr.used[p * 2 + (idx_buf[p] >> 6)] |=
-                        1ULL << (idx_buf[p] & 63);
         }
     }
-    // per-proof signed bucket reduction (scalar; same shape as msm_sparse)
-    for (int p = 0; p < 8; p++) {
-        ge running = ge_identity(), total = ge_identity();
-        bool run_set = false, tot_set = false;
-        for (int idx = nb - 1; idx >= 0; idx--) {
-            if ((scr.used[p * 2 + (idx >> 6)] >> (idx & 63)) & 1) {
-                const ge& bkt = scr.buckets[(size_t)p * nb + idx];
-                running = run_set ? ge_add(running, bkt) : bkt;
-                run_set = true;
-            }
-            if (run_set) {
-                total = tot_set ? ge_add(total, running) : running;
-                tot_set = true;
-            }
+    // 8-lane bucket reduction: the unified Edwards add is complete, so
+    // identity-valued (never-touched) buckets flow through with no bitmap
+    // or branches — all 8 per-proof weighted suffix chains run in lockstep.
+    {
+        fe two_d_s = fe_frombytes(TWO_D_BYTES);
+        fe8 two_d;
+        for (int i = 0; i < 5; i++)
+            two_d.v[i] = _mm512_set1_epi64((long long)two_d_s.v[i]);
+        ge8 running, total;
+        for (int i = 0; i < 5; i++) {
+            __m512i zv = _mm512_setzero_si512();
+            __m512i ov = _mm512_set1_epi64((long long)(i == 0 ? 1 : 0));
+            running.X.v[i] = zv;
+            running.Y.v[i] = ov;
+            running.Z.v[i] = ov;
+            running.T.v[i] = zv;
         }
-        out[p] = tot_set ? total : ge_identity();
+        total = running;
+        for (int idx = nb - 1; idx >= 0; idx--) {
+            __m512i off = _mm512_add_epi64(
+                lane_base, _mm512_set1_epi64((long long)idx * 160));
+            ge8 b;
+            for (int i = 0; i < 5; i++) {
+                b.X.v[i] = _mm512_i64gather_epi64(
+                    _mm512_add_epi64(off, _mm512_set1_epi64(8 * i)), base, 1);
+                b.Y.v[i] = _mm512_i64gather_epi64(
+                    _mm512_add_epi64(off, _mm512_set1_epi64(8 * (5 + i))), base,
+                    1);
+                b.Z.v[i] = _mm512_i64gather_epi64(
+                    _mm512_add_epi64(off, _mm512_set1_epi64(8 * (10 + i))),
+                    base, 1);
+                b.T.v[i] = _mm512_i64gather_epi64(
+                    _mm512_add_epi64(off, _mm512_set1_epi64(8 * (15 + i))),
+                    base, 1);
+            }
+            running = ge8_add(running, b, two_d);
+            total = ge8_add(total, running, two_d);
+        }
+        alignas(64) uint64_t lane[8];
+        for (int p = 0; p < 8; p++) {
+            ge r;
+            for (int i = 0; i < 5; i++) {
+                _mm512_store_si512(lane, total.X.v[i]);
+                r.X.v[i] = lane[p];
+                _mm512_store_si512(lane, total.Y.v[i]);
+                r.Y.v[i] = lane[p];
+                _mm512_store_si512(lane, total.Z.v[i]);
+                r.Z.v[i] = lane[p];
+                _mm512_store_si512(lane, total.T.v[i]);
+                r.T.v[i] = lane[p];
+            }
+            out[p] = r;
+        }
     }
 }
 #endif  // ZKP_HAVE_IFMA8
