@@ -5006,6 +5006,155 @@ static inline ge8 ge8_madd(const ge8& p, const fe8& ymx, const fe8& ypx,
     return ge8{fe8_mul(E, F), fe8_mul(G, H), fe8_mul(F, G), fe8_mul(E, H)};
 }
 
+// ---- 8-lane Ristretto compression --------------------------------------
+// The (p-5)/8 power chain dominates a compression (~265 field ops); the
+// prover compresses V/A/S/T1/T2 and every IPP round's L/R for 8 proofs in
+// lockstep, so the whole RFC 9496 ENCODE runs lane-parallel with the rare
+// per-lane conditionals handled by masks derived from canonical encodings.
+
+static inline fe fe8_lane(const fe8& a, int p) {
+    alignas(64) uint64_t tmp[8];
+    fe r;
+    for (int i = 0; i < 5; i++) {
+        _mm512_store_si512(tmp, a.v[i]);
+        r.v[i] = tmp[p];
+    }
+    return r;
+}
+static inline fe8 fe8_from_lanes(const fe a[8]) {
+    alignas(64) uint64_t tmp[8];
+    fe8 r;
+    for (int i = 0; i < 5; i++) {
+        for (int p = 0; p < 8; p++) tmp[p] = a[p].v[i];
+        r.v[i] = _mm512_load_si512(tmp);
+    }
+    return r;
+}
+static inline __mmask8 fe8_isneg_mask(const fe8& a) {
+    __mmask8 m = 0;
+    for (int p = 0; p < 8; p++)
+        if (fe_isnegative(fe8_lane(a, p))) m |= 1u << p;
+    return m;
+}
+static inline fe8 fe8_blend(__mmask8 m, const fe8& a, const fe8& b) {
+    fe8 r;
+    for (int i = 0; i < 5; i++) r.v[i] = _mm512_mask_blend_epi64(m, a.v[i], b.v[i]);
+    return r;
+}
+static inline fe8 fe8_bcast(const fe& a) {
+    fe8 r;
+    for (int i = 0; i < 5; i++) r.v[i] = _mm512_set1_epi64((long long)a.v[i]);
+    return r;
+}
+
+// z^(2^252 - 3), 8 lanes (ref10 chain, mirrors fe_pow22523)
+static fe8 fe8_pow22523(const fe8& z) {
+    fe8 t0, t1, t2;
+    t0 = fe8_mul(z, z);
+    t1 = fe8_mul(t0, t0);
+    t1 = fe8_mul(t1, t1);
+    t1 = fe8_mul(z, t1);
+    t0 = fe8_mul(t0, t1);
+    t0 = fe8_mul(t0, t0);
+    t0 = fe8_mul(t1, t0);
+    t1 = fe8_mul(t0, t0);
+    for (int i = 1; i < 5; i++) t1 = fe8_mul(t1, t1);
+    t0 = fe8_mul(t1, t0);
+    t1 = fe8_mul(t0, t0);
+    for (int i = 1; i < 10; i++) t1 = fe8_mul(t1, t1);
+    t1 = fe8_mul(t1, t0);
+    t2 = fe8_mul(t1, t1);
+    for (int i = 1; i < 20; i++) t2 = fe8_mul(t2, t2);
+    t1 = fe8_mul(t2, t1);
+    t1 = fe8_mul(t1, t1);
+    for (int i = 1; i < 10; i++) t1 = fe8_mul(t1, t1);
+    t0 = fe8_mul(t1, t0);
+    t1 = fe8_mul(t0, t0);
+    for (int i = 1; i < 50; i++) t1 = fe8_mul(t1, t1);
+    t1 = fe8_mul(t1, t0);
+    t2 = fe8_mul(t1, t1);
+    for (int i = 1; i < 100; i++) t2 = fe8_mul(t2, t2);
+    t1 = fe8_mul(t2, t1);
+    t1 = fe8_mul(t1, t1);
+    for (int i = 1; i < 50; i++) t1 = fe8_mul(t1, t1);
+    t0 = fe8_mul(t1, t0);
+    t0 = fe8_mul(t0, t0);
+    t0 = fe8_mul(t0, t0);
+    return fe8_mul(t0, z);
+}
+
+// 8 lockstep RFC 9496 ENCODEs; out stride 32 bytes per lane.
+static void bp_compress8(const ge8& p, uint8_t* out) {
+    fe8 one = fe8_bcast(fe_one());
+    fe8 sqrt_m1 = fe8_bcast(fe_frombytes(SQRT_M1_BYTES));
+    fe8 u1 = fe8_mul(fe8_add(p.Z, p.Y), fe8_sub(p.Z, p.Y));
+    fe8 u2 = fe8_mul(p.X, p.Y);
+    fe8 uv = fe8_mul(u1, fe8_mul(u2, u2));
+    // invsqrt = SQRT_RATIO_M1(1, uv): r = uv^3 * (uv^7)^((p-5)/8), then
+    // adjust by sqrt(-1) when check = uv*r^2 is -1 or -sqrt(-1)
+    fe8 v3 = fe8_mul(fe8_mul(uv, uv), uv);
+    fe8 v7 = fe8_mul(fe8_mul(v3, v3), uv);
+    fe8 r = fe8_mul(v3, fe8_pow22523(v7));
+    fe8 check = fe8_mul(uv, fe8_mul(r, r));
+    __mmask8 adjust = 0;
+    {
+        fe neg_one = fe_neg(fe_one());
+        fe neg_i = fe_neg(fe_frombytes(SQRT_M1_BYTES));
+        for (int lp = 0; lp < 8; lp++) {
+            fe c = fe8_lane(check, lp);
+            if (fe_iszero(fe_sub(c, neg_one)) || fe_iszero(fe_sub(c, neg_i)))
+                adjust |= 1u << lp;
+        }
+    }
+    r = fe8_blend(adjust, r, fe8_mul(r, sqrt_m1));
+    {
+        __mmask8 rn = fe8_isneg_mask(r);
+        fe8 zero8;
+        for (int i = 0; i < 5; i++) zero8.v[i] = _mm512_setzero_si512();
+        r = fe8_blend(rn, r, fe8_sub(zero8, r));
+    }
+    fe8 den1 = fe8_mul(r, u1);
+    fe8 den2 = fe8_mul(r, u2);
+    fe8 z_inv = fe8_mul(fe8_mul(den1, den2), p.T);
+    fe8 ix = fe8_mul(p.X, sqrt_m1);
+    fe8 iy = fe8_mul(p.Y, sqrt_m1);
+    fe8 enchanted = fe8_mul(den1, fe8_bcast(fe_frombytes(INVSQRT_A_MINUS_D_BYTES)));
+    __mmask8 rotate = fe8_isneg_mask(fe8_mul(p.T, z_inv));
+    fe8 x = fe8_blend(rotate, p.X, iy);
+    fe8 y = fe8_blend(rotate, p.Y, ix);
+    fe8 den_inv = fe8_blend(rotate, den2, enchanted);
+    {
+        __mmask8 yn = fe8_isneg_mask(fe8_mul(x, z_inv));
+        fe8 zero8;
+        for (int i = 0; i < 5; i++) zero8.v[i] = _mm512_setzero_si512();
+        y = fe8_blend(yn, y, fe8_sub(zero8, y));
+    }
+    fe8 s = fe8_mul(den_inv, fe8_sub(p.Z, y));
+    {
+        __mmask8 sn = fe8_isneg_mask(s);
+        fe8 zero8;
+        for (int i = 0; i < 5; i++) zero8.v[i] = _mm512_setzero_si512();
+        s = fe8_blend(sn, s, fe8_sub(zero8, s));
+    }
+    for (int lp = 0; lp < 8; lp++) {
+        fe sl = fe8_lane(s, lp);
+        fe_tobytes(sl, out + 32 * lp);
+    }
+    (void)one;
+}
+
+static inline ge8 ge8_from_pts(const ge a[8]) {
+    fe x[8], y[8], z[8], t[8];
+    for (int p = 0; p < 8; p++) {
+        x[p] = a[p].X;
+        y[p] = a[p].Y;
+        z[p] = a[p].Z;
+        t[p] = a[p].T;
+    }
+    return ge8{fe8_from_lanes(x), fe8_from_lanes(y), fe8_from_lanes(z),
+               fe8_from_lanes(t)};
+}
+
 // lane-wise self-test of the fe8 tier against the scalar fe tier; returns 0 ok
 static int fe8_selftest() {
     uint64_t seed = 0x243F6A8885A308D3ULL;
@@ -5722,7 +5871,7 @@ static int bp_prove_eight(const fixed_tab<ge, edniels>& vs,
         }
         ge V[8];
         msm_sparse8(vs, cols, sv.data(), 2, scr8, V);
-        for (int p = 0; p < 8; p++) bp_compress(V[p], out_v + 32 * p);
+        bp_compress8(ge8_from_pts(V), out_v);
     }
     for (int p = 0; p < 8; p++) {
         bool z = true;
@@ -5732,30 +5881,34 @@ static int bp_prove_eight(const fixed_tab<ge, edniels>& vs,
 
     // phase 2: A (scalar 0/1 subset sums) and S (one 8-lane dense MSM)
     uint8_t A_c[8][32], S_c[8][32];
-    for (int p = 0; p < 8; p++) {
-        int col0 = 0;
-        ge A = msm_sparse(as_tab, &col0, &a_blind[p], 1, scr);
-        const edniels* row0 = as_tab.tab.data();
-        const ge* prow0 = as_tab.tab_pt.data();
-        bool started = !sc_is_zero(a_blind[p]);
-        for (int i = 0; i < n; i++) {
-            if ((value[p] >> i) & 1) {
-                if (started)
-                    A = ge_madd(A, row0[1 + i]);
-                else {
-                    A = prow0[1 + i];
-                    started = true;
-                }
-            } else {
-                if (started)
-                    A = ge_madd(A, edniels_neg(row0[1 + n + i]));
-                else {
-                    A = ge_neg(prow0[1 + n + i]);
-                    started = true;
+    {
+        ge A_pts[8];
+        for (int p = 0; p < 8; p++) {
+            int col0 = 0;
+            ge A = msm_sparse(as_tab, &col0, &a_blind[p], 1, scr);
+            const edniels* row0 = as_tab.tab.data();
+            const ge* prow0 = as_tab.tab_pt.data();
+            bool started = !sc_is_zero(a_blind[p]);
+            for (int i = 0; i < n; i++) {
+                if ((value[p] >> i) & 1) {
+                    if (started)
+                        A = ge_madd(A, row0[1 + i]);
+                    else {
+                        A = prow0[1 + i];
+                        started = true;
+                    }
+                } else {
+                    if (started)
+                        A = ge_madd(A, edniels_neg(row0[1 + n + i]));
+                    else {
+                        A = ge_neg(prow0[1 + n + i]);
+                        started = true;
+                    }
                 }
             }
+            A_pts[p] = A;
         }
-        bp_compress(A, A_c[p]);
+        bp_compress8(ge8_from_pts(A_pts), &A_c[0][0]);
     }
     {
         std::vector<int> cols(2 * n + 1);
@@ -5774,7 +5927,7 @@ static int bp_prove_eight(const fixed_tab<ge, edniels>& vs,
         }
         ge S[8];
         msm_sparse8(as_tab, cols.data(), sv.data(), 2 * n + 1, scr8, S);
-        for (int p = 0; p < 8; p++) bp_compress(S[p], S_c[p]);
+        bp_compress8(ge8_from_pts(S), &S_c[0][0]);
     }
 
     sc y[8], z[8], z2[8];
@@ -5819,13 +5972,13 @@ static int bp_prove_eight(const fixed_tab<ge, edniels>& vs,
             sv[1 * 8 + p] = t1b[p];
         }
         msm_sparse8(vs, cols, sv.data(), 2, scr8, T);
-        for (int p = 0; p < 8; p++) bp_compress(T[p], T1_c[p]);
+        bp_compress8(ge8_from_pts(T), &T1_c[0][0]);
         for (int p = 0; p < 8; p++) {
             sv[0 * 8 + p] = t2v[p];
             sv[1 * 8 + p] = t2b[p];
         }
         msm_sparse8(vs, cols, sv.data(), 2, scr8, T);
-        for (int p = 0; p < 8; p++) bp_compress(T[p], T2_c[p]);
+        bp_compress8(ge8_from_pts(T), &T2_c[0][0]);
     }
 
     // phase 4: x challenge, blinded openings, IPP inputs
@@ -5938,10 +6091,12 @@ static int bp_prove_eight(const fixed_tab<ge, edniels>& vs,
             nnz++;
             msm_sparse8(ipp_tab, cols.data(), sv.data(), nnz, scr8, Rp);
         }
+        uint8_t L_c8[8][32], R_c8[8][32];
+        bp_compress8(ge8_from_pts(Lp), &L_c8[0][0]);
+        bp_compress8(ge8_from_pts(Rp), &R_c8[0][0]);
         for (int p = 0; p < 8; p++) {
-            uint8_t L_c[32], R_c[32];
-            bp_compress(Lp[p], L_c);
-            bp_compress(Rp[p], R_c);
+            const uint8_t* L_c = L_c8[p];
+            const uint8_t* R_c = R_c8[p];
             uint8_t* lr = out_proofs + plen * p + 224 + 64 * round;
             std::memcpy(lr, L_c, 32);
             std::memcpy(lr + 32, R_c, 32);
