@@ -35,6 +35,21 @@ def pedersen_commit(value: int, blinding: int) -> ed.Point:
     return ed.point_add(ed.scalar_mul(value, b), ed.scalar_mul(blinding, b_blinding))
 
 
+def pedersen_commit_compressed_many(pairs) -> list:
+    """Compressed Pedersen commitments for a list of (value, blinding) pairs
+    (both already reduced mod l). Routes through the native 8-lane
+    msm+compress when available; scalar fallback otherwise."""
+    from .. import native
+
+    if native.HAVE_NATIVE and pairs:
+        b, b_blinding = pedersen_gens()
+        basis = [b, b_blinding]
+        out = native.ed_pedersen_compressed_many(tuple(basis), basis, pairs)
+        if out is not None:
+            return out
+    return [ed.compress(pedersen_commit(v, bl)) for v, bl in pairs]
+
+
 @functools.lru_cache(maxsize=64)
 def _chain(label: bytes, count: int) -> Tuple[ed.Point, ...]:
     shake = hashlib.shake_256()

@@ -26,7 +26,9 @@ from typing import List, Optional, Tuple
 
 from ..ops import ed25519 as ed
 from ..utils.encoding import read_u64_le, u32_le, u64_le
-from .bp_generators import pedersen_commit, pedersen_gens
+from .bp_generators import (pedersen_commit,
+                            pedersen_commit_compressed_many,
+                            pedersen_gens)
 from .bulletproofs import RangeProof, batch_verify_groups, prove_single, verify_single
 from .strobe import Transcript
 
@@ -190,9 +192,9 @@ class BulletproofsBackend:
         if any(data[i] > data[i + 1] for i in range(len(data) - 1)):
             raise ValueError("data inconsistent")
         blindings = [_random_blinding() for _ in data]
-        commitments = [
-            ed.compress(pedersen_commit(v % L, b)) for v, b in zip(data, blindings)
-        ]
+        commitments = pedersen_commit_compressed_many(
+            [(v % L, b) for v, b in zip(data, blindings)]
+        )
         instances = [
             (
                 Transcript(b"libzkp_consistency"),
@@ -377,9 +379,9 @@ class BulletproofsBackend:
         if any(data[i] > data[i + 1] for i in range(len(data) - 1)):
             raise ValueError("data inconsistent")
         blindings = [_random_blinding() for _ in data]
-        commitments = [
-            ed.compress(pedersen_commit(v % L, b)) for v, b in zip(data, blindings)
-        ]
+        commitments = pedersen_commit_compressed_many(
+            [(v % L, b) for v, b in zip(data, blindings)]
+        )
         # the n-1 delta proofs are independent (fresh transcripts); lockstep
         # batch prover -> one native OMP MSM call per phase across deltas
         from .bulletproofs import prove_single_batch

@@ -136,6 +136,9 @@ def _load() -> Optional[ctypes.CDLL]:
         ctypes.c_char_p, ctypes.c_char_p, ctypes.c_char_p, ctypes.c_char_p,
         ctypes.c_char_p, ctypes.c_char_p]
     lib.zkp_bp_prove_batch.restype = ctypes.c_int
+    lib.zkp_ed_pedersen_compressed.argtypes = [
+        ctypes.c_int, u64, ctypes.c_char_p, ctypes.c_char_p]
+    lib.zkp_ed_pedersen_compressed.restype = ctypes.c_int
     lib.zkp_groth16_prove_msms.argtypes = [
         ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int,
         u64, u64, u64, ctypes.c_char_p, ctypes.c_char_p, ctypes.c_char_p]
@@ -369,6 +372,27 @@ def bp_prove_batch(
     vs = [out_v.raw[i * 32 : (i + 1) * 32] for i in range(batch)]
     ps = [out_p.raw[i * plen : (i + 1) * plen] for i in range(batch)]
     return vs, ps
+
+
+def ed_pedersen_compressed_many(key, points, pairs):
+    """Batched compressed Pedersen commitments over the fixed 2-point basis
+    (B, B_blinding): pairs = [(value, blinding)] already reduced mod l.
+    Returns a list of 32-byte encodings, or None (caller falls back)."""
+    h = _get_handle(
+        _ed_handles, key,
+        lambda: _lib.zkp_ed_msm_register(
+            len(points), b"".join(_to_wire(p) for p in points)),
+    )
+    if h is None:
+        return None
+    sb = b"".join(
+        int(v).to_bytes(32, "little") + int(b).to_bytes(32, "little")
+        for v, b in pairs
+    )
+    out = ctypes.create_string_buffer(32 * len(pairs))
+    if _lib.zkp_ed_pedersen_compressed(h, len(pairs), sb, out) != 0:
+        return None
+    return [out.raw[i * 32 : (i + 1) * 32] for i in range(len(pairs))]
 
 
 def bn254_g1_msm_fixed_many(key, scalar_vecs, points):

@@ -6383,4 +6383,40 @@ int zkp_bp_prove_batch(int h_vs, int h_as, int h_ipp, uint64_t n,
     return err;
 }
 
+// Batched compressed Pedersen commitments over the 2-column (B, B_blinding)
+// fixed table `h_vs`: scalars = count * 64 B (value32 || blinding32 per
+// commit), out = count * 32 B RFC 9496 encodings. 8-lane msm + lockstep
+// compression; returns -1 when the IFMA tier is compiled out (caller falls
+// back to the scalar path).
+int zkp_ed_pedersen_compressed(int h_vs, uint64_t count,
+                               const uint8_t* scalars, uint8_t* out) {
+#ifdef ZKP_HAVE_IFMA8
+    const fixed_tab<ge, edniels>& vs = ED_FIXED[h_vs];
+    bp_scratch8 scr;
+    int cols[2] = {0, 1};
+    for (uint64_t g0 = 0; g0 < count; g0 += 8) {
+        int gs = (int)((count - g0) < 8 ? (count - g0) : 8);
+        sc sv[16];
+        for (int p = 0; p < 8; p++) {
+            uint64_t src = g0 + (uint64_t)(p < gs ? p : 0);
+            sv[0 * 8 + p] = sc_frombytes(scalars + 64 * src);
+            sv[1 * 8 + p] = sc_frombytes(scalars + 64 * src + 32);
+        }
+        ge V[8];
+        msm_sparse8(vs, cols, sv, 2, scr, V);
+        uint8_t c8[8][32];
+        bp_compress8(ge8_from_pts(V), &c8[0][0]);
+        for (int p = 0; p < gs; p++)
+            std::memcpy(out + 32 * (g0 + p), c8[p], 32);
+    }
+    return 0;
+#else
+    (void)h_vs;
+    (void)count;
+    (void)scalars;
+    (void)out;
+    return -1;
+#endif
+}
+
 }  // extern "C"
