@@ -16,6 +16,8 @@
 #include <ctime>
 #include <deque>
 #include <cstring>
+#include <map>
+#include <mutex>
 #include <vector>
 
 #ifdef _OPENMP
@@ -3511,6 +3513,43 @@ u256 mx_inv(const mctx& c, const u256& a_mont) {
 }
 
 // in-place NTT on Montgomery values; root_m is the size-n root (Montgomery).
+// Per-stage twiddles are constant per (modulus, n, root), so they build once
+// into a process cache: the per-butterfly `w *= wlen` update (n/2 * log n
+// muls — half the NTT's multiplications) becomes a table read.
+static std::map<std::vector<uint8_t>, std::vector<u256>> NTT_TW_CACHE;
+static std::mutex NTT_TW_MU;
+
+static const std::vector<u256>& ntt_twiddles(const mctx& c, uint64_t n,
+                                             const u256& root_m, int bits) {
+    std::vector<uint8_t> key(72);
+    std::memcpy(key.data(), c.q.v, 32);
+    std::memcpy(key.data() + 32, &n, 8);
+    std::memcpy(key.data() + 40, root_m.v, 32);
+    std::lock_guard<std::mutex> lk(NTT_TW_MU);
+    auto it = NTT_TW_CACHE.find(key);
+    if (it != NTT_TW_CACHE.end()) return it->second;
+    std::vector<u256> wlen(bits);
+    if (bits > 0) {
+        wlen[bits - 1] = root_m;
+        for (int s = bits - 2; s >= 0; s--)
+            wlen[s] = mx_mul(c, wlen[s + 1], wlen[s + 1]);
+    }
+    std::vector<u256> tw;
+    tw.reserve(n > 0 ? n - 1 : 0);
+    for (int s = 0; s < bits; s++) {
+        uint64_t half = 1ULL << s;
+        u256 w = c.one_m;
+        for (uint64_t k = 0; k < half; k++) {
+            tw.push_back(w);
+            w = mx_mul(c, w, wlen[s]);
+        }
+    }
+    // entries are never evicted: concurrent NTTs hold references into the
+    // map (std::map nodes are reference-stable), and a process only ever
+    // touches a handful of (modulus, n, root) triples at ~n*32 B each
+    return NTT_TW_CACHE.emplace(std::move(key), std::move(tw)).first->second;
+}
+
 void ntt_mont(const mctx& c, std::vector<u256>& a, const u256& root_m) {
     uint64_t n = a.size();
     int bits = 0;
@@ -3520,24 +3559,20 @@ void ntt_mont(const mctx& c, std::vector<u256>& a, const u256& root_m) {
         for (int b = 0; b < bits; b++) j |= ((i >> b) & 1) << (bits - 1 - b);
         if (j > i) std::swap(a[i], a[j]);
     }
-    std::vector<u256> wlen(bits);
-    if (bits > 0) {
-        wlen[bits - 1] = root_m;
-        for (int s = bits - 2; s >= 0; s--) wlen[s] = mx_mul(c, wlen[s + 1], wlen[s + 1]);
-    }
+    const std::vector<u256>& tw = ntt_twiddles(c, n, root_m, bits);
+    size_t off = 0;
     for (int s = 0; s < bits; s++) {
         uint64_t length = 2ULL << s;
         uint64_t half = length >> 1;
         for (uint64_t start = 0; start < n; start += length) {
-            u256 w = c.one_m;
             for (uint64_t k = start; k < start + half; k++) {
                 u256 u = a[k];
-                u256 v = mx_mul(c, a[k + half], w);
+                u256 v = mx_mul(c, a[k + half], tw[off + (k - start)]);
                 a[k] = mx_add(c, u, v);
                 a[k + half] = mx_sub(c, u, v);
-                w = mx_mul(c, w, wlen[s]);
             }
         }
+        off += half;
     }
 }
 
