@@ -5244,9 +5244,8 @@ static int fe8_selftest() {
     return 0;
 }
 struct bp_scratch8 {
-    std::vector<ge> buckets;    // [p * nb + idx], AoS (160 B each)
-    std::vector<uint64_t> used;  // 2 words x 8 proofs (bitset over idx)
-    std::vector<int16_t> digs;   // [(j * nwin + w) * 8 + p]
+    std::vector<ge> buckets;   // [p * nb + idx], AoS (160 B each)
+    std::vector<int16_t> digs;  // [(j * nwin + w) * 8 + p]
 };
 
 // 8 independent sparse MSMs over ONE shared column schedule (the per-round
@@ -5262,7 +5261,6 @@ static void msm_sparse8(const fixed_tab<ge, edniels>& ft, const int* cols,
     scr.buckets.resize((size_t)8 * nb);
     ge ident = ge_identity();
     for (size_t i = 0; i < scr.buckets.size(); i++) scr.buckets[i] = ident;
-    scr.used.assign(16, 0);
     scr.digs.resize((size_t)nnz * nwin * 8);
     {
         std::vector<int16_t> tmp(nwin);
@@ -5280,7 +5278,6 @@ static void msm_sparse8(const fixed_tab<ge, edniels>& ft, const int* cols,
     const __m512i lane_base = _mm512_setr_epi64(
         0ULL, (uint64_t)nb * 160, 2ULL * nb * 160, 3ULL * nb * 160,
         4ULL * nb * 160, 5ULL * nb * 160, 6ULL * nb * 160, 7ULL * nb * 160);
-    alignas(64) int64_t idx_buf[8];
     for (int w = 0; w < nwin; w++) {
         const edniels* trow = ft.tab.data() + (size_t)w * ft.n;
         for (int j = 0; j < nnz; j++) {
