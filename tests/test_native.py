@@ -109,3 +109,85 @@ def test_ntt_matches_python():
             assert ntt(F, vals) == ntt_py(F, vals)
             assert ntt(F, vals, invert=True) == ntt_py(F, vals, invert=True)
             assert ntt(F, ntt(F, vals), invert=True) == [v % F.p for v in vals]
+
+
+# ---------------------------------------------------------------------------
+# second-session round-3 kernels: IFMA complete-addition fixed MSMs, batched
+# Pedersen compression, pairing final-exponentiation chain
+# ---------------------------------------------------------------------------
+
+
+def test_bn254_fixed_msm_adversarial_scalars():
+    """The 8-lane complete-addition kernel (zkpcore fixed_msm_ca_range) must
+    match the Python golden model on scalar patterns that force bucket
+    doubling/cancellation edge paths: all-equal, 0/1, tiny, and boundary
+    scalars. (Branchless complete adds make these flow through the same
+    arithmetic — this pins that claim.)"""
+    from libzkp_tpu.ops import bn254 as bn
+
+    k = 21
+    g = bn.g1_from_affine(bn.G1_GEN)
+    pts = [bn.g1_scalar_mul(rng.randrange(1, bn.R), g) for _ in range(k)]
+    patterns = [
+        [7] * k,                                   # identical small scalars
+        [i % 2 for i in range(k)],                 # 0/1 witness-like vector
+        [0] * (k - 1) + [bn.R - 1],                # sparse + boundary
+        [rng.randrange(bn.R) for _ in range(k)],   # uniform
+        [1, 2, 4, 8, 16] * (k // 5) + [0] * (k % 5),  # powers of two
+    ]
+    for sv in patterns:
+        got = bn.g1_msm_fixed(sv, pts)
+        want = bn.g1_msm(sv, pts)
+        assert bn.g1_to_affine(got) == bn.g1_to_affine(want)
+
+
+def test_bn254_g2_fixed_msm_matches_generic():
+    from libzkp_tpu.ops import bn254 as bn
+
+    k = 9
+    g2 = bn.g2_from_affine((bn.G2_GEN_X, bn.G2_GEN_Y))
+    pts = [bn.g2_scalar_mul(rng.randrange(1, bn.R), g2) for _ in range(k)]
+    for sv in ([5] * k, [rng.randrange(bn.R) for _ in range(k)]):
+        got = bn.g2_msm_fixed(sv, pts)
+        want = bn.g2_msm(sv, pts)
+        assert bn.g2_to_affine(got) == bn.g2_to_affine(want)
+
+
+def test_batched_pedersen_compression_matches_scalar_path():
+    """pedersen_commit_compressed_many (8-lane msm + lockstep RFC 9496
+    encode) must agree byte-for-byte with the scalar commit+compress path,
+    including ragged (non-multiple-of-8) batches."""
+    from libzkp_tpu.models.bp_generators import (
+        pedersen_commit,
+        pedersen_commit_compressed_many,
+    )
+
+    for count in (1, 5, 8, 11):
+        pairs = [
+            (rng.randrange(ed.L), rng.randrange(ed.L)) for _ in range(count)
+        ]
+        got = pedersen_commit_compressed_many(pairs)
+        want = [ed.compress(pedersen_commit(v, b)) for v, b in pairs]
+        assert got == want
+
+
+def test_pairing_bilinearity_and_final_exp_chain():
+    """Pins the fast final-exponentiation chain (cyclotomic x-chain) and the
+    projective Miller loop: e(aP, bQ) == e(abP, Q) and the product form used
+    by Groth16 verification collapses to one."""
+    from libzkp_tpu.ops import bn254 as bn
+
+    g1 = bn.g1_from_affine(bn.G1_GEN)
+    g2 = bn.g2_from_affine((bn.G2_GEN_X, bn.G2_GEN_Y))
+    a = rng.randrange(1, bn.R)
+    b = rng.randrange(1, bn.R)
+    lhs = bn.pairing(bn.g2_scalar_mul(b, g2), bn.g1_scalar_mul(a, g1))
+    rhs = bn.pairing(g2, bn.g1_scalar_mul(a * b % bn.R, g1))
+    assert lhs == rhs
+    prod = bn.multi_pairing(
+        [
+            (bn.g1_scalar_mul(a, g1), bn.g2_scalar_mul(b, g2)),
+            (bn.g1_neg(bn.g1_scalar_mul(a * b % bn.R, g1)), g2),
+        ]
+    )
+    assert prod == bn.FQ12_ONE
