@@ -101,15 +101,16 @@ def _load() -> Optional[ctypes.CDLL]:
     lib.zkp_bn254_multi_pairing_premul.argtypes = [
         ctypes.c_char_p, u64, ctypes.c_char_p, ctypes.c_char_p, ctypes.c_char_p]
     lib.zkp_ntt.argtypes = [u64, ctypes.c_char_p, ctypes.c_char_p, ctypes.c_char_p, ctypes.c_char_p]
-    lib.zkp_groth16_h.argtypes = [
+    lib.zkp_groth16_h_register.argtypes = [
         u64, u64, u64, u64,
         ctypes.c_char_p, ctypes.c_char_p, ctypes.c_char_p,
         ctypes.c_char_p, ctypes.c_char_p, ctypes.c_char_p, u64,
         ctypes.c_char_p, ctypes.c_char_p, ctypes.c_char_p, u64,
-        ctypes.c_char_p, ctypes.c_char_p, ctypes.c_char_p, u64,
-        ctypes.c_char_p, ctypes.c_char_p,
-    ]
-    lib.zkp_groth16_h.restype = ctypes.c_int
+        ctypes.c_char_p, ctypes.c_char_p, ctypes.c_char_p, u64]
+    lib.zkp_groth16_h_register.restype = ctypes.c_int
+    lib.zkp_groth16_h_run.argtypes = [
+        ctypes.c_int, ctypes.c_char_p, ctypes.c_char_p]
+    lib.zkp_groth16_h_run.restype = ctypes.c_int
     lib.zkp_ed_msm_register.argtypes = [u64, ctypes.c_char_p]
     lib.zkp_ed_msm_register.restype = ctypes.c_int
     lib.zkp_ed_msm_fixed.argtypes = [ctypes.c_int, ctypes.c_char_p, ctypes.c_char_p]
@@ -623,6 +624,9 @@ def bn254_g2_scalar_mul(k: int, p):
     return _g2_from_wire(out.raw)
 
 
+_g16h_handles: dict = {}
+
+
 def groth16_h(
     n: int,
     n_constraints: int,
@@ -633,17 +637,28 @@ def groth16_h(
     csr,  # ((a_ptr, a_idx, a_coef, a_nnz), (b...), (c...)) as packed bytes
     z: Sequence[int],
 ) -> List[int]:
-    """Full h(x) pipeline: spmv + 7 NTTs + coset scaling in one native call."""
+    """Full h(x) pipeline: spmv + 7 NTTs + coset scaling in one native call.
+
+    The circuit constants (CSR matrices, Montgomery conversions, twiddle
+    roots, coset power tables) register once per circuit — keyed by the csr
+    byte objects themselves (bytes hashes are cached by CPython, so repeat
+    lookups are O(1)) — and only z crosses the boundary per call."""
+    key = (n, n_constraints, n_instance, p, root, coset_g, csr)
+    h = _g16h_handles.get(key)
+    if h is None:
+        (ap, ai, ac, an), (bp, bi, bc, bn_), (cp, ci, cc, cn) = csr
+        h = _lib.zkp_groth16_h_register(
+            n, n_constraints, n_instance, len(z),
+            p.to_bytes(32, "little"), (root % p).to_bytes(32, "little"),
+            (coset_g % p).to_bytes(32, "little"),
+            ap, ai, ac, an, bp, bi, bc, bn_, cp, ci, cc, cn,
+        )
+        if len(_g16h_handles) > 64:
+            _g16h_handles.clear()  # unbounded-growth guard; handles leak rarely
+        _g16h_handles[key] = h
     zb = b"".join((v % p).to_bytes(32, "little") for v in z)
     out = ctypes.create_string_buffer(32 * (n - 1))
-    (ap, ai, ac, an), (bp, bi, bc, bn_), (cp, ci, cc, cn) = csr
-    rc = _lib.zkp_groth16_h(
-        n, n_constraints, n_instance, len(z),
-        p.to_bytes(32, "little"), (root % p).to_bytes(32, "little"),
-        (coset_g % p).to_bytes(32, "little"),
-        ap, ai, ac, an, bp, bi, bc, bn_, cp, ci, cc, cn,
-        zb, out,
-    )
+    rc = _lib.zkp_groth16_h_run(h, zb, out)
     if rc != 0:
         raise AssertionError("h degree exceeds n-2: unsatisfied constraint system?")
     return [int.from_bytes(out.raw[i * 32 : (i + 1) * 32], "little") for i in range(n - 1)]

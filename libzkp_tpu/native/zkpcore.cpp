@@ -10,6 +10,7 @@
 // Build: g++ -O3 -std=c++17 -shared -fPIC -o _zkpcore.so zkpcore.cpp
 
 #include <algorithm>
+#include <array>
 #include <cstdint>
 #include <cstdio>
 #include <cstdlib>
@@ -3641,16 +3642,36 @@ int zkp_groth16_spmv(uint64_t n, uint64_t n_constraints, uint64_t n_instance,
     return 0;
 }
 
-int zkp_groth16_h(uint64_t n, uint64_t n_constraints, uint64_t n_instance,
-                  uint64_t n_vars, const uint8_t* mod, const uint8_t* root,
-                  const uint8_t* coset_g, const uint32_t* a_ptr,
-                  const uint32_t* a_idx, const uint8_t* a_coef, uint64_t a_nnz,
-                  const uint32_t* b_ptr, const uint32_t* b_idx,
-                  const uint8_t* b_coef, uint64_t b_nnz, const uint32_t* c_ptr,
-                  const uint32_t* c_idx, const uint8_t* c_coef, uint64_t c_nnz,
-                  const uint8_t* z, uint8_t* h_out) {
+// Per-circuit constants for the h(x) pipeline, registered once per circuit
+// (zkp_groth16_h_register) and addressed by handle: converted Montgomery
+// coefficients, CSR structure, twiddle roots/inverses, and the coset power
+// tables. Only z varies per zkp_groth16_h_run call.
+struct g16h_cached {
     mctx c;
-    mctx_init(c, mod);
+    uint64_t n = 0, n_constraints = 0, n_instance = 0, n_vars = 0;
+    std::vector<uint32_t> a_ptr, a_idx, b_ptr, b_idx, c_ptr, c_idx;
+    std::vector<u256> ac, bc, cc;
+    u256 root_m, root_inv, n_inv, zinv;
+    std::vector<u256> g_pows;        // g^i (Montgomery), i < n
+    std::vector<u256> ninv_gi_pows;  // n^{-1} * g^{-i}, i < n
+};
+static std::deque<g16h_cached> G16H_CTXS;
+static std::mutex G16H_MU;
+
+int zkp_groth16_h_register(
+    uint64_t n, uint64_t n_constraints, uint64_t n_instance, uint64_t n_vars,
+    const uint8_t* mod, const uint8_t* root, const uint8_t* coset_g,
+    const uint32_t* a_ptr, const uint32_t* a_idx, const uint8_t* a_coef,
+    uint64_t a_nnz, const uint32_t* b_ptr, const uint32_t* b_idx,
+    const uint8_t* b_coef, uint64_t b_nnz, const uint32_t* c_ptr,
+    const uint32_t* c_idx, const uint8_t* c_coef, uint64_t c_nnz) {
+    g16h_cached e;
+    e.n = n;
+    e.n_constraints = n_constraints;
+    e.n_instance = n_instance;
+    e.n_vars = n_vars;
+    mctx_init(e.c, mod);
+    const mctx& c = e.c;
     auto load_vec = [&](const uint8_t* src, uint64_t cnt) {
         std::vector<u256> v(cnt);
         for (uint64_t i = 0; i < cnt; i++) {
@@ -3660,24 +3681,22 @@ int zkp_groth16_h(uint64_t n, uint64_t n_constraints, uint64_t n_instance,
         }
         return v;
     };
-    std::vector<u256> z_m = load_vec(z, n_vars);
-    std::vector<u256> ac = load_vec(a_coef, a_nnz), bc = load_vec(b_coef, b_nnz),
-                      cc = load_vec(c_coef, c_nnz);
-    std::vector<u256> az(n, u256{{0, 0, 0, 0}}), bz(n, u256{{0, 0, 0, 0}}),
-        cz(n, u256{{0, 0, 0, 0}});
-    spmv(c, n_constraints, a_ptr, a_idx, ac.data(), z_m.data(), az.data());
-    spmv(c, n_constraints, b_ptr, b_idx, bc.data(), z_m.data(), bz.data());
-    spmv(c, n_constraints, c_ptr, c_idx, cc.data(), z_m.data(), cz.data());
-    for (uint64_t i = 0; i < n_instance; i++) az[n_constraints + i] = z_m[i];
-
-    u256 root_m;
+    e.ac = load_vec(a_coef, a_nnz);
+    e.bc = load_vec(b_coef, b_nnz);
+    e.cc = load_vec(c_coef, c_nnz);
+    e.a_ptr.assign(a_ptr, a_ptr + n_constraints + 1);
+    e.a_idx.assign(a_idx, a_idx + a_nnz);
+    e.b_ptr.assign(b_ptr, b_ptr + n_constraints + 1);
+    e.b_idx.assign(b_idx, b_idx + b_nnz);
+    e.c_ptr.assign(c_ptr, c_ptr + n_constraints + 1);
+    e.c_idx.assign(c_idx, c_idx + c_nnz);
     {
         u256 raw;
         std::memcpy(raw.v, root, 32);
-        root_m = mx_mul(c, raw, c.r2);
+        e.root_m = mx_mul(c, raw, c.r2);
     }
-    u256 root_inv = mx_inv(c, root_m);
-    u256 n_inv = mx_inv(c, mx_from_u64(c, n));
+    e.root_inv = mx_inv(c, e.root_m);
+    e.n_inv = mx_inv(c, mx_from_u64(c, n));
     u256 g_m;
     {
         u256 raw;
@@ -3685,41 +3704,73 @@ int zkp_groth16_h(uint64_t n, uint64_t n_constraints, uint64_t n_instance,
         g_m = mx_mul(c, raw, c.r2);
     }
     u256 g_inv = mx_inv(c, g_m);
+    e.g_pows.resize(n);
+    e.ninv_gi_pows.resize(n);
+    u256 pw = c.one_m, pwi = e.n_inv;
+    for (uint64_t i = 0; i < n; i++) {
+        e.g_pows[i] = pw;
+        e.ninv_gi_pows[i] = pwi;
+        pw = mx_mul(c, pw, g_m);
+        pwi = mx_mul(c, pwi, g_inv);
+    }
+    u256 gn = mx_mul(c, e.g_pows[n - 1], g_m);  // g^n
+    e.zinv = mx_inv(c, mx_sub(c, gn, c.one_m));
+    std::lock_guard<std::mutex> lk(G16H_MU);
+    G16H_CTXS.push_back(std::move(e));
+    return (int)G16H_CTXS.size() - 1;
+}
 
-    // interpolate: inverse NTT + n^{-1}
+int zkp_groth16_h_run(int handle, const uint8_t* z, uint8_t* h_out) {
+    const g16h_cached* ctx;
+    {
+        std::lock_guard<std::mutex> lk(G16H_MU);
+        ctx = &G16H_CTXS[handle];  // deque nodes are reference-stable
+    }
+    const uint64_t n = ctx->n, n_constraints = ctx->n_constraints,
+                   n_instance = ctx->n_instance, n_vars = ctx->n_vars;
+    const uint32_t* a_ptr = ctx->a_ptr.data();
+    const uint32_t* a_idx = ctx->a_idx.data();
+    const uint32_t* b_ptr = ctx->b_ptr.data();
+    const uint32_t* b_idx = ctx->b_idx.data();
+    const uint32_t* c_ptr = ctx->c_ptr.data();
+    const uint32_t* c_idx = ctx->c_idx.data();
+    const mctx& c = ctx->c;
+    std::vector<u256> z_m(n_vars);
+    for (uint64_t i = 0; i < n_vars; i++) {
+        u256 raw;
+        std::memcpy(raw.v, z + 32 * i, 32);
+        z_m[i] = mx_mul(c, raw, c.r2);
+    }
+    std::vector<u256> az(n, u256{{0, 0, 0, 0}}), bz(n, u256{{0, 0, 0, 0}}),
+        cz(n, u256{{0, 0, 0, 0}});
+    spmv(c, n_constraints, a_ptr, a_idx, ctx->ac.data(), z_m.data(), az.data());
+    spmv(c, n_constraints, b_ptr, b_idx, ctx->bc.data(), z_m.data(), bz.data());
+    spmv(c, n_constraints, c_ptr, c_idx, ctx->cc.data(), z_m.data(), cz.data());
+    for (uint64_t i = 0; i < n_instance; i++) az[n_constraints + i] = z_m[i];
+
+    // interpolate: inverse NTT + n^{-1}; then evaluate on the coset g<w>
     auto interp = [&](std::vector<u256>& v) {
-        ntt_mont(c, v, root_inv);
-        for (auto& x : v) x = mx_mul(c, x, n_inv);
+        ntt_mont(c, v, ctx->root_inv);
+        for (auto& x : v) x = mx_mul(c, x, ctx->n_inv);
+    };
+    auto coset_eval = [&](std::vector<u256>& v) {
+        for (uint64_t i = 0; i < n; i++) v[i] = mx_mul(c, v[i], ctx->g_pows[i]);
+        ntt_mont(c, v, ctx->root_m);
     };
     interp(az);
     interp(bz);
     interp(cz);
-    // evaluate on coset g<w>: scale coeff i by g^i, forward NTT
-    auto coset_eval = [&](std::vector<u256>& v) {
-        u256 pw = c.one_m;
-        for (uint64_t i = 0; i < n; i++) {
-            v[i] = mx_mul(c, v[i], pw);
-            pw = mx_mul(c, pw, g_m);
-        }
-        ntt_mont(c, v, root_m);
-    };
     coset_eval(az);
     coset_eval(bz);
     coset_eval(cz);
     // h_ev = (az*bz - cz) * (g^n - 1)^{-1}
-    u256 gn = c.one_m;
-    for (uint64_t i = 0; i < n; i++) gn = mx_mul(c, gn, g_m);
-    u256 zinv = mx_inv(c, mx_sub(c, gn, c.one_m));
     std::vector<u256>& h = az;
     for (uint64_t i = 0; i < n; i++)
-        h[i] = mx_mul(c, mx_sub(c, mx_mul(c, az[i], bz[i]), cz[i]), zinv);
-    // interpolate back off the coset: inverse NTT, n^{-1}, scale by g^{-i}
-    ntt_mont(c, h, root_inv);
-    u256 pw = c.one_m;
-    for (uint64_t i = 0; i < n; i++) {
-        h[i] = mx_mul(c, mx_mul(c, h[i], n_inv), pw);
-        pw = mx_mul(c, pw, g_inv);
-    }
+        h[i] = mx_mul(c, mx_sub(c, mx_mul(c, az[i], bz[i]), cz[i]), ctx->zinv);
+    // interpolate back off the coset: inverse NTT, scale by n^{-1} g^{-i}
+    ntt_mont(c, h, ctx->root_inv);
+    for (uint64_t i = 0; i < n; i++)
+        h[i] = mx_mul(c, h[i], ctx->ninv_gi_pows[i]);
     u256 zero{{0, 0, 0, 0}};
     int rc = (u256_cmp(mx_mul(c, h[n - 1], u256{{1, 0, 0, 0}}), zero) == 0) ? 0 : 1;
     u256 one_raw{{1, 0, 0, 0}};
