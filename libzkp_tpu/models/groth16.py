@@ -276,7 +276,10 @@ def _compute_h(cs: ConstraintSystem, n: int, circuit_key=None) -> List[int]:
     from .. import native
 
     if circuit_key is not None and native.HAVE_NATIVE:
-        return _compute_h_native(cs, n, circuit_key)
+        try:
+            return _compute_h_native(cs, n, circuit_key)
+        except MemoryError:
+            pass  # circuit registry full: pure path below
     F = BN254_FR
     z = cs.full_assignment()
     az = [0] * n
@@ -479,12 +482,36 @@ def _h_many(pk, distinct, num_instance, n_constraints, n, root, csr):
             )
         except Exception:
             pass  # device path is an optimization; fall through to native
-    return threads.run_many(
-        lambda z: native.groth16_h(
-            n, n_constraints, num_instance, R, root, 5, csr, z
-        ),
-        distinct,
-    )
+    try:
+        return threads.run_many(
+            lambda z: native.groth16_h(
+                n, n_constraints, num_instance, R, root, 5, csr, z
+            ),
+            distinct,
+        )
+    except MemoryError:
+        # circuit registry full: unfused fallback (native spmv + host NTTs)
+        return [
+            _h_unfused(n, n_constraints, num_instance, csr, z) for z in distinct
+        ]
+
+
+def _h_unfused(n, n_constraints, num_instance, csr, z) -> List[int]:
+    """h(x) without the fused native pipeline: registration-free spmv plus
+    the pure polynomial path. Cold-path fallback when the per-circuit native
+    registry is at capacity (>64 distinct circuit shapes)."""
+    from .. import native
+
+    F = BN254_FR
+    az, bz, cz = native.groth16_spmv(n, n_constraints, num_instance, R, csr, z)
+    a_ev = poly.evaluate_coset(F, poly.interpolate(F, az), n, 5)
+    b_ev = poly.evaluate_coset(F, poly.interpolate(F, bz), n, 5)
+    c_ev = poly.evaluate_coset(F, poly.interpolate(F, cz), n, 5)
+    z_inv = F.inv((pow(5, n, R) - 1) % R)
+    h_ev = [(a_ev[i] * b_ev[i] - c_ev[i]) % R * z_inv % R for i in range(n)]
+    h_coeffs = poly.interpolate_coset(F, h_ev, 5)
+    assert h_coeffs[-1] == 0, "h degree exceeds n-2: unsatisfied constraint system?"
+    return h_coeffs[: n - 1]
 
 
 def _finish_proof_group(
@@ -573,9 +600,12 @@ def prove_assigned(
     csr = _csr_cache.get(key)
     if csr is None:
         return None
-    h = native.groth16_h(
-        n, n_constraints, num_instance, R, BN254_FR.root_of_unity(n), 5, csr, z
-    )
+    try:
+        h = native.groth16_h(
+            n, n_constraints, num_instance, R, BN254_FR.root_of_unity(n), 5, csr, z
+        )
+    except MemoryError:
+        return None  # circuit registry full: caller takes the full prove()
     return _prove_core(pk, z, num_instance, h)
 
 

@@ -1,7 +1,7 @@
 """BLAKE3 Merkle tree vector commitment (host tier).
 
 The STARK backend's vector commitment, mirroring the role of winterfell's
-``MerkleTree<Blake3_256>`` (``/root/reference/src/backend/stark.rs:817``).
+``MerkleTree<Blake3_256>`` (``/root/reference/src/backend/stark.rs:5,111``).
 Batched tree construction for TPU-side proving lives with the batch prover.
 """
 

@@ -1,7 +1,7 @@
 """Fiat–Shamir random coin for the STARK backend.
 
 Mirrors the role of winterfell's ``DefaultRandomCoin<Blake3_256>``
-(``/root/reference/src/backend/stark.rs:818``): a seed digest, reseeded with
+(``/root/reference/src/backend/stark.rs:5,112``): a seed digest, reseeded with
 each commitment, from which field elements / integers / PoW checks are drawn.
 """
 

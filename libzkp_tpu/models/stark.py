@@ -3,8 +3,8 @@
 TPU-native rebuild of the reference's winterfell-based STARK backend
 (``/root/reference/src/backend/stark.rs``): same AIR (1-column linear
 interpolation trace, one degree-1 transition constraint, two boundary
-assertions — stark.rs:720-790), same parameters
-(``ProofOptions::new(32, 8, 0, None, 8, 31)``, stark.rs:800-808), same field
+assertions — stark.rs:14-84), same parameters
+(``ProofOptions::new(32, 8, 0, None, 8, 31)``, stark.rs:94-102), same field
 (f128) and hash (Blake3-256). The pipeline is architected like winterfell's
 (trace LDE -> Merkle commit -> constraint composition -> DEEP -> FRI ->
 queries) but implemented from scratch; proof bytes are emitted and parsed as
@@ -40,7 +40,7 @@ DOMAIN_OFFSET = 3
 
 @dataclass(frozen=True)
 class ProofOptions:
-    """Mirrors winterfell ProofOptions (stark.rs:800-808)."""
+    """Mirrors winterfell ProofOptions (stark.rs:94-102)."""
 
     num_queries: int = 32
     blowup: int = 8
@@ -369,7 +369,7 @@ def _verify_inner(air: Air, proof_bytes: bytes) -> bool:
     w_ctx, n_ctx, modulus, opt_tuple, pos = ww.read_context(data, 0)
     if n_ctx != air.trace_length or w_ctx != air.trace_width or modulus != p:
         return False
-    # AcceptableOptions::OptionSet equivalent (stark.rs:905-907)
+    # AcceptableOptions::OptionSet equivalent (stark.rs:199-201)
     if opt_tuple != (
         opts.num_queries, opts.blowup, opts.grinding, opts.folding,
         opts.max_remainder_degree,

@@ -3,13 +3,13 @@
 Mirrors the reference's winterfell backend (``/root/reference/src/backend/stark.rs``):
 
 * ``ImprovementAir`` — 1 column x 8 rows linear-interpolation trace, one
-  degree-1 transition constraint ``next - current - step`` (stark.rs:769-782)
-  and two boundary assertions (first=old, last=new, stark.rs:784-789).
+  degree-1 transition constraint ``next - current - step`` (stark.rs:63-76)
+  and two boundary assertions (first=old, last=new, stark.rs:78-83).
 * ``step = (new - old) / (trace_length - 1)`` computed in f128
-  (stark.rs:866-871), so the trace interpolates exactly.
+  (stark.rs:160-175), so the trace interpolates exactly.
 * Byte interface: ``prove(data)`` takes ``[old:8 LE][new:8 LE]`` and
   ``verify(proof, data)`` the same, per the ``ZkpBackend`` impl
-  (stark.rs:921-958).
+  (stark.rs:215-252).
 """
 
 from __future__ import annotations
@@ -50,7 +50,7 @@ class ImprovementAir(stark.Air):
         ]
 
 
-TRACE_LENGTH = 8  # stark.rs:863
+TRACE_LENGTH = 8  # stark.rs:157
 
 DEFAULT_OPTIONS = stark.ProofOptions(
     num_queries=32, blowup=8, grinding=0, folding=8, max_remainder_degree=31
@@ -79,7 +79,7 @@ def _prove_native(pairs) -> List[bytes]:
 
 
 def prove_improvement(old: int, new: int) -> bytes:
-    """Generate a STARK proof that ``new > old`` (stark.rs:857-892)."""
+    """Generate a STARK proof that ``new > old`` (stark.rs:151-186)."""
     if new <= old:
         raise ValueError("new value must be greater than old value")
     if _use_native_stark():
@@ -250,7 +250,7 @@ def prove_improvement_batch(pairs) -> List[bytes]:
 
 
 def verify_improvement(proof_bytes: bytes, old: int, new: int) -> bool:
-    """Verify with public inputs [old, new] (stark.rs:894-918). Never raises."""
+    """Verify with public inputs [old, new] (stark.rs:188-212). Never raises."""
     try:
         air = ImprovementAir(TRACE_LENGTH, [old, new], DEFAULT_OPTIONS)
     except Exception:
@@ -270,7 +270,7 @@ def verify_improvement(proof_bytes: bytes, old: int, new: int) -> bool:
 
 
 class StarkBackend:
-    """Byte-oriented ZkpBackend interface (stark.rs:921-958)."""
+    """Byte-oriented ZkpBackend interface (stark.rs:215-252)."""
 
     @staticmethod
     def prove(data: bytes) -> bytes:

@@ -646,16 +646,26 @@ def groth16_h(
     key = (n, n_constraints, n_instance, p, root, coset_g, csr)
     h = _g16h_handles.get(key)
     if h is None:
-        (ap, ai, ac, an), (bp, bi, bc, bn_), (cp, ci, cc, cn) = csr
-        h = _lib.zkp_groth16_h_register(
-            n, n_constraints, n_instance, len(z),
-            p.to_bytes(32, "little"), (root % p).to_bytes(32, "little"),
-            (coset_g % p).to_bytes(32, "little"),
-            ap, ai, ac, an, bp, bi, bc, bn_, cp, ci, cc, cn,
-        )
-        if len(_g16h_handles) > 64:
-            _g16h_handles.clear()  # unbounded-growth guard; handles leak rarely
-        _g16h_handles[key] = h
+        with _reg_lock:
+            h = _g16h_handles.get(key)
+            if h is None:
+                # Native contexts (CSR + power tables) are never freed, so cap
+                # registrations instead of evicting: past the cap a new circuit
+                # shape is refused and the caller falls back to the non-fused
+                # path (groth16_spmv + ntt) rather than leaking native memory.
+                if len(_g16h_handles) >= _MAX_FIXED_BASES:
+                    raise MemoryError(
+                        "groth16_h circuit registry full "
+                        f"({_MAX_FIXED_BASES} circuits); use the unfused path"
+                    )
+                (ap, ai, ac, an), (bp, bi, bc, bn_), (cp, ci, cc, cn) = csr
+                h = _lib.zkp_groth16_h_register(
+                    n, n_constraints, n_instance, len(z),
+                    p.to_bytes(32, "little"), (root % p).to_bytes(32, "little"),
+                    (coset_g % p).to_bytes(32, "little"),
+                    ap, ai, ac, an, bp, bi, bc, bn_, cp, ci, cc, cn,
+                )
+                _g16h_handles[key] = h
     zb = b"".join((v % p).to_bytes(32, "little") for v in z)
     out = ctypes.create_string_buffer(32 * (n - 1))
     rc = _lib.zkp_groth16_h_run(h, zb, out)

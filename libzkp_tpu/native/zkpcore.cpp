@@ -11,13 +11,13 @@
 
 #include <algorithm>
 #include <array>
+#include <atomic>
 #include <cstdint>
-#include <cstdio>
 #include <cstdlib>
-#include <ctime>
 #include <deque>
 #include <cstring>
 #include <map>
+#include <memory>
 #include <mutex>
 #include <vector>
 
@@ -934,7 +934,11 @@ static inline bfq8 bfq8_sub(const bfq8& a, const bfq8& b) {
     bfq8_reduce2q(r.v);
     return r;
 }
-// lane-conditional negate: mask ? (2q - a) : a
+// lane-conditional negate: mask ? (2q - a) : a.
+// PRECONDITION: every selected lane must be nonzero mod q — a zero input
+// returns exactly 2q, outside the documented <2q domain (and
+// bfq8_is_zero_mask would misclassify 2q as nonzero). Current callers
+// only negate affine y-coordinates of valid BN254 table points (never 0).
 static inline bfq8 bfq8_cneg(const bfq8& a, __mmask8 mask) {
     __m512i t[5];
     for (int i = 0; i < 5; i++)
@@ -2200,16 +2204,21 @@ static bfq12 final_exp_hard_chain(const bfq12& m) {
 static bfq12 final_exp(const bfq12& f) {
     bfq12 f1 = bfq12_mul(bfq12_conj(f), bfq12_inv(f));
     bfq12 f2 = bfq12_mul(bfq12_frob(bfq12_frob(f1)), f1);
-    static int hard_ok = -1;  // -1 unvalidated, 1 chain ok, 0 fall back
-    if (hard_ok == 1) return final_exp_hard_chain(f2);
-    if (hard_ok == 0)
+    // -1 unvalidated, 1 chain ok, 0 fall back; atomic: ctypes releases the
+    // GIL, so concurrent pairings may race here (all writers agree, relaxed
+    // ordering suffices)
+    static std::atomic<int> hard_ok{-1};
+    int hv = hard_ok.load(std::memory_order_relaxed);
+    if (hv == 1) return final_exp_hard_chain(f2);
+    if (hv == 0)
         return bfq12_pow_naf_cyclo(f2, BN_HARD_EXP.data(),
                                    (int)BN_HARD_EXP.size());
     bfq12 generic = bfq12_pow_naf_cyclo(f2, BN_HARD_EXP.data(),
                                         (int)BN_HARD_EXP.size());
     if (!bfq12_eq(f2, bfq12_one())) {
         bfq12 chain = final_exp_hard_chain(f2);
-        hard_ok = bfq12_eq(chain, generic) ? 1 : 0;
+        hard_ok.store(bfq12_eq(chain, generic) ? 1 : 0,
+                      std::memory_order_relaxed);
     }
     return generic;
 }
@@ -3517,18 +3526,27 @@ u256 mx_inv(const mctx& c, const u256& a_mont) {
 // Per-stage twiddles are constant per (modulus, n, root), so they build once
 // into a process cache: the per-butterfly `w *= wlen` update (n/2 * log n
 // muls — half the NTT's multiplications) becomes a table read.
-static std::map<std::vector<uint8_t>, std::vector<u256>> NTT_TW_CACHE;
+static std::map<std::vector<uint8_t>,
+                std::shared_ptr<const std::vector<u256>>> NTT_TW_CACHE;
 static std::mutex NTT_TW_MU;
+// Keyed by caller-supplied (modulus, n, root) through the public zkp_ntt
+// entry point, so the cache is capped: past the cap tables are built
+// per-call and returned uncached (correct, just slower for that caller).
+static constexpr size_t NTT_TW_CACHE_MAX = 64;
 
-static const std::vector<u256>& ntt_twiddles(const mctx& c, uint64_t n,
-                                             const u256& root_m, int bits) {
+static std::shared_ptr<const std::vector<u256>> ntt_twiddles(
+    const mctx& c, uint64_t n, const u256& root_m, int bits) {
     std::vector<uint8_t> key(72);
     std::memcpy(key.data(), c.q.v, 32);
     std::memcpy(key.data() + 32, &n, 8);
     std::memcpy(key.data() + 40, root_m.v, 32);
-    std::lock_guard<std::mutex> lk(NTT_TW_MU);
-    auto it = NTT_TW_CACHE.find(key);
-    if (it != NTT_TW_CACHE.end()) return it->second;
+    {
+        std::lock_guard<std::mutex> lk(NTT_TW_MU);
+        auto it = NTT_TW_CACHE.find(key);
+        if (it != NTT_TW_CACHE.end()) return it->second;
+    }
+    // build OUTSIDE the lock so concurrent NTTs never serialize on the O(n)
+    // table construction; a racing builder just does redundant work once
     std::vector<u256> wlen(bits);
     if (bits > 0) {
         wlen[bits - 1] = root_m;
@@ -3545,10 +3563,13 @@ static const std::vector<u256>& ntt_twiddles(const mctx& c, uint64_t n,
             w = mx_mul(c, w, wlen[s]);
         }
     }
-    // entries are never evicted: concurrent NTTs hold references into the
-    // map (std::map nodes are reference-stable), and a process only ever
-    // touches a handful of (modulus, n, root) triples at ~n*32 B each
-    return NTT_TW_CACHE.emplace(std::move(key), std::move(tw)).first->second;
+    auto sp = std::make_shared<const std::vector<u256>>(std::move(tw));
+    std::lock_guard<std::mutex> lk(NTT_TW_MU);
+    auto it = NTT_TW_CACHE.find(key);
+    if (it != NTT_TW_CACHE.end()) return it->second;  // racing builder won
+    if (NTT_TW_CACHE.size() < NTT_TW_CACHE_MAX)
+        NTT_TW_CACHE.emplace(std::move(key), sp);
+    return sp;
 }
 
 void ntt_mont(const mctx& c, std::vector<u256>& a, const u256& root_m) {
@@ -3560,7 +3581,8 @@ void ntt_mont(const mctx& c, std::vector<u256>& a, const u256& root_m) {
         for (int b = 0; b < bits; b++) j |= ((i >> b) & 1) << (bits - 1 - b);
         if (j > i) std::swap(a[i], a[j]);
     }
-    const std::vector<u256>& tw = ntt_twiddles(c, n, root_m, bits);
+    auto tw_sp = ntt_twiddles(c, n, root_m, bits);
+    const std::vector<u256>& tw = *tw_sp;
     size_t off = 0;
     for (int s = 0; s < bits; s++) {
         uint64_t length = 2ULL << s;
@@ -5171,7 +5193,6 @@ static fe8 fe8_pow22523(const fe8& z) {
 
 // 8 lockstep RFC 9496 ENCODEs; out stride 32 bytes per lane.
 static void bp_compress8(const ge8& p, uint8_t* out) {
-    fe8 one = fe8_bcast(fe_one());
     fe8 sqrt_m1 = fe8_bcast(fe_frombytes(SQRT_M1_BYTES));
     fe8 u1 = fe8_mul(fe8_add(p.Z, p.Y), fe8_sub(p.Z, p.Y));
     fe8 u2 = fe8_mul(p.X, p.Y);
@@ -5226,7 +5247,6 @@ static void bp_compress8(const ge8& p, uint8_t* out) {
         fe sl = fe8_lane(s, lp);
         fe_tobytes(sl, out + 32 * lp);
     }
-    (void)one;
 }
 
 static inline ge8 ge8_from_pts(const ge a[8]) {

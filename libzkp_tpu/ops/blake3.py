@@ -1,7 +1,7 @@
 """BLAKE3-256 hash (pure-Python reference tier).
 
 The STARK backend's vector commitments use Blake3_256 like the reference's
-winterfell configuration (``/root/reference/src/backend/stark.rs:816-818``).
+winterfell configuration (``/root/reference/src/backend/stark.rs:5,110-111``).
 This module is the exact golden model; hot batched Merkle hashing is
 accelerated on host via the optional C++ kernel in ``native/`` when built.
 

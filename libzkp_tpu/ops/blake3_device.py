@@ -1,7 +1,7 @@
 """Device BLAKE3 tier: batched leaf hashing + Merkle levels as one jit.
 
 Maps the STARK commit hot loop (Blake3 Merkle trees over LDE rows —
-winterfell internals behind ``/root/reference/src/backend/stark.rs:816``)
+winterfell internals behind ``/root/reference/src/backend/stark.rs:110-111``)
 onto the accelerator: the compression function vectorizes over leaves as
 uint32 lanes on the VPU, and a whole power-of-two tree builds in log2(n)
 fused compress rounds. Differentially tested against the pure-Python

@@ -18,7 +18,7 @@ Design (TPU-first, SURVEY.md §7 step 1):
   SURVEY.md §2.3).
 
 Replaces the field cores of curve25519-dalek / ark-ff / winterfell f128
-(reference consumption: bulletproofs.rs:4-5, snark.rs:4-5, stark.rs:707-718).
+(reference consumption: bulletproofs.rs:4-5, snark.rs:4-5, stark.rs:4-12).
 """
 
 from __future__ import annotations

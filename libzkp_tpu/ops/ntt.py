@@ -1,7 +1,7 @@
 """Radix-2 NTT / polynomial engine.
 
 Replaces the reference's delegated polynomial math (winterfell LDE at
-``stark.rs:834-842``; ark-poly QAP domains inside ark-groth16, SURVEY.md §2.2)
+``stark.rs:113-114,119-127``; ark-poly QAP domains inside ark-groth16, SURVEY.md §2.2)
 with two tiers:
 
 * Host golden model on Python ints (exact, any field with enough 2-adicity).
@@ -364,6 +364,15 @@ def maybe_ntt_sharded(p: int, values, invert: bool = False):
     try:
         return ntt_sharded(p, values, mesh, invert=invert)
     except Exception:
+        import logging
+
+        logging.getLogger(__name__).warning(
+            "ntt_sharded failed for n=%d over %d-way shard axis; "
+            "degrading to the local tier",
+            len(values),
+            P_sh,
+            exc_info=True,
+        )
         return None
 
 

@@ -15,7 +15,7 @@ from libzkp_tpu.utils.errors import InvalidInput
 
 
 def test_stark_backend_roundtrip():
-    # reference stark.rs:964-972
+    # reference stark.rs:254-267
     data = (1).to_bytes(8, "little") + (8).to_bytes(8, "little")
     proof = StarkBackend.prove(data)
     assert proof

@@ -106,3 +106,23 @@ class TestValidation:
         assert validation.validate_improvement_params(1, 8) == 7
         with pytest.raises(InvalidInput):
             validation.validate_improvement_params(8, 8)
+
+
+class TestCitations:
+    def test_no_phantom_reference_citations(self):
+        """Every ``*.rs:line`` citation must fit inside the cited reference
+        file (guards against pasted line numbers from other sources)."""
+        import importlib.util
+        import os
+
+        path = os.path.join(
+            os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+            "scripts",
+            "check_citations.py",
+        )
+        if not os.path.isdir("/root/reference"):
+            pytest.skip("reference tree not mounted")
+        spec = importlib.util.spec_from_file_location("check_citations", path)
+        mod = importlib.util.module_from_spec(spec)
+        spec.loader.exec_module(mod)
+        assert mod.check() == []
