@@ -16,10 +16,14 @@
 #include <cstdlib>
 #include <deque>
 #include <cstring>
+#include <cstdio>
 #include <map>
 #include <memory>
 #include <mutex>
 #include <vector>
+#if defined(__linux__)
+#include <sys/mman.h>
+#endif
 
 #ifdef _OPENMP
 #include <omp.h>
@@ -2460,6 +2464,20 @@ struct fixed_tab {
     // planes: x.c0, x.c1, y.c0, y.c1 five limbs each). Empty when the IFMA
     // tier is compiled out or the curve has no vector kernel.
     std::vector<uint64_t> tab52;
+    // Table-of-multiples tier (ed25519 bulletproofs prove path): per window
+    // w (radix 2^cm, signed digits) and basis point i, the 2^(cm-1)
+    // multiples d * 2^(cm*w) * P_i for d = 1..2^(cm-1), cached-affine and
+    // padded to exactly two cache lines (128 B) so a gathered entry costs a
+    // fixed two-line fetch. Layout: tabm[((w * n + i) << (cm-1)) + |d| - 1].
+    // An MSM insert is then one gather + one accumulator mixed-add: no
+    // bucket arenas, no scatters, no per-window reduction — and the radix
+    // is free to grow with available RAM (the working set is RAM-resident
+    // and latency-hidden with hugepages + software prefetch). Built lazily
+    // by ensure_tabm_ed(); empty = tier disabled.
+    int cm = 0, nwin_m = 0;
+    int tabm_ready = 0;  // mutated only under TABM_MUTEX, read after ensure
+    std::vector<uint64_t> tabm;  // 16 qwords/entry: ymx[5] ypx[5] t2d[5] pad
+    size_t tabm_off = 0;         // qword offset aligning entry 0 to 128 B
 };
 
 int pick_window(uint64_t n) {
@@ -4882,6 +4900,27 @@ struct merlin_t {
     }
 };
 
+// Montgomery-trick batch inversion: inverts n nonzero scalars with one
+// sc_inv and 3(n-1) multiplications (the 8-lane prover inverts its per-round
+// IPP challenges and y's across lanes in one shot instead of 8 pow chains).
+static void sc_inv_batch(sc* vals, int n) {
+    if (n <= 0) return;
+    if (n == 1) {
+        vals[0] = sc_inv(vals[0]);
+        return;
+    }
+    std::vector<sc> pref(n);
+    pref[0] = vals[0];
+    for (int i = 1; i < n; i++) pref[i] = sc_mul(pref[i - 1], vals[i]);
+    sc inv = sc_inv(pref[n - 1]);
+    for (int i = n - 1; i > 0; i--) {
+        sc vi = sc_mul(inv, pref[i - 1]);
+        inv = sc_mul(inv, vals[i]);
+        vals[i] = vi;
+    }
+    vals[0] = inv;
+}
+
 // -- signed-digit sparse MSM over a registered fixed table ------------------
 
 // Recode a canonical scalar (< 2^253) into ft.nwin signed base-2^c digits in
@@ -4976,6 +5015,139 @@ static void bp_compress(const ge& p, uint8_t* out) {
     uint8_t wire[128];
     ge_to_wire(p, wire);
     zkp_ristretto_compress(wire, out);
+}
+
+// -- table-of-multiples MSM tier (ed25519 prove path) ------------------------
+// See the tabm comment in fixed_tab. Default radix 2^12 (22 windows for
+// 253-bit scalars): one big ed25519 basis table is 22*129*2048 entries
+// (~0.7 GB) built once in ~1 s; each MSM insert becomes gather + mixed-add
+// into a register accumulator, retiring the bucket arenas, scatters and
+// per-MSM suffix reductions of the bucket tier (msm_sparse/msm_sparse8).
+
+static std::mutex TABM_MUTEX;
+// The multiples table only pays off when many lockstep groups walk it (the
+// random-access working set is RAM-resident; a lone group reads it cold and
+// the 8x per-lane scalar work of a padded group swamps a small tail). The
+// batch entry point flips this on for batches of >= ZKP_TABM_MIN_BATCH
+// instances; the bucket tier keeps serving small batches.
+static thread_local bool TABM_ON = false;
+static const uint64_t ZKP_TABM_MIN_BATCH = 32;
+
+static int tabm_c_param() {
+    const char* e = std::getenv("LIBZKP_TABM_C");
+    int c = e ? std::atoi(e) : 12;
+    if (c <= 0) return 0;  // disabled: bucket tier everywhere
+    if (c < 8) c = 8;
+    if (c > 14) c = 14;
+    return c;
+}
+
+static void ensure_tabm_ed(fixed_tab<ge, edniels>& ft) {
+    if (ft.tabm_ready) return;
+    int cm = tabm_c_param();
+    std::lock_guard<std::mutex> lk(TABM_MUTEX);
+    if (ft.tabm_ready) return;
+    if (!cm || ft.nwin == 0 || ft.n == 0) {
+        ft.tabm_ready = 1;  // disabled / degenerate table: stay on buckets
+        return;
+    }
+    const int half = 1 << (cm - 1);
+    const int nwin_m = (254 + cm - 1) / cm;
+    const uint64_t n = ft.n;
+    // window bases: base[w][i] = 2^(cm*w) * P_i (tab_pt row 0 = originals,
+    // with is_inf slots parked on a placeholder — harmless, never read)
+    std::vector<ge> bases((size_t)nwin_m * n);
+    for (uint64_t i = 0; i < n; i++) bases[i] = ft.tab_pt[i];
+    for (int w = 1; w < nwin_m; w++)
+        for (uint64_t i = 0; i < n; i++) {
+            ge p = bases[(size_t)(w - 1) * n + i];
+            for (int k = 0; k < cm; k++) p = ge_double(p);
+            bases[(size_t)w * n + i] = p;
+        }
+    std::vector<uint64_t> tabm((size_t)nwin_m * n * half * 16 + 16);
+    size_t tabm_off =
+        (128 - ((uintptr_t)tabm.data() & 127)) % 128 / sizeof(uint64_t);
+#if defined(__linux__)
+    {
+        // Back the table with transparent hugepages: at ~0.7 GB of randomly
+        // gathered entries, 4 KiB TLB misses would otherwise dominate.
+        uintptr_t lo = ((uintptr_t)tabm.data() + 4095) & ~(uintptr_t)4095;
+        uintptr_t hi = ((uintptr_t)(tabm.data() + tabm.size())) & ~(uintptr_t)4095;
+        if (hi > lo) madvise((void*)lo, hi - lo, MADV_HUGEPAGE);
+    }
+#endif
+#ifdef _OPENMP
+#pragma omp parallel for schedule(dynamic, 4)
+#endif
+    for (int64_t pair = 0; pair < (int64_t)(nwin_m * n); pair++) {
+        const ge& base = bases[pair];
+        std::vector<ge> row(half);
+        row[0] = base;
+        for (int d = 1; d < half; d++) row[d] = ge_add(row[d - 1], base);
+        std::vector<edniels> affs;
+        ge_normalize(row, affs);
+        uint64_t* dst = tabm.data() + tabm_off + (size_t)pair * half * 16;
+        for (int d = 0; d < half; d++) {
+            std::memcpy(dst + (size_t)d * 16, &affs[d], sizeof(edniels));
+            dst[(size_t)d * 16 + 15] = 0;
+        }
+    }
+    ft.tabm.swap(tabm);
+    ft.tabm_off = tabm_off;
+    ft.cm = cm;
+    ft.nwin_m = nwin_m;
+    ft.tabm_ready = 1;
+}
+
+// Sparse fixed-table MSM over the multiples table: scalar (1-lane) tier.
+// Entries live in RAM (the table far exceeds cache), so each insert's
+// two-line entry is software-prefetched a few iterations ahead of its
+// mixed-add.
+static ge msm_tab1(const fixed_tab<ge, edniels>& ft, const int* cols,
+                   const sc* scals, int nnz, bp_scratch& scr) {
+    const int cm = ft.cm, nwin = ft.nwin_m;
+    if (scr.digs.size() < (size_t)nnz * nwin)
+        scr.digs.resize((size_t)nnz * nwin);
+    for (int j = 0; j < nnz; j++)
+        sc_recode_signed(scals[j], cm, nwin, scr.digs.data() + (size_t)j * nwin);
+    const uint8_t* base = (const uint8_t*)(ft.tabm.data() + ft.tabm_off);
+    const int PD = 8;  // prefetch distance (inserts)
+    auto entry_off = [&](int w, int j) -> int64_t {
+        int d = scr.digs[(size_t)j * nwin + w];
+        if (!d || ft.is_inf[cols[j]]) return -1;
+        uint64_t idx = (uint64_t)((d > 0 ? d : -d) - 1);
+        return (int64_t)(((((uint64_t)w * ft.n + cols[j]) << (cm - 1)) + idx)
+                         << 7);
+    };
+    auto prefetch_at = [&](int w, int j) {
+        if (j >= nnz) {
+            j -= nnz;
+            if (++w >= nwin) return;
+        }
+        int64_t off = entry_off(w, j);
+        if (off < 0) return;
+        _mm_prefetch((const char*)(base + off), _MM_HINT_T0);
+        _mm_prefetch((const char*)(base + off + 64), _MM_HINT_T0);
+    };
+    for (int j = 0; j < nnz && j < PD; j++) prefetch_at(0, j);
+    ge acc = ge_identity();
+    for (int w = 0; w < nwin; w++) {
+        for (int j = 0; j < nnz; j++) {
+            prefetch_at(w, j + PD);
+            int64_t off = entry_off(w, j);
+            if (off < 0) continue;
+            const edniels& e = *(const edniels*)(base + off);
+            int d = scr.digs[(size_t)j * nwin + w];
+            acc = (d > 0) ? ge_madd(acc, e) : ge_madd(acc, edniels_neg(e));
+        }
+    }
+    return acc;
+}
+
+static inline ge msm_slot(const fixed_tab<ge, edniels>& ft, const int* cols,
+                          const sc* scals, int nnz, bp_scratch& scr) {
+    if (TABM_ON && !ft.tabm.empty()) return msm_tab1(ft, cols, scals, nnz, scr);
+    return msm_sparse(ft, cols, scals, nnz, scr);
 }
 
 // -- AVX-512 IFMA 8-lane field tier ------------------------------------------
@@ -5192,7 +5364,20 @@ static fe8 fe8_pow22523(const fe8& z) {
 }
 
 // 8 lockstep RFC 9496 ENCODEs; out stride 32 bytes per lane.
+// Optional coarse profile of the batch prover (LIBZKP_BP_PROF=1): cycles in
+// MSM inserts vs Ristretto compression, per zkp_bp_prove_batch call.
+static std::atomic<uint64_t> BP_PROF_MSM{0}, BP_PROF_COMP{0};
+static inline uint64_t bp_prof_now() {
+    return __builtin_ia32_rdtsc();
+}
+static bool bp_prof_on() {
+    static int on = -1;
+    if (on < 0) on = std::getenv("LIBZKP_BP_PROF") ? 1 : 0;
+    return on == 1;
+}
+
 static void bp_compress8(const ge8& p, uint8_t* out) {
+    uint64_t t0 = bp_prof_on() ? bp_prof_now() : 0;
     fe8 sqrt_m1 = fe8_bcast(fe_frombytes(SQRT_M1_BYTES));
     fe8 u1 = fe8_mul(fe8_add(p.Z, p.Y), fe8_sub(p.Z, p.Y));
     fe8 u2 = fe8_mul(p.X, p.Y);
@@ -5247,6 +5432,7 @@ static void bp_compress8(const ge8& p, uint8_t* out) {
         fe sl = fe8_lane(s, lp);
         fe_tobytes(sl, out + 32 * lp);
     }
+    if (t0) BP_PROF_COMP += bp_prof_now() - t0;
 }
 
 static inline ge8 ge8_from_pts(const ge a[8]) {
@@ -5456,6 +5642,136 @@ static void msm_sparse8(const fixed_tab<ge, edniels>& ft, const int* cols,
         }
     }
 }
+// Sparse fixed-table MSM over the multiples table, 8 lanes in lockstep.
+// Per (window, column): gather each lane's digit-selected multiple from
+// tabm (masked lanes receive the cached-affine identity (1, 1, 0), which
+// the unified mixed-add passes through), blend per-lane negation, one
+// ge8_madd into a register accumulator. No bucket arena, no scatters, no
+// reduction pass.
+static void msm_tab8(const fixed_tab<ge, edniels>& ft, const int* cols,
+                     const sc* scals8, int nnz, bp_scratch8& scr, ge out[8]) {
+    const int cm = ft.cm, nwin = ft.nwin_m;
+    scr.digs.resize((size_t)nnz * nwin * 8);
+    {
+        std::vector<int16_t> tmp(nwin);
+        for (int j = 0; j < nnz; j++)
+            for (int p = 0; p < 8; p++) {
+                sc_recode_signed(scals8[j * 8 + p], cm, nwin, tmp.data());
+                for (int w = 0; w < nwin; w++)
+                    scr.digs[((size_t)j * nwin + w) * 8 + p] = tmp[w];
+            }
+    }
+    const uint8_t* base = (const uint8_t*)(ft.tabm.data() + ft.tabm_off);
+    const __m512i vzero = _mm512_setzero_si512();
+    const __m512i vone64 = _mm512_set1_epi64(1);
+    static const int PD = [] {  // prefetch distance: entries live in RAM
+        const char* e = std::getenv("LIBZKP_TABM_PD");
+        int v = e ? std::atoi(e) : 8;
+        return v < 0 ? 0 : (v > 64 ? 64 : v);
+    }();
+    auto prefetch_at = [&](int w, int j) {
+        if (j >= nnz) {
+            j -= nnz;
+            if (++w >= nwin) return;
+        }
+        if (ft.is_inf[cols[j]]) return;
+        const int16_t* dj = &scr.digs[((size_t)j * nwin + w) * 8];
+        uint64_t ebase = (((uint64_t)w * ft.n + cols[j]) << (cm - 1));
+        for (int p = 0; p < 8; p++) {
+            int d = dj[p];
+            if (!d) continue;
+            const char* a =
+                (const char*)(base +
+                              ((ebase + (uint64_t)((d > 0 ? d : -d) - 1))
+                               << 7));
+            _mm_prefetch(a, _MM_HINT_T0);
+            _mm_prefetch(a + 64, _MM_HINT_T0);
+        }
+    };
+    // gather fill for masked lanes: identity edniels = (ymx=1, ypx=1, t2d=0)
+    // -> plane 0 (ymx limb 0) and plane 5 (ypx limb 0) read 1, rest 0.
+    ge8 acc;
+    for (int i = 0; i < 5; i++) {
+        __m512i z = vzero;
+        __m512i o = _mm512_set1_epi64((long long)(i == 0 ? 1 : 0));
+        acc.X.v[i] = z;
+        acc.Y.v[i] = o;
+        acc.Z.v[i] = o;
+        acc.T.v[i] = z;
+    }
+    for (int j = 0; j < nnz && j < PD; j++) prefetch_at(0, j);
+    for (int w = 0; w < nwin; w++) {
+        const uint64_t wbase = ((uint64_t)w * ft.n) << (cm - 1);
+        for (int j = 0; j < nnz; j++) {
+            prefetch_at(w, j + PD);
+            __m128i d16 = _mm_loadu_si128(
+                (const __m128i*)&scr.digs[((size_t)j * nwin + w) * 8]);
+            __m512i d = _mm512_cvtepi16_epi64(d16);
+            __mmask8 m = _mm512_cmpneq_epi64_mask(d, vzero);
+            if (!m) continue;
+            if (ft.is_inf[cols[j]]) continue;
+            __mmask8 neg = _mm512_cmplt_epi64_mask(d, vzero);
+            __m512i idx = _mm512_sub_epi64(_mm512_abs_epi64(d), vone64);
+            // entry byte offset: (wbase + (col << (cm-1)) + idx) * 128
+            uint64_t ebase = wbase + ((uint64_t)cols[j] << (cm - 1));
+            __m512i eidx = _mm512_add_epi64(idx, _mm512_set1_epi64(ebase));
+            __m512i off = _mm512_slli_epi64(eidx, 7);
+            fe8 ymx, ypx, t2d;
+            for (int l = 0; l < 5; l++) {
+                __m512i a0 = _mm512_add_epi64(off, _mm512_set1_epi64(8 * l));
+                __m512i a1 =
+                    _mm512_add_epi64(off, _mm512_set1_epi64(8 * (5 + l)));
+                __m512i a2 =
+                    _mm512_add_epi64(off, _mm512_set1_epi64(8 * (10 + l)));
+                __m512i fill = (l == 0) ? vone64 : vzero;
+                ymx.v[l] = _mm512_mask_i64gather_epi64(fill, m, a0, base, 1);
+                ypx.v[l] = _mm512_mask_i64gather_epi64(fill, m, a1, base, 1);
+                t2d.v[l] = _mm512_mask_i64gather_epi64(vzero, m, a2, base, 1);
+            }
+            // negated lanes: (ymx, ypx, t2d) -> (ypx, ymx, -t2d). Negating
+            // t2d = 0 (masked lanes) stays a multiple of p: harmless.
+            fe8 t2dn;
+            {
+                fe8 z8;
+                for (int l = 0; l < 5; l++) z8.v[l] = vzero;
+                t2dn = fe8_sub(z8, t2d);
+            }
+            fe8 bymx, bypx, bt2d;
+            for (int l = 0; l < 5; l++) {
+                bymx.v[l] = _mm512_mask_blend_epi64(neg, ymx.v[l], ypx.v[l]);
+                bypx.v[l] = _mm512_mask_blend_epi64(neg, ypx.v[l], ymx.v[l]);
+                bt2d.v[l] = _mm512_mask_blend_epi64(neg, t2d.v[l], t2dn.v[l]);
+            }
+            acc = ge8_madd(acc, bymx, bypx, bt2d);
+        }
+    }
+    alignas(64) uint64_t lane[8];
+    for (int p = 0; p < 8; p++) {
+        ge r;
+        for (int i = 0; i < 5; i++) {
+            _mm512_store_si512(lane, acc.X.v[i]);
+            r.X.v[i] = lane[p];
+            _mm512_store_si512(lane, acc.Y.v[i]);
+            r.Y.v[i] = lane[p];
+            _mm512_store_si512(lane, acc.Z.v[i]);
+            r.Z.v[i] = lane[p];
+            _mm512_store_si512(lane, acc.T.v[i]);
+            r.T.v[i] = lane[p];
+        }
+        out[p] = r;
+    }
+}
+
+static inline void msm_slot8(const fixed_tab<ge, edniels>& ft, const int* cols,
+                             const sc* scals8, int nnz, bp_scratch8& scr,
+                             ge out[8]) {
+    uint64_t t0 = bp_prof_on() ? bp_prof_now() : 0;
+    if (TABM_ON && !ft.tabm.empty())
+        msm_tab8(ft, cols, scals8, nnz, scr, out);
+    else
+        msm_sparse8(ft, cols, scals8, nnz, scr, out);
+    if (t0) BP_PROF_MSM += bp_prof_now() - t0;
+}
 #endif  // ZKP_HAVE_IFMA8
 
 // -- per-proof pipeline ------------------------------------------------------
@@ -5509,7 +5825,7 @@ static int bp_prove_one(const fixed_tab<ge, edniels>& vs,
     {
         int cols[2] = {0, 1};
         sc svec[2] = {val_sc, gamma};
-        ge V = msm_sparse(vs, cols, svec, 2, scr);
+        ge V = msm_slot(vs, cols, svec, 2, scr);
         bp_compress(V, out_v);
     }
     bool v_zero = true;
@@ -5521,7 +5837,7 @@ static int bp_prove_one(const fixed_tab<ge, edniels>& vs,
     ge A;
     {
         int col0 = 0;
-        A = msm_sparse(as_tab, &col0, &a_blind, 1, scr);
+        A = msm_slot(as_tab, &col0, &a_blind, 1, scr);
         const edniels* row0 = as_tab.tab.data();
         const ge* prow0 = as_tab.tab_pt.data();
         bool started = !sc_is_zero(a_blind);
@@ -5555,7 +5871,7 @@ static int bp_prove_one(const fixed_tab<ge, edniels>& vs,
             cols[1 + n + i] = 1 + n + i;
             svec[1 + n + i] = s_R[i];
         }
-        S = msm_sparse(as_tab, cols.data(), svec.data(), 2 * n + 1, scr);
+        S = msm_slot(as_tab, cols.data(), svec.data(), 2 * n + 1, scr);
     }
 
     uint8_t A_c[32], S_c[32];
@@ -5595,8 +5911,8 @@ static int bp_prove_one(const fixed_tab<ge, edniels>& vs,
         int cols[2] = {0, 1};
         sc v1[2] = {t1, t1b};
         sc v2[2] = {t2, t2b};
-        bp_compress(msm_sparse(vs, cols, v1, 2, scr), T1_c);
-        bp_compress(msm_sparse(vs, cols, v2, 2, scr), T2_c);
+        bp_compress(msm_slot(vs, cols, v1, 2, scr), T1_c);
+        bp_compress(msm_slot(vs, cols, v2, 2, scr), T2_c);
     }
     t.append("T_1", T1_c, 32);
     t.append("T_2", T2_c, 32);
@@ -5670,7 +5986,7 @@ static int bp_prove_one(const fixed_tab<ge, edniels>& vs,
         cols[nnz] = 2 * n;
         svec[nnz++] = sc_mul(cL, w);
         uint8_t L_c[32], R_c[32];
-        bp_compress(msm_sparse(ipp_tab, cols.data(), svec.data(), nnz, scr),
+        bp_compress(msm_slot(ipp_tab, cols.data(), svec.data(), nnz, scr),
                     L_c);
         nnz = 0;
         for (int k = 0; k < n; k++) {
@@ -5685,7 +6001,7 @@ static int bp_prove_one(const fixed_tab<ge, edniels>& vs,
         }
         cols[nnz] = 2 * n;
         svec[nnz++] = sc_mul(cR, w);
-        bp_compress(msm_sparse(ipp_tab, cols.data(), svec.data(), nnz, scr),
+        bp_compress(msm_slot(ipp_tab, cols.data(), svec.data(), nnz, scr),
                     R_c);
         std::memcpy(lr, L_c, 32);
         std::memcpy(lr + 32, R_c, 32);
@@ -5973,7 +6289,7 @@ static int bp_prove_eight(const fixed_tab<ge, edniels>& vs,
             sv[1 * 8 + p] = gamma[p];
         }
         ge V[8];
-        msm_sparse8(vs, cols, sv.data(), 2, scr8, V);
+        msm_slot8(vs, cols, sv.data(), 2, scr8, V);
         bp_compress8(ge8_from_pts(V), out_v);
     }
     for (int p = 0; p < 8; p++) {
@@ -5988,7 +6304,7 @@ static int bp_prove_eight(const fixed_tab<ge, edniels>& vs,
         ge A_pts[8];
         for (int p = 0; p < 8; p++) {
             int col0 = 0;
-            ge A = msm_sparse(as_tab, &col0, &a_blind[p], 1, scr);
+            ge A = msm_slot(as_tab, &col0, &a_blind[p], 1, scr);
             const edniels* row0 = as_tab.tab.data();
             const ge* prow0 = as_tab.tab_pt.data();
             bool started = !sc_is_zero(a_blind[p]);
@@ -6029,7 +6345,7 @@ static int bp_prove_eight(const fixed_tab<ge, edniels>& vs,
             }
         }
         ge S[8];
-        msm_sparse8(as_tab, cols.data(), sv.data(), 2 * n + 1, scr8, S);
+        msm_slot8(as_tab, cols.data(), sv.data(), 2 * n + 1, scr8, S);
         bp_compress8(ge8_from_pts(S), &S_c[0][0]);
     }
 
@@ -6074,13 +6390,13 @@ static int bp_prove_eight(const fixed_tab<ge, edniels>& vs,
             sv[0 * 8 + p] = t1v[p];
             sv[1 * 8 + p] = t1b[p];
         }
-        msm_sparse8(vs, cols, sv.data(), 2, scr8, T);
+        msm_slot8(vs, cols, sv.data(), 2, scr8, T);
         bp_compress8(ge8_from_pts(T), &T1_c[0][0]);
         for (int p = 0; p < 8; p++) {
             sv[0 * 8 + p] = t2v[p];
             sv[1 * 8 + p] = t2b[p];
         }
-        msm_sparse8(vs, cols, sv.data(), 2, scr8, T);
+        msm_slot8(vs, cols, sv.data(), 2, scr8, T);
         bp_compress8(ge8_from_pts(T), &T2_c[0][0]);
     }
 
@@ -6088,6 +6404,9 @@ static int bp_prove_eight(const fixed_tab<ge, edniels>& vs,
     std::vector<sc> av(8 * n), bv(8 * n), gc(8 * n), hc(8 * n);
     sc w[8];
     sc t_x[8], t_x_blinding[8], e_blinding[8];
+    sc y_inv8[8];
+    for (int p = 0; p < 8; p++) y_inv8[p] = y[p];
+    sc_inv_batch(y_inv8, 8);
     for (int p = 0; p < 8; p++) {
         t[p].append("T_1", T1_c[p], 32);
         t[p].append("T_2", T2_c[p], 32);
@@ -6109,7 +6428,7 @@ static int bp_prove_eight(const fixed_tab<ge, edniels>& vs,
         sc_tobytes(e_blinding[p], sb);
         t[p].append("e_blinding", sb, 32);
         w[p] = t[p].challenge_scalar("w");
-        sc y_inv = sc_inv(y[p]);
+        sc y_inv = y_inv8[p];
         sc yi = one;
         for (int i = 0; i < n; i++) {
             gc[p * n + i] = one;
@@ -6168,7 +6487,7 @@ static int bp_prove_eight(const fixed_tab<ge, edniels>& vs,
             for (int p = 0; p < 8; p++)
                 sv[nnz * 8 + p] = sc_mul(cL[p], w[p]);
             nnz++;
-            msm_sparse8(ipp_tab, cols.data(), sv.data(), nnz, scr8, Lp);
+            msm_slot8(ipp_tab, cols.data(), sv.data(), nnz, scr8, Lp);
         }
         // R lane
         {
@@ -6192,11 +6511,12 @@ static int bp_prove_eight(const fixed_tab<ge, edniels>& vs,
             for (int p = 0; p < 8; p++)
                 sv[nnz * 8 + p] = sc_mul(cR[p], w[p]);
             nnz++;
-            msm_sparse8(ipp_tab, cols.data(), sv.data(), nnz, scr8, Rp);
+            msm_slot8(ipp_tab, cols.data(), sv.data(), nnz, scr8, Rp);
         }
         uint8_t L_c8[8][32], R_c8[8][32];
         bp_compress8(ge8_from_pts(Lp), &L_c8[0][0]);
         bp_compress8(ge8_from_pts(Rp), &R_c8[0][0]);
+        sc u8[8], u_inv8[8];
         for (int p = 0; p < 8; p++) {
             const uint8_t* L_c = L_c8[p];
             const uint8_t* R_c = R_c8[p];
@@ -6205,8 +6525,13 @@ static int bp_prove_eight(const fixed_tab<ge, edniels>& vs,
             std::memcpy(lr + 32, R_c, 32);
             t[p].append("L", L_c, 32);
             t[p].append("R", R_c, 32);
-            sc u = t[p].challenge_scalar("u");
-            sc u_inv = sc_inv(u);
+            u8[p] = t[p].challenge_scalar("u");
+            u_inv8[p] = u8[p];
+        }
+        sc_inv_batch(u_inv8, 8);
+        for (int p = 0; p < 8; p++) {
+            sc u = u8[p];
+            sc u_inv = u_inv8[p];
             for (int i = 0; i < half; i++) {
                 av[p * n + i] = sc_add(sc_mul(av[p * n + i], u),
                                        sc_mul(u_inv, av[p * n + half + i]));
@@ -6423,22 +6748,39 @@ int zkp_bp_prove_batch(int h_vs, int h_as, int h_ipp, uint64_t n,
                        const uint8_t* gammas, const uint8_t* rnd,
                        const uint8_t* transcripts, uint8_t* out_v,
                        uint8_t* out_proofs) {
-    const fixed_tab<ge, edniels>& vs = ED_FIXED[h_vs];
-    const fixed_tab<ge, edniels>& as_tab = ED_FIXED[h_as];
-    const fixed_tab<ge, edniels>& ipp_tab = ED_FIXED[h_ipp];
+    fixed_tab<ge, edniels>& vs = ED_FIXED[h_vs];
+    fixed_tab<ge, edniels>& as_tab = ED_FIXED[h_as];
+    fixed_tab<ge, edniels>& ipp_tab = ED_FIXED[h_ipp];
+    // Build the table-of-multiples tier once (before the parallel region so
+    // every worker sees a completed table); engage it for batches large
+    // enough to keep it warm across lockstep groups.
+    const bool want_tabm = batch >= ZKP_TABM_MIN_BATCH;
+    if (want_tabm) {
+        ensure_tabm_ed(vs);
+        ensure_tabm_ed(as_tab);
+        ensure_tabm_ed(ipp_tab);
+    }
     int rounds = 0;
     for (uint64_t m = n; m > 1; m >>= 1) rounds++;
     size_t plen = (9 + 2 * (size_t)rounds) * 32;
     size_t rstride = (2 * n + 4) * 64;
     int err = 0;
     uint64_t ngroups = 0;  // leading groups of 8 on the IFMA lockstep path
+    bool pad_tail = false;  // run the 1..7-instance tail as one padded group
 #ifdef ZKP_HAVE_IFMA8
-    if (!std::getenv("LIBZKP_NO_IFMA")) ngroups = batch / 8;
+    if (!std::getenv("LIBZKP_NO_IFMA")) {
+        ngroups = batch / 8;
+        // Within a large (warm-table) batch a padded 8-lane call beats
+        // 1..7 scalar tail pipelines; for small batches the per-lane
+        // scalar work of 8 lanes swamps the tail, so it stays scalar.
+        pad_tail = (batch % 8) != 0 && want_tabm && !as_tab.tabm.empty();
+    }
 #endif
 #ifdef _OPENMP
 #pragma omp parallel
 #endif
     {
+        TABM_ON = want_tabm && !as_tab.tabm.empty();
         bp_scratch scr;
 #ifdef ZKP_HAVE_IFMA8
         bp_scratch8 scr8;
@@ -6469,6 +6811,7 @@ int zkp_bp_prove_batch(int h_vs, int h_as, int h_ipp, uint64_t n,
 #pragma omp for schedule(dynamic, 1)
 #endif
         for (int64_t b = (int64_t)(ngroups * 8); b < (int64_t)batch; b++) {
+            if (pad_tail) continue;  // tail handled below as one padded group
             uint64_t value;
             std::memcpy(&value, values + 8 * b, 8);
             sc gamma = sc_frombytes(gammas + 32 * b);
@@ -6483,6 +6826,46 @@ int zkp_bp_prove_batch(int h_vs, int h_as, int h_ipp, uint64_t n,
             }
         }
     }
+#ifdef ZKP_HAVE_IFMA8
+    if (pad_tail && !err) {
+        // Duplicate the tail's instances into the dummy lanes (their outputs
+        // are discarded; reused randomness never leaves this call), prove
+        // all 8 lanes in lockstep, copy back the real lanes.
+        const uint64_t b0 = ngroups * 8, tail = batch - b0;
+        uint64_t value[8];
+        sc gamma[8];
+        std::vector<uint8_t> rnd8(rstride * 8), tr8(203 * 8);
+        std::vector<uint8_t> v8(32 * 8), p8(plen * 8);
+        for (int p = 0; p < 8; p++) {
+            uint64_t src = b0 + ((uint64_t)p < tail ? (uint64_t)p : tail - 1);
+            std::memcpy(&value[p], values + 8 * src, 8);
+            gamma[p] = sc_frombytes(gammas + 32 * src);
+            std::memcpy(rnd8.data() + rstride * p, rnd + rstride * src,
+                        rstride);
+            std::memcpy(tr8.data() + 203 * p, transcripts + 203 * src, 203);
+        }
+        bp_scratch scr;
+        bp_scratch8 scr8;
+        int rc = bp_prove_eight(vs, as_tab, ipp_tab, (int)n, value, gamma,
+                                rnd8.data(), rstride, tr8.data(), v8.data(),
+                                p8.data(), plen, scr8, scr);
+        if (rc) {
+            err = rc;
+        } else {
+            std::memcpy(out_v + 32 * b0, v8.data(), 32 * tail);
+            std::memcpy(out_proofs + plen * b0, p8.data(), plen * tail);
+        }
+    }
+#endif
+    if (bp_prof_on()) {
+        std::fprintf(stderr,
+                     "[bp_prof] batch=%llu msm=%.1fms comp=%.1fms (core-ms "
+                     "at 2.1GHz)\n",
+                     (unsigned long long)batch,
+                     BP_PROF_MSM.load() / 2.1e6, BP_PROF_COMP.load() / 2.1e6);
+        BP_PROF_MSM = 0;
+        BP_PROF_COMP = 0;
+    }
     return err;
 }
 
@@ -6494,7 +6877,9 @@ int zkp_bp_prove_batch(int h_vs, int h_as, int h_ipp, uint64_t n,
 int zkp_ed_pedersen_compressed(int h_vs, uint64_t count,
                                const uint8_t* scalars, uint8_t* out) {
 #ifdef ZKP_HAVE_IFMA8
-    const fixed_tab<ge, edniels>& vs = ED_FIXED[h_vs];
+    fixed_tab<ge, edniels>& vs = ED_FIXED[h_vs];
+    if (count >= ZKP_TABM_MIN_BATCH) ensure_tabm_ed(vs);
+    TABM_ON = count >= ZKP_TABM_MIN_BATCH && !vs.tabm.empty();
     bp_scratch8 scr;
     int cols[2] = {0, 1};
     for (uint64_t g0 = 0; g0 < count; g0 += 8) {
@@ -6506,7 +6891,7 @@ int zkp_ed_pedersen_compressed(int h_vs, uint64_t count,
             sv[1 * 8 + p] = sc_frombytes(scalars + 64 * src + 32);
         }
         ge V[8];
-        msm_sparse8(vs, cols, sv, 2, scr, V);
+        msm_slot8(vs, cols, sv, 2, scr, V);
         uint8_t c8[8][32];
         bp_compress8(ge8_from_pts(V), &c8[0][0]);
         for (int p = 0; p < gs; p++)
