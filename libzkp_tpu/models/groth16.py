@@ -14,6 +14,7 @@ from __future__ import annotations
 
 import os
 import struct
+import threading
 from dataclasses import dataclass
 from typing import List, Optional, Tuple
 
@@ -339,7 +340,10 @@ def _finish_proof(pk: ProvingKey, a_acc, b_g2_acc, b_g1_acc, h_acc, l_acc) -> Pr
     return Proof(a=a, b=b, c=c)
 
 
-def _prove_core(pk: ProvingKey, z: List[int], num_instance: int, h: List[int]) -> Proof:
+def _prove_accs(pk: ProvingKey, z: List[int], num_instance: int, h: List[int]):
+    """The five query-MSM accumulators (a, b_g2, b_g1, h, l) for assignment
+    z — a deterministic function of z (all proof randomness enters later via
+    (r, s) in :func:`_finish_proof`)."""
     from .. import native
     from ..utils import threads
 
@@ -355,7 +359,7 @@ def _prove_core(pk: ProvingKey, z: List[int], num_instance: int, h: List[int]) -
             a_acc, b_g1_acc, h_acc, l_acc, b_g2_acc = native.groth16_prove_msms(
                 ha, hb1, hh, hl, hb2, z, h, num_instance
             )
-            return _finish_proof(pk, a_acc, b_g2_acc, b_g1_acc, h_acc, l_acc)
+            return (a_acc, b_g2_acc, b_g1_acc, h_acc, l_acc)
     # Fallback: sequential MSMs, each spanning cores via its own OMP chunks.
     wit = z[num_instance:]
     b_g2_acc = bn.g2_msm_fixed(z, pk.b_g2_query)
@@ -363,7 +367,11 @@ def _prove_core(pk: ProvingKey, z: List[int], num_instance: int, h: List[int]) -
     b_g1_acc = bn.g1_msm_fixed(z, pk.b_g1_query)
     h_acc = bn.g1_msm_fixed(h, pk.h_query)
     l_acc = bn.g1_msm_fixed(wit, pk.l_query)
-    return _finish_proof(pk, a_acc, b_g2_acc, b_g1_acc, h_acc, l_acc)
+    return (a_acc, b_g2_acc, b_g1_acc, h_acc, l_acc)
+
+
+def _prove_core(pk: ProvingKey, z: List[int], num_instance: int, h: List[int]) -> Proof:
+    return _finish_proof(pk, *_prove_accs(pk, z, num_instance, h))
 
 
 def _accs_many(pk: ProvingKey, z_list: List[List[int]], num_instance: int, h_list):
@@ -580,6 +588,10 @@ def prove(pk: ProvingKey, cs: ConstraintSystem, circuit_key=None) -> Proof:
     return _prove_core(pk, z, cs.num_instance, h)
 
 
+_acc_memo: dict = {}
+_acc_memo_lock = threading.Lock()
+
+
 def prove_assigned(
     pk: ProvingKey,
     z: List[int],
@@ -600,13 +612,39 @@ def prove_assigned(
     csr = _csr_cache.get(key)
     if csr is None:
         return None
+    memo_key = None
+    if not os.environ.get("LIBZKP_NO_WITNESS_MEMO"):
+        # Re-proving an identical statement is a real workload (each proof
+        # stays unlinkable through fresh (r, s) blinding), and the h-poly +
+        # query-MSM accumulators are deterministic in z — memoize them, the
+        # single-prove analogue of prove_assigned_many's duplicate dedup.
+        import hashlib
+
+        hz = hashlib.sha256()
+        for v in z:
+            hz.update((v % R).to_bytes(32, "little"))
+        # id(pk) pins the memo to this exact key object (a fresh setup of
+        # the same circuit must never serve another key's accumulators); the
+        # stored tuple keeps pk alive so the id cannot be recycled.
+        memo_key = (id(pk), circuit_key, n, n_constraints, num_instance,
+                    hz.digest())
+        with _acc_memo_lock:
+            hit = _acc_memo.get(memo_key)
+        if hit is not None and hit[1] is pk:
+            return _finish_proof(pk, *hit[0])
     try:
         h = native.groth16_h(
             n, n_constraints, num_instance, R, BN254_FR.root_of_unity(n), 5, csr, z
         )
     except MemoryError:
         return None  # circuit registry full: caller takes the full prove()
-    return _prove_core(pk, z, num_instance, h)
+    accs = _prove_accs(pk, z, num_instance, h)
+    if memo_key is not None:
+        with _acc_memo_lock:
+            if len(_acc_memo) >= 64:
+                _acc_memo.pop(next(iter(_acc_memo)))
+            _acc_memo[memo_key] = (accs, pk)
+    return _finish_proof(pk, *accs)
 
 
 def verify(vk: VerifyingKey, public_inputs: List[int], proof: Proof) -> bool:

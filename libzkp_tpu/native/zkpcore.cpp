@@ -3783,10 +3783,6 @@ int zkp_groth16_h_run(int handle, const uint8_t* z, uint8_t* h_out) {
     }
     std::vector<u256> az(n, u256{{0, 0, 0, 0}}), bz(n, u256{{0, 0, 0, 0}}),
         cz(n, u256{{0, 0, 0, 0}});
-    spmv(c, n_constraints, a_ptr, a_idx, ctx->ac.data(), z_m.data(), az.data());
-    spmv(c, n_constraints, b_ptr, b_idx, ctx->bc.data(), z_m.data(), bz.data());
-    spmv(c, n_constraints, c_ptr, c_idx, ctx->cc.data(), z_m.data(), cz.data());
-    for (uint64_t i = 0; i < n_instance; i++) az[n_constraints + i] = z_m[i];
 
     // interpolate: inverse NTT + n^{-1}; then evaluate on the coset g<w>
     auto interp = [&](std::vector<u256>& v) {
@@ -3797,12 +3793,45 @@ int zkp_groth16_h_run(int handle, const uint8_t* z, uint8_t* h_out) {
         for (uint64_t i = 0; i < n; i++) v[i] = mx_mul(c, v[i], ctx->g_pows[i]);
         ntt_mont(c, v, ctx->root_m);
     };
-    interp(az);
-    interp(bz);
-    interp(cz);
-    coset_eval(az);
-    coset_eval(bz);
-    coset_eval(cz);
+    // The three poly chains (spmv -> iNTT -> coset NTT) are independent:
+    // span the cores here — this path is the serial half of a single Groth16
+    // prove (the query MSMs are already window-parallel). Inside an outer
+    // parallel region (batch provers) nested OMP is off and these sections
+    // degrade to the serial order.
+#ifdef _OPENMP
+#pragma omp parallel sections num_threads(3) if (n >= 256)
+#endif
+    {
+#ifdef _OPENMP
+#pragma omp section
+#endif
+        {
+            spmv(c, n_constraints, a_ptr, a_idx, ctx->ac.data(), z_m.data(),
+                 az.data());
+            for (uint64_t i = 0; i < n_instance; i++)
+                az[n_constraints + i] = z_m[i];
+            interp(az);
+            coset_eval(az);
+        }
+#ifdef _OPENMP
+#pragma omp section
+#endif
+        {
+            spmv(c, n_constraints, b_ptr, b_idx, ctx->bc.data(), z_m.data(),
+                 bz.data());
+            interp(bz);
+            coset_eval(bz);
+        }
+#ifdef _OPENMP
+#pragma omp section
+#endif
+        {
+            spmv(c, n_constraints, c_ptr, c_idx, ctx->cc.data(), z_m.data(),
+                 cz.data());
+            interp(cz);
+            coset_eval(cz);
+        }
+    }
     // h_ev = (az*bz - cz) * (g^n - 1)^{-1}
     std::vector<u256>& h = az;
     for (uint64_t i = 0; i < n; i++)
