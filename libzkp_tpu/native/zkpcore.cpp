@@ -5173,11 +5173,7 @@ static ge msm_tab1(const fixed_tab<ge, edniels>& ft, const int* cols,
     return acc;
 }
 
-static inline ge msm_slot(const fixed_tab<ge, edniels>& ft, const int* cols,
-                          const sc* scals, int nnz, bp_scratch& scr) {
-    if (TABM_ON && !ft.tabm.empty()) return msm_tab1(ft, cols, scals, nnz, scr);
-    return msm_sparse(ft, cols, scals, nnz, scr);
-}
+
 
 // -- AVX-512 IFMA 8-lane field tier ------------------------------------------
 // Eight curve25519 field elements per vector (lane p = proof p), 5 x 51-bit
@@ -5791,6 +5787,167 @@ static void msm_tab8(const fixed_tab<ge, edniels>& ft, const int* cols,
     }
 }
 
+// Single-instance sparse MSM with 8-wide conflict-free bucket inserts: the
+// counting-sort wavefront schedule (one insert per distinct bucket per
+// round, mirroring the BN254 batch-affine accumulator above) lets eight
+// *independent* bucket updates of ONE proof's MSM run per vector op — the
+// scalar prove path (sub-8 batch tails, consistency's 4 sub-proofs,
+// threshold singles) gets the lockstep tier's per-instance efficiency
+// without needing 8 proofs.
+static ge msm_sparse_v8(const fixed_tab<ge, edniels>& ft, const int* cols,
+                        const sc* scals, int nnz, bp_scratch& scr) {
+    const int c = ft.c, nwin = ft.nwin;
+    const uint32_t nbk = 1u << (c - 1);
+    if (scr.digs.size() < (size_t)nnz * nwin)
+        scr.digs.resize((size_t)nnz * nwin);
+    for (int j = 0; j < nnz; j++)
+        sc_recode_signed(scals[j], c, nwin, scr.digs.data() + (size_t)j * nwin);
+    struct Ins {
+        uint32_t bn;  // (bucket << 1) | negate
+        uint32_t t;   // index into ft.tab: w * n + col
+    };
+    std::vector<Ins> all;
+    all.reserve((size_t)nnz * nwin);
+    std::vector<uint32_t> cnt(nbk, 0);
+    for (int w = 0; w < nwin; w++) {
+        const size_t row = (size_t)w * ft.n;
+        for (int j = 0; j < nnz; j++) {
+            int16_t d = scr.digs[(size_t)j * nwin + w];
+            if (!d) continue;
+            if (ft.is_inf[cols[j]]) continue;
+            uint32_t b = d > 0 ? (uint32_t)d : (uint32_t)(-(int32_t)d);
+            all.push_back(
+                Ins{((b - 1) << 1) | (uint32_t)(d < 0),
+                    (uint32_t)(row + (uint32_t)cols[j])});
+            cnt[b - 1]++;
+        }
+    }
+    if (all.empty()) return ge_identity();
+    std::vector<uint32_t> off(nbk + 1, 0);
+    uint32_t maxmult = 0;
+    for (uint32_t b = 0; b < nbk; b++) {
+        off[b + 1] = off[b] + cnt[b];
+        if (cnt[b] > maxmult) maxmult = cnt[b];
+    }
+    std::vector<Ins> sorted(all.size());
+    {
+        std::vector<uint32_t> cursor(off.begin(), off.end() - 1);
+        for (const Ins& e : all) sorted[cursor[e.bn >> 1]++] = e;
+    }
+    std::vector<uint32_t> active;
+    active.reserve(nbk);
+    for (uint32_t b = 0; b < nbk; b++)
+        if (cnt[b]) active.push_back(b);
+    // identity-initialized bucket arena (AoS ge, 160 B stride — the same
+    // layout the lockstep tier scatters into)
+    scr.buckets.resize(nbk);
+    ge ident = ge_identity();
+    for (uint32_t b = 0; b < nbk; b++) scr.buckets[b] = ident;
+    uint8_t* barena = (uint8_t*)scr.buckets.data();
+    const uint8_t* tbase = (const uint8_t*)ft.tab.data();
+    const __m512i vzero = _mm512_setzero_si512();
+    alignas(64) uint64_t boff_l[8], toff_l[8];
+    for (uint32_t round = 0; round < maxmult && !active.empty(); round++) {
+        size_t na = 0;
+        const size_t nact = active.size();
+        for (size_t a0 = 0; a0 < nact; a0 += 8) {
+            int gs = (int)((nact - a0) < 8 ? (nact - a0) : 8);
+            __mmask8 m = (__mmask8)((1u << gs) - 1);
+            uint8_t negbits = 0;
+            for (int p = 0; p < gs; p++) {
+                uint32_t b = active[a0 + p];
+                const Ins& e = sorted[off[b] + round];
+                if (round + 1 < cnt[b]) active[na++] = b;
+                boff_l[p] = (uint64_t)b * 160;
+                uint64_t t = e.t;
+                toff_l[p] = (t << 7) - (t << 3);  // t * 120
+                if (e.bn & 1) negbits |= (uint8_t)(1u << p);
+            }
+            for (int p = gs; p < 8; p++) {
+                boff_l[p] = 0;
+                toff_l[p] = 0;
+            }
+            __mmask8 neg = (__mmask8)negbits;
+            __m512i boff = _mm512_load_si512(boff_l);
+            __m512i toff = _mm512_load_si512(toff_l);
+            ge8 acc;
+            for (int l = 0; l < 5; l++) {
+                __m512i a0v = _mm512_add_epi64(boff, _mm512_set1_epi64(8 * l));
+                __m512i a1v =
+                    _mm512_add_epi64(boff, _mm512_set1_epi64(8 * (5 + l)));
+                __m512i a2v =
+                    _mm512_add_epi64(boff, _mm512_set1_epi64(8 * (10 + l)));
+                __m512i a3v =
+                    _mm512_add_epi64(boff, _mm512_set1_epi64(8 * (15 + l)));
+                acc.X.v[l] =
+                    _mm512_mask_i64gather_epi64(vzero, m, a0v, barena, 1);
+                acc.Y.v[l] =
+                    _mm512_mask_i64gather_epi64(vzero, m, a1v, barena, 1);
+                acc.Z.v[l] =
+                    _mm512_mask_i64gather_epi64(vzero, m, a2v, barena, 1);
+                acc.T.v[l] =
+                    _mm512_mask_i64gather_epi64(vzero, m, a3v, barena, 1);
+            }
+            fe8 ymx, ypx, t2d;
+            const __m512i vone64 = _mm512_set1_epi64(1);
+            for (int l = 0; l < 5; l++) {
+                __m512i b0 = _mm512_add_epi64(toff, _mm512_set1_epi64(8 * l));
+                __m512i b1 =
+                    _mm512_add_epi64(toff, _mm512_set1_epi64(8 * (5 + l)));
+                __m512i b2 =
+                    _mm512_add_epi64(toff, _mm512_set1_epi64(8 * (10 + l)));
+                __m512i fill = (l == 0) ? vone64 : vzero;
+                ymx.v[l] = _mm512_mask_i64gather_epi64(fill, m, b0, tbase, 1);
+                ypx.v[l] = _mm512_mask_i64gather_epi64(fill, m, b1, tbase, 1);
+                t2d.v[l] = _mm512_mask_i64gather_epi64(vzero, m, b2, tbase, 1);
+            }
+            fe8 t2dn;
+            {
+                fe8 z8;
+                for (int l = 0; l < 5; l++) z8.v[l] = vzero;
+                t2dn = fe8_sub(z8, t2d);
+            }
+            fe8 bymx, bypx, bt2d;
+            for (int l = 0; l < 5; l++) {
+                bymx.v[l] = _mm512_mask_blend_epi64(neg, ymx.v[l], ypx.v[l]);
+                bypx.v[l] = _mm512_mask_blend_epi64(neg, ypx.v[l], ymx.v[l]);
+                bt2d.v[l] = _mm512_mask_blend_epi64(neg, t2d.v[l], t2dn.v[l]);
+            }
+            ge8 r = ge8_madd(acc, bymx, bypx, bt2d);
+            for (int l = 0; l < 5; l++) {
+                __m512i a0v = _mm512_add_epi64(boff, _mm512_set1_epi64(8 * l));
+                __m512i a1v =
+                    _mm512_add_epi64(boff, _mm512_set1_epi64(8 * (5 + l)));
+                __m512i a2v =
+                    _mm512_add_epi64(boff, _mm512_set1_epi64(8 * (10 + l)));
+                __m512i a3v =
+                    _mm512_add_epi64(boff, _mm512_set1_epi64(8 * (15 + l)));
+                _mm512_mask_i64scatter_epi64(barena, m, a0v, r.X.v[l], 1);
+                _mm512_mask_i64scatter_epi64(barena, m, a1v, r.Y.v[l], 1);
+                _mm512_mask_i64scatter_epi64(barena, m, a2v, r.Z.v[l], 1);
+                _mm512_mask_i64scatter_epi64(barena, m, a3v, r.T.v[l], 1);
+            }
+        }
+        active.resize(na);
+    }
+    // weighted suffix-sum over the bucket arena (identity buckets flow
+    // through the complete addition law)
+    ge running = ge_identity(), total = ge_identity();
+    bool run_set = false, tot_set = false;
+    for (int64_t b = (int64_t)nbk - 1; b >= 0; b--) {
+        if (cnt[b]) {
+            running =
+                run_set ? ge_add(running, scr.buckets[b]) : scr.buckets[b];
+            run_set = true;
+        }
+        if (run_set) {
+            total = tot_set ? ge_add(total, running) : running;
+            tot_set = true;
+        }
+    }
+    return tot_set ? total : ge_identity();
+}
+
 static inline void msm_slot8(const fixed_tab<ge, edniels>& ft, const int* cols,
                              const sc* scals8, int nnz, bp_scratch8& scr,
                              ge out[8]) {
@@ -5802,6 +5959,18 @@ static inline void msm_slot8(const fixed_tab<ge, edniels>& ft, const int* cols,
     if (t0) BP_PROF_MSM += bp_prof_now() - t0;
 }
 #endif  // ZKP_HAVE_IFMA8
+
+static inline ge msm_slot(const fixed_tab<ge, edniels>& ft, const int* cols,
+                          const sc* scals, int nnz, bp_scratch& scr) {
+    if (TABM_ON && !ft.tabm.empty()) return msm_tab1(ft, cols, scals, nnz, scr);
+#ifdef ZKP_HAVE_IFMA8
+    // the wavefront kernel needs enough independent inserts per round to
+    // fill its vector lanes; tiny slots (V/T/A) stay scalar
+    if (nnz >= 8 && !std::getenv("LIBZKP_NO_IFMA"))
+        return msm_sparse_v8(ft, cols, scals, nnz, scr);
+#endif
+    return msm_sparse(ft, cols, scals, nnz, scr);
+}
 
 // -- per-proof pipeline ------------------------------------------------------
 
