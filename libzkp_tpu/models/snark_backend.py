@@ -18,6 +18,7 @@ Mirrors ``/root/reference/src/backend/snark.rs``:
 
 from __future__ import annotations
 
+import functools
 import os
 import threading
 from pathlib import Path
@@ -224,8 +225,8 @@ def _get_membership_setup() -> groth16.ProvingKey:
 _circuit_meta: dict = {}  # circuit_key -> (num_instance, n_constraints)
 
 
-def _mimc_wires(x: int) -> List[int]:
-    """Witness wires of the MiMC gadget: (t2, t4, x5) per round."""
+@functools.lru_cache(maxsize=256)
+def _mimc_wires_cached(x: int) -> tuple:
     wires: List[int] = []
     cur = x % R
     for c in mimc_constants():
@@ -235,7 +236,16 @@ def _mimc_wires(x: int) -> List[int]:
         x5 = t4 * t % R
         wires += [t2, t4, x5]
         cur = x5
-    return wires
+    return tuple(wires)
+
+
+def _mimc_wires(x: int) -> List[int]:
+    """Witness wires of the MiMC gadget: (t2, t4, x5) per round.
+
+    330 Python field muls per value — memoized so batches full of repeated
+    statements (and the witness-memo'd single-prove path) build each
+    distinct witness once."""
+    return list(_mimc_wires_cached(x))
 
 
 def _equality_assignment(a: int, b: int, commitment_fr: int) -> List[int]:

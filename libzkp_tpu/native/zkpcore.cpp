@@ -5063,8 +5063,13 @@ static thread_local bool TABM_ON = false;
 static const uint64_t ZKP_TABM_MIN_BATCH = 32;
 
 static int tabm_c_param() {
+    // Measured on the 2-vCPU reference host (BASELINE.md round 4): the
+    // RAM-resident table loses ~20% to the hot bucket arenas at mixed-batch
+    // sizes (~140 instances) and only reaches parity at ~340+; random-access
+    // latency, not arithmetic, is the wall. Default OFF — opt in with
+    // LIBZKP_TABM_C=12..14 on hosts with bigger batches/faster memory.
     const char* e = std::getenv("LIBZKP_TABM_C");
-    int c = e ? std::atoi(e) : 12;
+    int c = e ? std::atoi(e) : 0;
     if (c <= 0) return 0;  // disabled: bucket tier everywhere
     if (c < 8) c = 8;
     if (c > 14) c = 14;

@@ -75,34 +75,67 @@ def process_operations(ops: Sequence[BatchOperation]) -> List[bytes]:
             results[i] = proof
         batched.update(mem_idx)
 
-    # Phase 2 — Bulletproofs buckets: every op's single-proof instances
-    # advance in lockstep, so each IPP round is ONE native MSM batch over
-    # all proofs (OMP across the batch).
-    if len([i for i in range(len(items)) if items[i].kind == "range"]) >= 2:
-        from ..models.schemes.range_proof import prove_range_batch
+    # Phase 2 — Bulletproofs buckets: range, threshold and consistency ops
+    # are FUSED into one lockstep pool — all their single-proof instances
+    # advance together, so each IPP round is ONE native MSM batch over the
+    # whole mixed bucket (fuller 8-lane groups, one OMP region, one warm
+    # table walk) instead of three smaller per-scheme batches.
+    bp_idx = [
+        i
+        for i, op in enumerate(items)
+        if op.kind in ("range", "threshold", "consistency")
+    ]
+    if len(bp_idx) >= 2:
+        from ..models.bulletproofs import prove_single_batch
+        from ..models.bulletproofs_backend import BulletproofsBackend
+        from ..models.schemes.common import (
+            create_proof,
+            extract_bulletproofs_components,
+        )
+        from ..utils.envelope import (
+            SCHEME_CONSISTENCY,
+            SCHEME_RANGE,
+            SCHEME_THRESHOLD,
+        )
+        from ..utils.errors import BackendError, InvalidInput
 
-        idxs = [i for i, op in enumerate(items) if op.kind == "range"]
-        for i, proof in zip(idxs, prove_range_batch([items[i].args for i in idxs])):
-            results[i] = proof
-        batched.update(idxs)
-    if len([i for i in range(len(items)) if items[i].kind == "threshold"]) >= 2:
-        from ..models.schemes.threshold_proof import prove_threshold_batch
-
-        idxs = [i for i, op in enumerate(items) if op.kind == "threshold"]
-        for i, proof in zip(
-            idxs, prove_threshold_batch([items[i].args for i in idxs])
-        ):
-            results[i] = proof
-        batched.update(idxs)
-    if len([i for i in range(len(items)) if items[i].kind == "consistency"]) >= 2:
-        from ..models.schemes.consistency_proof import prove_consistency_batch
-
-        idxs = [i for i, op in enumerate(items) if op.kind == "consistency"]
-        for i, proof in zip(
-            idxs, prove_consistency_batch([items[i].args[0] for i in idxs])
-        ):
-            results[i] = proof
-        batched.update(idxs)
+        preps = []  # (result slot, scheme id, finish, instance count)
+        instances = []
+        for i in bp_idx:
+            op = items[i]
+            try:
+                if op.kind == "range":
+                    insts, fin = BulletproofsBackend.prepare_range_bits(
+                        op.args[0], op.args[1], op.args[2], 64
+                    )
+                    sid = SCHEME_RANGE
+                elif op.kind == "threshold":
+                    insts, fin = BulletproofsBackend.prepare_threshold_bits(
+                        list(op.args[0]), op.args[1], 64
+                    )
+                    sid = SCHEME_THRESHOLD
+                else:
+                    insts, fin = BulletproofsBackend.prepare_consistency(
+                        list(op.args[0])
+                    )
+                    sid = SCHEME_CONSISTENCY
+            except ValueError as e:
+                # same exception classes the per-scheme batch fns raise
+                if op.kind == "range":
+                    raise BackendError(str(e)) from None
+                raise InvalidInput(str(e)) from None
+            preps.append((i, sid, fin, len(insts)))
+            instances.extend(insts)
+        bp_results = prove_single_batch(instances)
+        pos = 0
+        for i, sid, fin, k in preps:
+            backend_proof = fin(bp_results[pos : pos + k])
+            pos += k
+            proof_bytes, commitment = extract_bulletproofs_components(
+                backend_proof
+            )
+            results[i] = create_proof(sid, proof_bytes, commitment)
+        batched.update(bp_idx)
 
     # Phase 3 — leftovers on the thread pool (native-kernel bound), STARK
     # improvements inline on the main thread (Python-heavy; threading them
