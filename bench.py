@@ -28,6 +28,27 @@ os.environ.setdefault(
     "JAX_COMPILATION_CACHE_DIR", os.path.expanduser("~/.cache/libzkp_tpu/jax")
 )
 
+# The tunneled chip sometimes registers under the experimental 'axon'
+# platform name and sometimes under plain 'tpu' — probe in a subprocess
+# (jax caches backend-init failures in-process) and fall back to
+# auto-selection when the configured platform cannot initialize.
+def _probe_jax_platforms() -> None:
+    import subprocess
+    import sys
+
+    if not os.environ.get("JAX_PLATFORMS"):
+        return
+    r = subprocess.run(
+        [sys.executable, "-c", "import jax; jax.devices()"],
+        capture_output=True,
+        timeout=120,
+    )
+    if r.returncode != 0:
+        os.environ["JAX_PLATFORMS"] = ""
+
+
+_probe_jax_platforms()
+
 
 def _bench_ms(fn, n=8):
     best = float("inf")
@@ -84,13 +105,31 @@ def main() -> None:
     lat["range_prove_ms"] = _bench_ms(lambda: zkp.prove_range(50, 0, 100))
     pr = zkp.prove_range(50, 0, 100)
     lat["range_verify_ms"] = _bench_ms(lambda: zkp.verify_range(pr, 0, 100))
+    # The canonical workloads repeat one statement (advanced/mod.rs:93-103),
+    # which the witness-accumulator memo serves after the first prove; the
+    # _distinct variants cycle fresh statements so both regimes are visible.
     lat["equality_prove_ms"] = _bench_ms(lambda: zkp.prove_equality(42, 42), 5)
+    eq_i = [0]
+
+    def _eq_distinct():
+        eq_i[0] += 1
+        zkp.prove_equality(1000 + eq_i[0], 1000 + eq_i[0])
+
+    lat["equality_prove_distinct_ms"] = _bench_ms(_eq_distinct, 5)
     pe = zkp.prove_equality(42, 42)
     lat["equality_verify_ms"] = _bench_ms(lambda: zkp.verify_equality(pe, 42, 42), 5)
     lat["threshold_prove_ms"] = _bench_ms(lambda: zkp.prove_threshold([10, 20, 30, 40], 50), 5)
     lat["membership_prove_ms"] = _bench_ms(
         lambda: zkp.prove_membership(25, [10, 20, 25, 30, 40]), 5
     )
+    mem_i = [0]
+
+    def _mem_distinct():
+        mem_i[0] += 1
+        v = 2000 + mem_i[0]
+        zkp.prove_membership(v, [v - 1, v, v + 1, v + 2, v + 3])
+
+    lat["membership_prove_distinct_ms"] = _bench_ms(_mem_distinct, 5)
     lat["improvement_prove_ms"] = _bench_ms(lambda: zkp.prove_improvement(30, 50))
     lat["consistency_prove_ms"] = _bench_ms(
         lambda: zkp.prove_consistency([10, 20, 30, 40, 50]), 5
@@ -111,6 +150,22 @@ def main() -> None:
         t0 = time.monotonic()
         mixed = zkp.process_batch(bid)
         mixed_pps = max(mixed_pps, len(mixed) / (time.monotonic() - t0))
+
+    # -- full 1020-op mixed batch (BASELINE config #5: the >=10x target is
+    # defined on a ~1024-proof mixed batch vs single-core Rust) -------------
+    mixed1020_pps = 0.0
+    for _ in range(2):
+        bid = zkp.create_proof_batch()
+        for i in range(170):
+            zkp.batch_add_range_proof(bid, 50, 0, 100)
+            zkp.batch_add_equality_proof(bid, 42, 42)
+            zkp.batch_add_threshold_proof(bid, [10, 20, 30, 40], 50)
+            zkp.batch_add_membership_proof(bid, 25, [10, 20, 25, 30, 40])
+            zkp.batch_add_improvement_proof(bid, 30, 50)
+            zkp.batch_add_consistency_proof(bid, [10, 20, 30, 40, 50])
+        t0 = time.monotonic()
+        big = zkp.process_batch(bid)
+        mixed1020_pps = max(mixed1020_pps, len(big) / (time.monotonic() - t0))
 
     # -- parallel verification over the mixed batch (RLC-batched MSMs) ------
     types = ["range", "equality", "threshold", "membership", "improvement",
@@ -154,6 +209,7 @@ def main() -> None:
         "extra": {
             "improvement_verify_proofs_per_sec": round(ver_pps, 1),
             "mixed_batch_proofs_per_sec": round(mixed_pps, 1),
+            "mixed_batch_1020_proofs_per_sec": round(mixed1020_pps, 1),
             "parallel_verify_proofs_per_sec": round(pv_pps, 1),
             "mimc_commitments_per_sec_batched": round(mimc_per_s, 1),
             "stark_trace_ldes_per_sec_batched": round(lde_per_s, 1) if lde_per_s else None,

@@ -185,7 +185,8 @@ def blake3_batch(items: Sequence[bytes], item_len: int) -> List[bytes]:
     n = len(items)
     out = ctypes.create_string_buffer(32 * n)
     _lib.zkp_blake3_batch(b"".join(items), n, item_len, out)
-    return [out.raw[i * 32 : (i + 1) * 32] for i in range(n)]
+    raw = out.raw
+    return [raw[i * 32 : (i + 1) * 32] for i in range(n)]
 
 
 def blake3_merkle_levels(leaves: Sequence[bytes]) -> List[List[bytes]]:
@@ -198,7 +199,8 @@ def blake3_merkle_levels(leaves: Sequence[bytes]) -> List[List[bytes]]:
     off = 0
     width = n // 2
     while width >= 1:
-        levels.append([out.raw[(off + i) * 32 : (off + i + 1) * 32] for i in range(width)])
+        raw = out.raw
+        levels.append([raw[(off + i) * 32 : (off + i + 1) * 32] for i in range(width)])
         off += width
         if width == 1:
             break
@@ -331,7 +333,8 @@ def ed_msm_fixed_many(key, scalar_vecs, points, order: int):
     )
     out = ctypes.create_string_buffer(128 * batch)
     _lib.zkp_ed_msm_fixed_many(h, batch, sc, out)
-    return [_from_wire(out.raw[i * 128 : (i + 1) * 128]) for i in range(batch)]
+    raw = out.raw
+    return [_from_wire(raw[i * 128 : (i + 1) * 128]) for i in range(batch)]
 
 
 def ed_fixed_handle(key, points) -> Optional[int]:
@@ -370,8 +373,9 @@ def bp_prove_batch(
         raise ValueError("value commitment is the identity")
     if rc != 0:
         raise RuntimeError(f"native bp prover failed: {rc}")
-    vs = [out_v.raw[i * 32 : (i + 1) * 32] for i in range(batch)]
-    ps = [out_p.raw[i * plen : (i + 1) * plen] for i in range(batch)]
+    raw_v, raw_p = out_v.raw, out_p.raw
+    vs = [raw_v[i * 32 : (i + 1) * 32] for i in range(batch)]
+    ps = [raw_p[i * plen : (i + 1) * plen] for i in range(batch)]
     return vs, ps
 
 
@@ -393,7 +397,8 @@ def ed_pedersen_compressed_many(key, points, pairs):
     out = ctypes.create_string_buffer(32 * len(pairs))
     if _lib.zkp_ed_pedersen_compressed(h, len(pairs), sb, out) != 0:
         return None
-    return [out.raw[i * 32 : (i + 1) * 32] for i in range(len(pairs))]
+    raw = out.raw
+    return [raw[i * 32 : (i + 1) * 32] for i in range(len(pairs))]
 
 
 def bn254_g1_msm_fixed_many(key, scalar_vecs, points):
@@ -412,7 +417,8 @@ def bn254_g1_msm_fixed_many(key, scalar_vecs, points):
     )
     out = ctypes.create_string_buffer(96 * batch)
     _lib.zkp_bn254_g1_msm_fixed_many(h, batch, sc, out)
-    return [_g1_from_wire(out.raw[i * 96 : (i + 1) * 96]) for i in range(batch)]
+    raw = out.raw
+    return [_g1_from_wire(raw[i * 96 : (i + 1) * 96]) for i in range(batch)]
 
 
 def bn254_g2_msm_fixed_many(key, scalar_vecs, points):
@@ -429,7 +435,8 @@ def bn254_g2_msm_fixed_many(key, scalar_vecs, points):
     )
     out = ctypes.create_string_buffer(192 * batch)
     _lib.zkp_bn254_g2_msm_fixed_many(h, batch, sc, out)
-    return [_g2_from_wire(out.raw[i * 192 : (i + 1) * 192]) for i in range(batch)]
+    raw = out.raw
+    return [_g2_from_wire(raw[i * 192 : (i + 1) * 192]) for i in range(batch)]
 
 
 def bp_verify_rlc(h_fix: int, ns, proofs, vs, transcripts, rhos, sigmas):
@@ -477,7 +484,8 @@ def groth16_prove_msms(ha, hb1, hh, hl, hb2, z: Sequence[int], h: Sequence[int],
     _lib.zkp_groth16_prove_msms(
         ha, hb1, hh, hl, hb2, len(z), len(h), wit_off, zb, hb, out
     )
-    g1s = [_g1_from_wire(out.raw[i * 96 : (i + 1) * 96]) for i in range(4)]
+    raw = out.raw
+    g1s = [_g1_from_wire(raw[i * 96 : (i + 1) * 96]) for i in range(4)]
     b_g2 = _g2_from_wire(out.raw[384:576])
     return g1s[0], g1s[1], g1s[2], g1s[3], b_g2
 
@@ -671,7 +679,8 @@ def groth16_h(
     rc = _lib.zkp_groth16_h_run(h, zb, out)
     if rc != 0:
         raise AssertionError("h degree exceeds n-2: unsatisfied constraint system?")
-    return [int.from_bytes(out.raw[i * 32 : (i + 1) * 32], "little") for i in range(n - 1)]
+    raw = out.raw
+    return [int.from_bytes(raw[i * 32 : (i + 1) * 32], "little") for i in range(n - 1)]
 
 
 _STARK_OUT_STRIDE = 8192
@@ -697,10 +706,11 @@ def stark_prove_improvement_batch(pairs, p: int, root64: int, ctx_list):
         out, _STARK_OUT_STRIDE, lens,
     )
     res = []
+    raw_out = out.raw  # snapshot once: .raw copies the whole buffer per access
     for i in range(batch):
         if lens[i] < 0:
             raise ValueError("invalid improvement witness")
-        res.append(out.raw[i * _STARK_OUT_STRIDE : i * _STARK_OUT_STRIDE + lens[i]])
+        res.append(raw_out[i * _STARK_OUT_STRIDE : i * _STARK_OUT_STRIDE + lens[i]])
     return res
 
 
@@ -741,7 +751,8 @@ def ntt(p: int, values: Sequence[int], root: int, scale: Optional[int]) -> List[
     )
     sc = (scale % p).to_bytes(32, "little") if scale is not None else None
     _lib.zkp_ntt(n, buf, p.to_bytes(32, "little"), (root % p).to_bytes(32, "little"), sc)
-    return [int.from_bytes(buf.raw[i * 32 : (i + 1) * 32], "little") for i in range(n)]
+    raw = buf.raw  # snapshot once: .raw copies the whole buffer per access
+    return [int.from_bytes(raw[i * 32 : (i + 1) * 32], "little") for i in range(n)]
 
 
 def _fq12_from_wire(raw: bytes):

@@ -347,10 +347,22 @@ def maybe_ntt_sharded(p: int, values, invert: bool = False):
     tier). One proof's domain is no longer bounded by one chip."""
     import os
 
+    # Opt-in only (set LIBZKP_NTT_SHARD_MIN to a domain size to engage):
+    # measured round 4 (BASELINE.md "Sharded NTT"), a single tunneled chip
+    # cannot beat the fixed host tier on any reachable domain — the limb
+    # encoding is ~1.5x the canonical bytes and the ~80 MB/s tunnel makes
+    # even a 2^18 transform transfer-bound (~320 ms moving data vs ~400 ms
+    # host compute), while this library's largest production domain is 1024.
+    # The capability itself (four-step all_to_all decomposition) is
+    # dryrun-validated bit-exact at every mesh size and is the pod-scale
+    # path, where chips are PCIe/ICI-attached and domains can be huge.
+    min_env = os.environ.get("LIBZKP_NTT_SHARD_MIN")
+    if min_env is None:
+        return None
     try:
-        min_n = int(os.environ.get("LIBZKP_NTT_SHARD_MIN", str(1 << 18)))
+        min_n = int(min_env)
     except ValueError:
-        min_n = 1 << 18
+        return None
     if len(values) < max(min_n, 4):
         return None
     from ..parallel import mesh as meshmod
