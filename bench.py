@@ -177,11 +177,20 @@ def main() -> None:
         pv_pps = max(pv_pps, len(mixed) / (time.monotonic() - t0))
         assert all(flags), "mixed batch failed parallel verification"
 
-    # -- TPU-batched MiMC commitments/s -------------------------------------
+    # -- TPU-batched MiMC commitments/s vs the host tier --------------------
+    # This is the default-on device path for commitment-heavy batches
+    # (process_batch pre-hashes >=64 distinct equality/membership values on
+    # the chip); the host number is the same hash on the Python/host tier.
     mimc_hash_batch(list(range(4096)))  # compile
     t0 = time.monotonic()
     mimc_hash_batch(list(range(1, 4097)))
     mimc_per_s = 4096 / (time.monotonic() - t0)
+    from libzkp_tpu.ops.mimc import mimc_hash_native
+
+    t0 = time.monotonic()
+    for v in range(100000, 100512):
+        mimc_hash_native(v)
+    mimc_host_per_s = 512 / (time.monotonic() - t0)
 
     # -- TPU-batched STARK trace LDE (guarded: compile excluded) ------------
     lde_per_s = None
@@ -212,6 +221,7 @@ def main() -> None:
             "mixed_batch_1020_proofs_per_sec": round(mixed1020_pps, 1),
             "parallel_verify_proofs_per_sec": round(pv_pps, 1),
             "mimc_commitments_per_sec_batched": round(mimc_per_s, 1),
+            "mimc_commitments_per_sec_host": round(mimc_host_per_s, 1),
             "stark_trace_ldes_per_sec_batched": round(lde_per_s, 1) if lde_per_s else None,
             **lat,
         },
