@@ -43,16 +43,32 @@ os.environ.setdefault("JAX_PLATFORMS", "")
 def _probe_jax_platforms() -> None:
     import subprocess
     import sys
+    import time
 
-    if not os.environ.get("JAX_PLATFORMS"):
+    cur = os.environ.get("JAX_PLATFORMS")
+    if not cur:
         return
-    r = subprocess.run(
-        [sys.executable, "-c", "import jax; jax.devices()"],
-        capture_output=True,
-        timeout=120,
-    )
-    if r.returncode != 0:
-        os.environ["JAX_PLATFORMS"] = ""
+    check = "import jax, sys; sys.exit(0 if jax.default_backend() != 'cpu' else 1)"
+    for i, cand in enumerate((cur, "")):
+        if i:
+            # a failed probe touches the tunnel endpoint; let it settle
+            # before the next candidate initializes
+            time.sleep(15)
+        r = subprocess.run(
+            [sys.executable, "-c", check],
+            capture_output=True,
+            timeout=180,
+            env={**os.environ, "JAX_PLATFORMS": cand},
+        )
+        if r.returncode == 0:
+            os.environ["JAX_PLATFORMS"] = cand
+            # every probe subprocess grabs the tunnel endpoint; wait for it
+            # to release before this process initializes the backend
+            time.sleep(30)
+            return
+    # nothing non-CPU reachable: fall back to auto-selection regardless
+    os.environ["JAX_PLATFORMS"] = ""
+    time.sleep(10)
 
 
 _probe_jax_platforms()
