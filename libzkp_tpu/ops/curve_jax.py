@@ -820,3 +820,339 @@ def msm_many_sharded(table: DeviceTable, scalar_vecs, mesh=None):
     )
     out = jax.jit(fn)(table.consts, table_arr, jnp.asarray(digits))
     return _decode(table.curve, np.asarray(out), B)
+
+
+# ---------------------------------------------------------------------------
+# Device Ristretto255 compression (RFC 9496 ENCODE) on the fold field
+# ---------------------------------------------------------------------------
+# Closes the last host-only piece of the curve25519-dalek replacement
+# (SURVEY.md §2.2 row 1): the batched encode runs on-device over (n, B)
+# fold-limb lanes — canonicalization, SQRT_RATIO_M1's 2^252-3 power chain,
+# sign selection and the final canonical reduction are all jnp on the same
+# FieldOps the Pallas point kernels use. Differential-tested lane-for-lane
+# against ops/ed25519.compress (tests/test_curve_jax.py).
+
+
+def _canon_bias_np(n: int) -> np.ndarray:
+    """Limb vector representing 16p with value redistributed so every limb
+    is large enough to absorb the worst-case negative carries of a relaxed
+    fold value (limb 0 also absorbs the signed top-limb wrap, |wrap| <=
+    3 * 9728)."""
+    p = (1 << 255) - 19
+    from .limbfold import int_to_limbs
+
+    d = int_to_limbs(16 * p, n).astype(np.int64)
+    d[0] += 2 << 12  # move 2 * 4096 from limb 1 down to limb 0
+    d[1] -= 2
+    # limb 0 must absorb the one-pass top wrap (one_l = 9728 for this
+    # prime); the other limbs only need to absorb borrows of a few units.
+    assert d[0] >= 9728 + 2048 and (d[1:] >= 4).all()
+    return d.astype(np.int32)
+
+
+def _fold_canonicalize(f, x):
+    """Relaxed signed fold limbs -> canonical limbs in [0, 2^12), value < p.
+
+    Signed carry passes restore limb bounds, a redistributed 16p bias makes
+    every limb (and the value) non-negative, two 19*(v >> 255) folds bring
+    the value under 2^255 + 19, and one branch-free conditional subtract
+    lands on the canonical representative of GF(2^255 - 19).
+    """
+    import jax.numpy as jnp
+
+    n = f.n
+    for _ in range(3):
+        x = f.carry(x)
+    # after three passes: limb 0 in [-9728, 13824), other limbs >= -4, and
+    # the VALUE is > -2p; adding the redistributed 16p makes both the limbs
+    # and the value non-negative without changing the residue.
+    bias = jnp.asarray(_canon_bias_np(n))[..., :, None]
+    x = x + bias
+    # full cascades below: one parallel carry pass cannot propagate a ripple
+    # through a run of all-ones limbs (e.g. the representative p itself), so
+    # strict-limb form needs up to n passes.
+    for _ in range(n):
+        x = f.carry(x)
+    # value in [0, 2^264): fold bits >= 255 back as * 19. Bit 255 = limb
+    # n-1 bit 3 for this prime (n = 22).
+    for _ in range(2):
+        hi = x[..., n - 1, :] >> 3
+        x = jnp.concatenate(
+            [x[..., : n - 1, :], x[..., n - 1 : n, :] & 7], axis=-2
+        )
+        x = x.at[..., 0, :].add(19 * hi)
+        for _ in range(n):
+            x = f.carry(x)
+    # conditional subtract: v >= p  <=>  (v + 19) has bit 255 set
+    w = x.at[..., 0, :].add(19)
+    for _ in range(n):
+        w = f.carry(w)
+    ge = (w[..., n - 1, :] >> 3) > 0  # (B,)
+    w_mod = jnp.concatenate(
+        [w[..., : n - 1, :], w[..., n - 1 : n, :] & 7], axis=-2
+    )
+    return jnp.where(ge[..., None, :], w_mod, x)
+
+
+def _fold_eq(f, a_canon, b_canon):
+    import jax.numpy as jnp
+
+    return jnp.all(a_canon == b_canon, axis=-2)
+
+
+def _fold_pow_p58(f, v):
+    """v^((p-5)/8) = v^(2^252 - 3): the standard 25519 addition chain."""
+    def sq_n(t, k):
+        for _ in range(k):
+            t = f.mul(t, t)
+        return t
+
+    t0 = f.mul(v, v)                      # 2
+    t1 = sq_n(t0, 2)                      # 8
+    t1 = f.mul(t1, v)                     # 9
+    t0 = f.mul(t0, t1)                    # 11
+    t0 = f.mul(t0, t0)                    # 22
+    t0 = f.mul(t0, t1)                    # 31 = 2^5 - 1
+    t1 = sq_n(t0, 5)
+    t0 = f.mul(t1, t0)                    # 2^10 - 1
+    t1 = sq_n(t0, 10)
+    t1 = f.mul(t1, t0)                    # 2^20 - 1
+    t2 = sq_n(t1, 20)
+    t1 = f.mul(t2, t1)                    # 2^40 - 1
+    t1 = sq_n(t1, 10)
+    t0 = f.mul(t1, t0)                    # 2^50 - 1
+    t1 = sq_n(t0, 50)
+    t1 = f.mul(t1, t0)                    # 2^100 - 1
+    t2 = sq_n(t1, 100)
+    t1 = f.mul(t2, t1)                    # 2^200 - 1
+    t1 = sq_n(t1, 50)
+    t0 = f.mul(t1, t0)                    # 2^250 - 1
+    t0 = sq_n(t0, 2)
+    return f.mul(t0, v)                   # 2^252 - 3
+
+
+def _compress_impl(consts, pts):
+    """(B, 4, n, 1?) -> canonical s limbs (n, B). pts: (4, n, B)."""
+    import jax.numpy as jnp
+
+    from . import ed25519 as ed
+    from .limbfold import FieldOps
+
+    eng = edwards_engine()
+    f = FieldOps(eng.n, consts)
+    sqrt_m1 = f.extra_const(1)
+    invsqrt_amd = f.extra_const(2)
+    one = f.extra_const(3)
+
+    X, Y, Z, T = (pts[..., i, :, :] for i in range(4))
+    u1 = f.mul(f.add(Z, Y), f.sub(Z, Y))
+    u2 = f.mul(X, Y)
+    A = f.mul(u1, f.mul(u2, u2))
+    # SQRT_RATIO_M1(1, A): r = A^3 * (A^7)^((p-5)/8) ... with u = 1:
+    v3 = f.mul(f.mul(A, A), A)
+    v7 = f.mul(f.mul(v3, v3), A)
+    r = f.mul(v3, _fold_pow_p58(f, v7))
+    check = f.mul(A, f.mul(r, r))
+    check_c = _fold_canonicalize(f, check)
+    one_c = _fold_canonicalize(f, jnp.broadcast_to(one, check.shape))
+    neg_one_c = _fold_canonicalize(f, f.sub(jnp.zeros_like(check), one))
+    neg_sqm1_c = _fold_canonicalize(
+        f, f.sub(jnp.zeros_like(check), jnp.broadcast_to(sqrt_m1, check.shape))
+    )
+    flipped = _fold_eq(f, check_c, neg_one_c) | _fold_eq(f, check_c, neg_sqm1_c)
+    r = jnp.where(flipped[..., None, :], f.mul(r, sqrt_m1), r)
+    r_c = _fold_canonicalize(f, r)
+    r_neg_c = _fold_canonicalize(f, f.sub(jnp.zeros_like(r), r_c))
+    invsqrt = jnp.where((r_c[..., 0, :] & 1)[..., None, :] == 1, r_neg_c, r_c)
+
+    den1 = f.mul(invsqrt, u1)
+    den2 = f.mul(invsqrt, u2)
+    z_inv = f.mul(f.mul(den1, den2), T)
+    tz_c = _fold_canonicalize(f, f.mul(T, z_inv))
+    rotate = (tz_c[..., 0, :] & 1) == 1
+    Xr = jnp.where(rotate[..., None, :], f.mul(Y, sqrt_m1), X)
+    Yr = jnp.where(rotate[..., None, :], f.mul(X, sqrt_m1), Y)
+    den_inv = jnp.where(
+        rotate[..., None, :], f.mul(den1, invsqrt_amd), den2
+    )
+    xz_c = _fold_canonicalize(f, f.mul(Xr, z_inv))
+    neg_x = (xz_c[..., 0, :] & 1) == 1
+    Yf = jnp.where(neg_x[..., None, :], f.sub(jnp.zeros_like(Yr), Yr), Yr)
+    s = f.mul(den_inv, f.sub(Z, Yf))
+    s_c = _fold_canonicalize(f, s)
+    s_neg_c = _fold_canonicalize(f, f.sub(jnp.zeros_like(s), s_c))
+    return jnp.where((s_c[..., 0, :] & 1)[..., None, :] == 1, s_neg_c, s_c)
+
+
+@functools.lru_cache(maxsize=None)
+def _compress_jit(B: int):
+    import jax
+
+    if _interpret():
+        return _compress_impl
+    return jax.jit(_compress_impl)
+
+
+def ristretto_compress_device(points) -> List[bytes]:
+    """Batched RFC 9496 ENCODE of host extended points, on-device."""
+    import jax.numpy as jnp
+
+    eng = edwards_engine()
+    B = len(points)
+    enc = eng.encode_points(points)  # (B, 4, n)
+    pts = jnp.asarray(np.transpose(enc, (1, 2, 0)))  # (4, n, B)
+    consts = jnp.asarray(_compress_consts())
+    s = np.asarray(_compress_jit(B)(consts, pts))  # (n, B)
+    vals = eng.ctx.decode(np.transpose(s, (1, 0)))
+    return [int(v).to_bytes(32, "little") for v in vals]
+
+
+def _sqrt_ratio_1v(f, A, sqrt_m1):
+    """RFC 9496 SQRT_RATIO_M1 with u = 1: (was_square (B,), r (n, B))."""
+    import jax.numpy as jnp
+
+    v3 = f.mul(f.mul(A, A), A)
+    v7 = f.mul(f.mul(v3, v3), A)
+    r = f.mul(v3, _fold_pow_p58(f, v7))
+    check = f.mul(A, f.mul(r, r))
+    check_c = _fold_canonicalize(f, check)
+    one_b = jnp.broadcast_to(f.extra_const(3), check.shape)
+    one_c = _fold_canonicalize(f, one_b)
+    neg_one_c = _fold_canonicalize(f, f.sub(jnp.zeros_like(check), one_b))
+    neg_sqm1_c = _fold_canonicalize(
+        f, f.sub(jnp.zeros_like(check), jnp.broadcast_to(sqrt_m1, check.shape))
+    )
+    correct = _fold_eq(f, check_c, one_c)
+    flipped = _fold_eq(f, check_c, neg_one_c)
+    flipped_i = _fold_eq(f, check_c, neg_sqm1_c)
+    r = jnp.where((flipped | flipped_i)[..., None, :], f.mul(r, sqrt_m1), r)
+    r_c = _fold_canonicalize(f, r)
+    r_neg_c = _fold_canonicalize(f, f.sub(jnp.zeros_like(r), r_c))
+    r_abs = jnp.where((r_c[..., 0, :] & 1)[..., None, :] == 1, r_neg_c, r_c)
+    return correct | flipped, r_abs
+
+
+def _decompress_impl(consts, s):
+    """s: (n, B) canonical limbs -> (ok (B,), X, Y, T canonical (n, B))."""
+    import jax.numpy as jnp
+
+    from .limbfold import FieldOps
+
+    eng = edwards_engine()
+    f = FieldOps(eng.n, consts)
+    two_d = f.extra_const(0)
+    sqrt_m1 = f.extra_const(1)
+
+    ss = f.mul(s, s)
+    one_b = jnp.broadcast_to(f.extra_const(3), ss.shape)
+    u1 = f.sub(one_b, ss)
+    u2 = f.add(one_b, ss)
+    u2_sqr = f.mul(u2, u2)
+    # v = -(d * u1^2) - u2^2; d = two_d / 2 is not shipped — use
+    # 2*v = -(2d * u1^2) - 2*u2^2 and fold the factor 2 into the ratio:
+    # invsqrt' = sqrt(1/(2v * 2u2^2)) = invsqrt / 2 ... instead ship v
+    # directly: v = -(2d * u1^2 + 2 u2^2) / 2 is awkward, so compute with
+    # the doubled quantities and correct: sqrt(1/(v*u2^2)) where
+    # 4*(v*u2^2) = (2v)*(2u2^2) — a square factor, so
+    # SQRT_RATIO(1, 4vu2^2) = SQRT_RATIO(1, vu2^2)/2 exactly when both are
+    # square; was_square agrees. Then den_x = 2*invsqrt4*u2, etc.
+    u1_sq = f.mul(u1, u1)
+    two_v = f.sub(
+        jnp.zeros_like(u1_sq),
+        f.add(f.mul(two_d, u1_sq), f.add(u2_sqr, u2_sqr)),
+    )
+    arg = f.mul(two_v, f.add(u2_sqr, u2_sqr))  # = 4 * v * u2^2
+    was_square, invsqrt4 = _sqrt_ratio_1v(f, arg, sqrt_m1)
+    # invsqrt4 = +-1/(2*sqrt(v*u2^2)) -> invsqrt = 2*invsqrt4 up to sign;
+    # the RFC takes the non-negative root of the *final* coordinates, and
+    # x is abs()'d below while y's sign comes out of den_y consistently:
+    # note 2*abs(r) is not abs(2r); recompute the canonical abs on 2r.
+    invsqrt = f.add(invsqrt4, invsqrt4)
+    iv_c = _fold_canonicalize(f, invsqrt)
+    iv_neg = _fold_canonicalize(f, f.sub(jnp.zeros_like(invsqrt), iv_c))
+    invsqrt = jnp.where((iv_c[..., 0, :] & 1)[..., None, :] == 1, iv_neg, iv_c)
+    den_x = f.mul(invsqrt, u2)
+    den_y = f.mul(f.mul(invsqrt, den_x), two_v)
+    # v = two_v/2 => den_y' = invsqrt*den_x*v = den_y/2... compensate by
+    # doubling u1: y = u1 * (invsqrt*den_x*v); with two_v we have
+    # y = u1 * invsqrt * den_x * two_v / 2, so use half_u1? Avoid division:
+    # y = (u1 * den_y_two) * inv2 — ship inv2 as a constant instead.
+    inv2 = f.extra_const(4)
+    x_raw = f.mul(f.mul(f.add(s, s), den_x), one_b)
+    x_c = _fold_canonicalize(f, x_raw)
+    x_neg = _fold_canonicalize(f, f.sub(jnp.zeros_like(x_raw), x_c))
+    x = jnp.where((x_c[..., 0, :] & 1)[..., None, :] == 1, x_neg, x_c)
+    y = f.mul(f.mul(u1, den_y), inv2)
+    t = f.mul(x, y)
+    y_c = _fold_canonicalize(f, y)
+    t_c = _fold_canonicalize(f, t)
+    t_negative = (t_c[..., 0, :] & 1) == 1
+    y_zero = jnp.all(y_c == 0, axis=-2)
+    ok = was_square & (~t_negative) & (~y_zero)
+    return ok, x, y_c, t_c
+
+
+@functools.lru_cache(maxsize=None)
+def _decompress_jit(B: int):
+    import jax
+
+    if _interpret():
+        return _decompress_impl
+    return jax.jit(_decompress_impl)
+
+
+@functools.lru_cache(maxsize=None)
+def _compress_consts() -> np.ndarray:
+    """Consts block for the encode/decode kernels: TWO_D, SQRT_M1,
+    INVSQRT_A_MINUS_D, 1, 1/2 as extra rows."""
+    from . import ed25519 as ed
+
+    eng = edwards_engine()
+    ctx = eng.ctx
+    return ctx.consts_block(
+        [
+            ctx.encode_value(ed.TWO_D),
+            ctx.encode_value(ed.SQRT_M1),
+            ctx.encode_value(ed.INVSQRT_A_MINUS_D),
+            ctx.encode_value(1),
+            ctx.encode_value(pow(2, -1, ed.P)),
+        ]
+    )
+
+
+def ristretto_decompress_device(encodings) -> List:
+    """Batched RFC 9496 DECODE: list of 32-byte strings -> list of extended
+    host points or None (invalid encoding), matching ops/ed25519.decompress
+    lane-for-lane."""
+    import jax.numpy as jnp
+
+    from . import ed25519 as ed
+
+    eng = edwards_engine()
+    ctx = eng.ctx
+    B = len(encodings)
+    vals = []
+    pre_ok = []
+    for data in encodings:
+        if len(data) != 32:
+            pre_ok.append(False)
+            vals.append(0)
+            continue
+        s = int.from_bytes(data, "little")
+        pre_ok.append(s < ed.P and s % 2 == 0)
+        vals.append(s % ed.P)
+    s_np = ctx.encode_ints(vals)  # (B, n)
+    s_arr = jnp.asarray(np.transpose(s_np, (1, 0)))  # (n, B)
+    consts = jnp.asarray(_compress_consts())
+    ok, x, y, t = _decompress_jit(B)(consts, s_arr)
+    ok_np = np.asarray(ok)
+    xs = eng.ctx.decode(np.transpose(np.asarray(x), (1, 0)))
+    ys = eng.ctx.decode(np.transpose(np.asarray(y), (1, 0)))
+    ts = eng.ctx.decode(np.transpose(np.asarray(t), (1, 0)))
+    out = []
+    for i in range(B):
+        if not pre_ok[i] or not bool(ok_np[i]):
+            out.append(None)
+        else:
+            out.append((int(xs[i]), int(ys[i]), 1, int(ts[i])))
+    return out
