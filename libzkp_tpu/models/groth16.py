@@ -434,8 +434,44 @@ def prove_assigned_many(
             distinct.append(z)
         assign.append(slot)
 
-    h_list = _h_many(pk, distinct, num_instance, n_constraints, n, root, csr)
-    accs = _accs_many(pk, distinct, num_instance, h_list)
+    # Cross-batch reuse: a distinct statement whose accumulators are in the
+    # witness memo (same pk identity) skips its h-poly and query MSMs here
+    # too — the batch analogue of prove_assigned's repeated-statement path.
+    memo_keys: List = [None] * len(distinct)
+    memo_hits: dict = {}
+    if not os.environ.get("LIBZKP_NO_WITNESS_MEMO"):
+        import hashlib
+
+        for di, z in enumerate(distinct):
+            hz = hashlib.sha256()
+            for v in z:
+                hz.update((v % R).to_bytes(32, "little"))
+            mk = (id(pk), circuit_key, n, n_constraints, num_instance,
+                  hz.digest())
+            memo_keys[di] = mk
+            with _acc_memo_lock:
+                hit = _acc_memo.get(mk)
+            if hit is not None and hit[1] is pk:
+                memo_hits[di] = hit[0]
+    missing = [di for di in range(len(distinct)) if di not in memo_hits]
+    if missing:
+        h_list = _h_many(
+            pk, [distinct[di] for di in missing], num_instance,
+            n_constraints, n, root, csr,
+        )
+        accs_missing = _accs_many(
+            pk, [distinct[di] for di in missing], num_instance, h_list
+        )
+        with _acc_memo_lock:
+            for di, a in zip(missing, accs_missing):
+                if memo_keys[di] is not None:
+                    if len(_acc_memo) >= 64:
+                        _acc_memo.pop(next(iter(_acc_memo)))
+                    _acc_memo[memo_keys[di]] = (a, pk)
+        accs_by_di = dict(zip(missing, accs_missing))
+    else:
+        accs_by_di = {}
+    accs = [memo_hits.get(di, accs_by_di.get(di)) for di in range(len(distinct))]
 
     # Group proofs by distinct statement: a large group's (A, B, C) folds
     # reduce to fixed-basis MSMs over per-statement constants, batched in one
