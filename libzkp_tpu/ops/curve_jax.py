@@ -1048,14 +1048,10 @@ def _decompress_impl(consts, s):
     u1 = f.sub(one_b, ss)
     u2 = f.add(one_b, ss)
     u2_sqr = f.mul(u2, u2)
-    # v = -(d * u1^2) - u2^2; d = two_d / 2 is not shipped — use
-    # 2*v = -(2d * u1^2) - 2*u2^2 and fold the factor 2 into the ratio:
-    # invsqrt' = sqrt(1/(2v * 2u2^2)) = invsqrt / 2 ... instead ship v
-    # directly: v = -(2d * u1^2 + 2 u2^2) / 2 is awkward, so compute with
-    # the doubled quantities and correct: sqrt(1/(v*u2^2)) where
-    # 4*(v*u2^2) = (2v)*(2u2^2) — a square factor, so
-    # SQRT_RATIO(1, 4vu2^2) = SQRT_RATIO(1, vu2^2)/2 exactly when both are
-    # square; was_square agrees. Then den_x = 2*invsqrt4*u2, etc.
+    # Only 2d is shipped as a constant, so work with the doubled quantity
+    # 2v = -(2d * u1^2) - 2*u2^2 and take SQRT_RATIO_M1 of
+    # 4*v*u2^2 = (2v)*(2*u2^2): the extra factor 4 is a square, so
+    # was_square agrees and the root is invsqrt/2 — recovered by doubling.
     u1_sq = f.mul(u1, u1)
     two_v = f.sub(
         jnp.zeros_like(u1_sq),
@@ -1063,20 +1059,16 @@ def _decompress_impl(consts, s):
     )
     arg = f.mul(two_v, f.add(u2_sqr, u2_sqr))  # = 4 * v * u2^2
     was_square, invsqrt4 = _sqrt_ratio_1v(f, arg, sqrt_m1)
-    # invsqrt4 = +-1/(2*sqrt(v*u2^2)) -> invsqrt = 2*invsqrt4 up to sign;
-    # the RFC takes the non-negative root of the *final* coordinates, and
-    # x is abs()'d below while y's sign comes out of den_y consistently:
-    # note 2*abs(r) is not abs(2r); recompute the canonical abs on 2r.
+    # invsqrt = 2 * invsqrt4 up to sign; abs() is over the canonical
+    # representative, so recompute it on the doubled value.
     invsqrt = f.add(invsqrt4, invsqrt4)
     iv_c = _fold_canonicalize(f, invsqrt)
     iv_neg = _fold_canonicalize(f, f.sub(jnp.zeros_like(invsqrt), iv_c))
     invsqrt = jnp.where((iv_c[..., 0, :] & 1)[..., None, :] == 1, iv_neg, iv_c)
     den_x = f.mul(invsqrt, u2)
+    # den_y carries two_v = 2v, so y = u1 * den_y * (1/2) via the shipped
+    # inv2 constant (no division).
     den_y = f.mul(f.mul(invsqrt, den_x), two_v)
-    # v = two_v/2 => den_y' = invsqrt*den_x*v = den_y/2... compensate by
-    # doubling u1: y = u1 * (invsqrt*den_x*v); with two_v we have
-    # y = u1 * invsqrt * den_x * two_v / 2, so use half_u1? Avoid division:
-    # y = (u1 * den_y_two) * inv2 — ship inv2 as a constant instead.
     inv2 = f.extra_const(4)
     x_raw = f.mul(f.mul(f.add(s, s), den_x), one_b)
     x_c = _fold_canonicalize(f, x_raw)
