@@ -99,3 +99,34 @@ def test_mixed_process_batch_uses_batched_paths():
     assert zkp.verify_improvement(proofs[4], 30)
     assert zkp.verify_consistency(proofs[5])
     assert zkp.verify_equality(proofs[7], 41, 41)
+
+
+def test_fused_bp_pool_preserves_order_and_tails():
+    """The fused range/threshold/consistency pool must return every proof in
+    its op slot, including when the instance count leaves a sub-8 tail
+    (here: 3 ranges + 2 thresholds + 1 consistency = 6+2+4 = 12 instances +
+    odd interleaving with the other schemes)."""
+    import libzkp_tpu.api as zkp
+
+    bid = zkp.create_proof_batch()
+    zkp.batch_add_range_proof(bid, 5, 0, 10)
+    zkp.batch_add_improvement_proof(bid, 1, 9)
+    zkp.batch_add_threshold_proof(bid, [4, 5], 8)
+    zkp.batch_add_consistency_proof(bid, [1, 2, 3, 4, 5])
+    zkp.batch_add_range_proof(bid, 7, 0, 100)
+    zkp.batch_add_equality_proof(bid, 6, 6)
+    zkp.batch_add_threshold_proof(bid, [10, 20], 15)
+    zkp.batch_add_range_proof(bid, 0, 0, 0)
+    proofs = zkp.process_batch(bid)
+    assert len(proofs) == 8
+    assert zkp.verify_range(proofs[0], 0, 10)
+    assert zkp.verify_improvement(proofs[1], 1)
+    assert zkp.verify_threshold(proofs[2], 8)
+    assert zkp.verify_consistency(proofs[3])
+    assert zkp.verify_range(proofs[4], 0, 100)
+    assert zkp.verify_equality(proofs[5], 6, 6)
+    assert zkp.verify_threshold(proofs[6], 15)
+    assert zkp.verify_range(proofs[7], 0, 0)
+    # cross-scheme mixups must fail
+    assert not zkp.verify_range(proofs[2], 0, 10)
+    assert not zkp.verify_consistency(proofs[0])
