@@ -20,56 +20,31 @@ from __future__ import annotations
 
 import json
 import os
+import sys
 import time
+
+# Any PYTHONPATH entry (even an empty dir) deterministically breaks the
+# tunneled chip's TPU metadata detection and jax silently lands on CPU
+# (BASELINE.md round 4). sys.path already carries what we need once the
+# interpreter is up, so re-exec once with a cleaned environment.
+if os.environ.get("PYTHONPATH") and not os.environ.get("_LIBZKP_BENCH_REEXEC"):
+    env = {k: v for k, v in os.environ.items() if k != "PYTHONPATH"}
+    env["_LIBZKP_BENCH_REEXEC"] = "1"
+    os.execve(sys.executable, [sys.executable, os.path.abspath(__file__)] + sys.argv[1:], env)
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 # Persistent XLA compilation cache: first-ever run on a machine pays the
 # tunnel compiles once; every later run (including this driver's) hits disk.
 os.environ.setdefault(
     "JAX_COMPILATION_CACHE_DIR", os.path.expanduser("~/.cache/libzkp_tpu/jax")
 )
-# libtpu's accelerator-type/hostname auto-detection queries a metadata
-# service through the tunnel relay and fails intermittently; pin the values
-# so every init is deterministic (harmless when infra sets its own).
-os.environ.setdefault("TPU_ACCELERATOR_TYPE", "v5litepod-1")
-os.environ.setdefault("TPU_WORKER_HOSTNAMES", "localhost")
-os.environ.setdefault("TPU_WORKER_ID", "0")
 
-# The tunneled chip sometimes registers under the experimental 'axon'
-# platform name and sometimes under plain 'tpu' — probe in a subprocess
-# (jax caches backend-init failures in-process) and fall back to
-# auto-selection when the configured platform cannot initialize.
-def _probe_jax_platforms() -> None:
-    import subprocess
-    import sys
-    import time
-
-    cur = os.environ.get("JAX_PLATFORMS")
-    if not cur:
-        return
-    check = "import jax, sys; sys.exit(0 if jax.default_backend() != 'cpu' else 1)"
-    for i, cand in enumerate((cur, "")):
-        if i:
-            # a failed probe touches the tunnel endpoint; let it settle
-            # before the next candidate initializes
-            time.sleep(15)
-        r = subprocess.run(
-            [sys.executable, "-c", check],
-            capture_output=True,
-            timeout=180,
-            env={**os.environ, "JAX_PLATFORMS": cand},
-        )
-        if r.returncode == 0:
-            os.environ["JAX_PLATFORMS"] = cand
-            # every probe subprocess grabs the tunnel endpoint; wait for it
-            # to release before this process initializes the backend
-            time.sleep(30)
-            return
-    # nothing non-CPU reachable: fall back to auto-selection regardless
-    os.environ["JAX_PLATFORMS"] = ""
-    time.sleep(10)
-
-
-_probe_jax_platforms()
+# Leave JAX_PLATFORMS exactly as the caller set it: the driver's
+# environment ('axon') has produced device numbers in every prior round,
+# and overriding it measured strictly less reliable on this session's
+# degraded tunnel endpoint. The protective measures that stay: the
+# PYTHONPATH re-exec above and a first-touch backend init on the main
+# thread (both verified harmless).
 
 
 def _bench_ms(fn, n=8):
@@ -82,6 +57,17 @@ def _bench_ms(fn, n=8):
 
 
 def main() -> None:
+    # Initialize the jax backend ONCE, first, on the main thread: the prove
+    # paths consult device gates from worker threads, and a backend init
+    # that first happens there can fail and be process-cached, silently
+    # demoting every later device section to CPU/skip.
+    try:
+        import jax
+
+        jax.devices()
+    except Exception:
+        pass
+
     import libzkp_tpu.api as zkp
     from libzkp_tpu.ops.mimc import mimc_hash_batch
 

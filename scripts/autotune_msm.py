@@ -25,12 +25,6 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 os.environ.setdefault(
     "JAX_COMPILATION_CACHE_DIR", os.path.expanduser("~/.cache/libzkp_tpu/jax")
 )
-# libtpu's accelerator-type/hostname auto-detection queries a metadata
-# service through the tunnel relay and fails intermittently; pin the values
-# so every init is deterministic (harmless when infra sets its own).
-os.environ.setdefault("TPU_ACCELERATOR_TYPE", "v5litepod-1")
-os.environ.setdefault("TPU_WORKER_HOSTNAMES", "localhost")
-os.environ.setdefault("TPU_WORKER_ID", "0")
 
 
 def _bench(fn, reps=3):

@@ -32,52 +32,16 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 os.environ.setdefault(
     "JAX_COMPILATION_CACHE_DIR", os.path.expanduser("~/.cache/libzkp_tpu/jax")
 )
-# libtpu's accelerator-type/hostname auto-detection queries a metadata
-# service through the tunnel relay and fails intermittently; pin the values
-# so every init is deterministic (harmless when infra sets its own).
-os.environ.setdefault("TPU_ACCELERATOR_TYPE", "v5litepod-1")
-os.environ.setdefault("TPU_WORKER_HOSTNAMES", "localhost")
-os.environ.setdefault("TPU_WORKER_ID", "0")
 # the tunneled chip registers an experimental 'axon' platform alias; let jax
 # fall back to whatever block is actually available
 os.environ.setdefault("JAX_PLATFORMS", "")
 
-# The tunneled chip sometimes registers under the experimental 'axon'
-# platform name and sometimes under plain 'tpu' — probe in a subprocess
-# (jax caches backend-init failures in-process) and fall back to
-# auto-selection when the configured platform cannot initialize.
-def _probe_jax_platforms() -> None:
-    import subprocess
-    import sys
-    import time
-
-    cur = os.environ.get("JAX_PLATFORMS")
-    if not cur:
-        return
-    check = "import jax, sys; sys.exit(0 if jax.default_backend() != 'cpu' else 1)"
-    for i, cand in enumerate((cur, "")):
-        if i:
-            # a failed probe touches the tunnel endpoint; let it settle
-            # before the next candidate initializes
-            time.sleep(15)
-        r = subprocess.run(
-            [sys.executable, "-c", check],
-            capture_output=True,
-            timeout=180,
-            env={**os.environ, "JAX_PLATFORMS": cand},
-        )
-        if r.returncode == 0:
-            os.environ["JAX_PLATFORMS"] = cand
-            # every probe subprocess grabs the tunnel endpoint; wait for it
-            # to release before this process initializes the backend
-            time.sleep(30)
-            return
-    # nothing non-CPU reachable: fall back to auto-selection regardless
-    os.environ["JAX_PLATFORMS"] = ""
-    time.sleep(10)
-
-
-_probe_jax_platforms()
+# Leave JAX_PLATFORMS exactly as the caller set it: the driver's
+# environment ('axon') has produced device numbers in every prior round,
+# and overriding it measured strictly less reliable on this session's
+# degraded tunnel endpoint. The protective measures that stay: the
+# PYTHONPATH re-exec above and a first-touch backend init on the main
+# thread (both verified harmless).
 
 VPU_PEAK = 8 * 128 * 0.94e9 * 2  # int32 lane-ops/s, see module docstring
 
