@@ -23,14 +23,11 @@ import os
 import sys
 import time
 
-# Any PYTHONPATH entry (even an empty dir) deterministically breaks the
-# tunneled chip's TPU metadata detection and jax silently lands on CPU
-# (BASELINE.md round 4). sys.path already carries what we need once the
-# interpreter is up, so re-exec once with a cleaned environment.
-if os.environ.get("PYTHONPATH") and not os.environ.get("_LIBZKP_BENCH_REEXEC"):
-    env = {k: v for k, v in os.environ.items() if k != "PYTHONPATH"}
-    env["_LIBZKP_BENCH_REEXEC"] = "1"
-    os.execve(sys.executable, [sys.executable, os.path.abspath(__file__)] + sys.argv[1:], env)
+# NEVER strip or overwrite PYTHONPATH here: on tunneled-TPU hosts it points
+# at the sitecustomize that registers the PJRT plugin (losing it leaves
+# JAX_PLATFORMS naming an unregistered backend and jax lands on CPU).
+# In-process sys.path additions are harmless — the plugin registered at
+# interpreter startup.
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 # Persistent XLA compilation cache: first-ever run on a machine pays the
@@ -39,12 +36,8 @@ os.environ.setdefault(
     "JAX_COMPILATION_CACHE_DIR", os.path.expanduser("~/.cache/libzkp_tpu/jax")
 )
 
-# Leave JAX_PLATFORMS exactly as the caller set it: the driver's
-# environment ('axon') has produced device numbers in every prior round,
-# and overriding it measured strictly less reliable on this session's
-# degraded tunnel endpoint. The protective measures that stay: the
-# PYTHONPATH re-exec above and a first-touch backend init on the main
-# thread (both verified harmless).
+# Leave JAX_PLATFORMS exactly as the caller set it: the platform's plugin
+# registration happens via the environment's own sitecustomize.
 
 
 def _bench_ms(fn, n=8):

@@ -32,16 +32,9 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 os.environ.setdefault(
     "JAX_COMPILATION_CACHE_DIR", os.path.expanduser("~/.cache/libzkp_tpu/jax")
 )
-# the tunneled chip registers an experimental 'axon' platform alias; let jax
-# fall back to whatever block is actually available
-os.environ.setdefault("JAX_PLATFORMS", "")
-
-# Leave JAX_PLATFORMS exactly as the caller set it: the driver's
-# environment ('axon') has produced device numbers in every prior round,
-# and overriding it measured strictly less reliable on this session's
-# degraded tunnel endpoint. The protective measures that stay: the
-# PYTHONPATH re-exec above and a first-touch backend init on the main
-# thread (both verified harmless).
+# Leave JAX_PLATFORMS as the caller set it; plugin registration happens via
+# the environment's own sitecustomize (do NOT strip/overwrite PYTHONPATH —
+# on tunneled-TPU hosts it points at that sitecustomize).
 
 VPU_PEAK = 8 * 128 * 0.94e9 * 2  # int32 lane-ops/s, see module docstring
 
