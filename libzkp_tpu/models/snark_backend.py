@@ -83,6 +83,7 @@ def _reset_for_tests() -> None:
         _membership_setup = None
     with _key_dir_lock:
         _key_dir_override = None
+    _mimc_wires_cached.cache_clear()
 
 
 def _load_or_generate(prefix: str, generate) -> groth16.ProvingKey:
@@ -244,7 +245,17 @@ def _mimc_wires(x: int) -> List[int]:
 
     330 Python field muls per value — memoized so batches full of repeated
     statements (and the witness-memo'd single-prove path) build each
-    distinct witness once."""
+    distinct witness once.
+
+    Retention/timing tradeoff (ADVICE r4): the memo keys on the raw secret
+    input, so witness material outlives the prove call and repeat-statement
+    proves are observably faster to a timing observer. Same knob as the
+    groth16 accumulator memo: set LIBZKP_NO_WITNESS_MEMO=1 to disable both
+    when unlinkability against a co-resident timing observer matters more
+    than repeat-prove latency.
+    """
+    if os.environ.get("LIBZKP_NO_WITNESS_MEMO"):
+        return list(_mimc_wires_cached.__wrapped__(x))
     return list(_mimc_wires_cached(x))
 
 

@@ -12,6 +12,7 @@
 #include <algorithm>
 #include <array>
 #include <atomic>
+#include <chrono>
 #include <cstdint>
 #include <cstdlib>
 #include <deque>
@@ -2475,7 +2476,12 @@ struct fixed_tab {
     // and latency-hidden with hugepages + software prefetch). Built lazily
     // by ensure_tabm_ed(); empty = tier disabled.
     int cm = 0, nwin_m = 0;
-    int tabm_ready = 0;  // mutated only under TABM_MUTEX, read after ensure
+    // Built-flag for the multiples table: release-stored by the builder
+    // (under TABM_MUTEX) after the table fields are written, acquire-loaded
+    // by the lock-free fast path in ensure_tabm_ed so readers observe the
+    // fields the store publishes. ctypes releases the GIL, so concurrent
+    // Python threads genuinely race here.
+    std::atomic<int> tabm_ready{0};
     std::vector<uint64_t> tabm;  // 16 qwords/entry: ymx[5] ypx[5] t2d[5] pad
     size_t tabm_off = 0;         // qword offset aligning entry 0 to 128 B
 };
@@ -5077,12 +5083,13 @@ static int tabm_c_param() {
 }
 
 static void ensure_tabm_ed(fixed_tab<ge, edniels>& ft) {
-    if (ft.tabm_ready) return;
+    if (ft.tabm_ready.load(std::memory_order_acquire)) return;
     int cm = tabm_c_param();
     std::lock_guard<std::mutex> lk(TABM_MUTEX);
-    if (ft.tabm_ready) return;
+    if (ft.tabm_ready.load(std::memory_order_relaxed)) return;
     if (!cm || ft.nwin == 0 || ft.n == 0) {
-        ft.tabm_ready = 1;  // disabled / degenerate table: stay on buckets
+        // disabled / degenerate table: stay on buckets
+        ft.tabm_ready.store(1, std::memory_order_release);
         return;
     }
     const int half = 1 << (cm - 1);
@@ -5130,7 +5137,7 @@ static void ensure_tabm_ed(fixed_tab<ge, edniels>& ft) {
     ft.tabm_off = tabm_off;
     ft.cm = cm;
     ft.nwin_m = nwin_m;
-    ft.tabm_ready = 1;
+    ft.tabm_ready.store(1, std::memory_order_release);
 }
 
 // Sparse fixed-table MSM over the multiples table: scalar (1-lane) tier.
@@ -5154,14 +5161,17 @@ static ge msm_tab1(const fixed_tab<ge, edniels>& ft, const int* cols,
                          << 7);
     };
     auto prefetch_at = [&](int w, int j) {
-        if (j >= nnz) {
+        // j arrives as in-window-index + PD; for tiny nnz (the V/A/T1/T2
+        // MSMs have nnz = 1..2) that can overshoot by several windows, so
+        // keep wrapping until it lands inside one.
+        while (j >= nnz) {
             j -= nnz;
             if (++w >= nwin) return;
         }
         int64_t off = entry_off(w, j);
         if (off < 0) return;
-        _mm_prefetch((const char*)(base + off), _MM_HINT_T0);
-        _mm_prefetch((const char*)(base + off + 64), _MM_HINT_T0);
+        __builtin_prefetch((const char*)(base + off));
+        __builtin_prefetch((const char*)(base + off + 64));
     };
     for (int j = 0; j < nnz && j < PD; j++) prefetch_at(0, j);
     ge acc = ge_identity();
@@ -5179,6 +5189,28 @@ static ge msm_tab1(const fixed_tab<ge, edniels>& ft, const int* cols,
 }
 
 
+
+// Optional coarse profile of the batch prover (LIBZKP_BP_PROF=1): cycles in
+// MSM inserts vs Ristretto compression, per zkp_bp_prove_batch call. Lives
+// OUTSIDE the IFMA guard: zkp_bp_prove_batch's epilogue reads these on every
+// build, including the portable no-march fallback.
+static std::atomic<uint64_t> BP_PROF_MSM{0}, BP_PROF_COMP{0};
+static inline uint64_t bp_prof_now() {
+#if defined(__x86_64__) || defined(__i386__)
+    return __builtin_ia32_rdtsc();
+#else
+    // non-x86 fallback: ns since epoch (BASELINE's "cycles at 2.1 GHz"
+    // reading only applies to the x86 reference host anyway)
+    return (uint64_t)std::chrono::duration_cast<std::chrono::nanoseconds>(
+               std::chrono::steady_clock::now().time_since_epoch())
+        .count();
+#endif
+}
+static bool bp_prof_on() {
+    static int on = -1;
+    if (on < 0) on = std::getenv("LIBZKP_BP_PROF") ? 1 : 0;
+    return on == 1;
+}
 
 // -- AVX-512 IFMA 8-lane field tier ------------------------------------------
 // Eight curve25519 field elements per vector (lane p = proof p), 5 x 51-bit
@@ -5394,18 +5426,6 @@ static fe8 fe8_pow22523(const fe8& z) {
 }
 
 // 8 lockstep RFC 9496 ENCODEs; out stride 32 bytes per lane.
-// Optional coarse profile of the batch prover (LIBZKP_BP_PROF=1): cycles in
-// MSM inserts vs Ristretto compression, per zkp_bp_prove_batch call.
-static std::atomic<uint64_t> BP_PROF_MSM{0}, BP_PROF_COMP{0};
-static inline uint64_t bp_prof_now() {
-    return __builtin_ia32_rdtsc();
-}
-static bool bp_prof_on() {
-    static int on = -1;
-    if (on < 0) on = std::getenv("LIBZKP_BP_PROF") ? 1 : 0;
-    return on == 1;
-}
-
 static void bp_compress8(const ge8& p, uint8_t* out) {
     uint64_t t0 = bp_prof_on() ? bp_prof_now() : 0;
     fe8 sqrt_m1 = fe8_bcast(fe_frombytes(SQRT_M1_BYTES));
@@ -5700,7 +5720,9 @@ static void msm_tab8(const fixed_tab<ge, edniels>& ft, const int* cols,
         return v < 0 ? 0 : (v > 64 ? 64 : v);
     }();
     auto prefetch_at = [&](int w, int j) {
-        if (j >= nnz) {
+        // Same wrap discipline as msm_tab1: j + PD can overshoot several
+        // whole windows when nnz is tiny.
+        while (j >= nnz) {
             j -= nnz;
             if (++w >= nwin) return;
         }
