@@ -270,7 +270,7 @@ def _four_step_twiddles(p: int, n1: int, n2: int, invert: bool):
 
 @functools.lru_cache(maxsize=8)
 def _ntt_sharded_jitted(p: int, n1: int, n2: int, invert: bool, mesh):
-    from jax.experimental.shard_map import shard_map
+    from jax import shard_map
     from jax.sharding import NamedSharding, PartitionSpec as P
 
     from ..parallel import collective
@@ -294,7 +294,7 @@ def _ntt_sharded_jitted(p: int, n1: int, n2: int, invert: bool, mesh):
             mesh=mesh,
             in_specs=(P("shard"), P("shard")),
             out_specs=P("shard"),
-            check_rep=False,
+            check_vma=False,
         )
     )
 

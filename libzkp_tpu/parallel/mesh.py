@@ -55,15 +55,12 @@ def pad_to_multiple(n: int, m: int) -> int:
 def use_mesh() -> bool:
     """Should batch primitives shard over the global mesh?
 
-    ``LIBZKP_MESH_SHARDED=1/0`` forces it (CPU virtual-mesh tests force on);
-    the legacy ``LIBZKP_DEVICE_MSM_SHARDED`` is honored as a fallback. By
-    default sharding engages when more than one accelerator device is
+    ``LIBZKP_MESH_SHARDED=1/0`` forces it (CPU virtual-mesh tests force on).
+    By default sharding engages when more than one accelerator device is
     visible. Single-chip fallbacks inside the sharded kernels make either
     answer safe.
     """
-    flag = os.environ.get("LIBZKP_MESH_SHARDED") or os.environ.get(
-        "LIBZKP_DEVICE_MSM_SHARDED"
-    )
+    flag = os.environ.get("LIBZKP_MESH_SHARDED")
     if flag == "0":
         return False
     if flag == "1":
