@@ -17,6 +17,70 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 
+_distributed_initialized = False
+
+
+def init_distributed(
+    coordinator_address: Optional[str] = None,
+    num_processes: Optional[int] = None,
+    process_id: Optional[int] = None,
+) -> bool:
+    """Multi-host process bootstrap (SURVEY.md §5 "Distributed comm backend").
+
+    Wraps ``jax.distributed.initialize`` so a pod-slice deployment is one
+    call (or zero: every argument falls back to the standard env vars —
+    ``JAX_COORDINATOR_ADDRESS``/``COORDINATOR_ADDRESS``, ``JAX_NUM_PROCESSES``,
+    ``JAX_PROCESS_ID`` — and on Cloud TPU ``jax.distributed.initialize()``
+    auto-discovers all three). No-op when single-host: returns False when no
+    coordinator is configured or discoverable, True once the process group is
+    up. Call before the first :func:`get_mesh` so ``jax.devices()`` spans the
+    slice. Idempotent; safe under concurrent callers holding the GIL.
+
+    Replaces the reference's absent multi-process story (its only
+    inter-process mechanism is the flock'd batch store,
+    ``advanced/batch_store.rs:102-140``) with the JAX-native process group
+    over ICI/DCN.
+    """
+    global _distributed_initialized
+    if _distributed_initialized:
+        return True
+    addr = (
+        coordinator_address
+        or os.environ.get("JAX_COORDINATOR_ADDRESS")
+        or os.environ.get("COORDINATOR_ADDRESS")
+    )
+    n_str = os.environ.get("JAX_NUM_PROCESSES")
+    pid_str = os.environ.get("JAX_PROCESS_ID")
+    if num_processes is None and n_str is not None:
+        num_processes = int(n_str)
+    if process_id is None and pid_str is not None:
+        process_id = int(pid_str)
+    # Cloud TPU pod auto-discovery: TPU_WORKER_HOSTNAMES lists every host in
+    # the slice. One entry (single host, incl. the 'localhost' some PJRT
+    # plugins set) is not a pod.
+    hostnames = os.environ.get("TPU_WORKER_HOSTNAMES", "")
+    on_tpu_pod = (
+        jax.default_backend() == "tpu" and len(hostnames.split(",")) > 1
+    )
+    if addr is None and not on_tpu_pod:
+        return False  # single-host: nothing to do
+    try:
+        jax.distributed.initialize(
+            coordinator_address=addr,
+            num_processes=num_processes,
+            process_id=process_id,
+        )
+    except RuntimeError:
+        if addr is None:
+            # auto-discovery raced an already-initialized backend; stay
+            # single-host rather than crash a working process
+            return False
+        raise
+    _distributed_initialized = True
+    get_mesh.cache_clear()  # a pre-init mesh only saw local devices
+    return True
+
+
 @functools.lru_cache(maxsize=None)
 def get_mesh(dp: Optional[int] = None, shard: int = 1) -> Mesh:
     """Global (dp, shard) mesh over all visible devices.
