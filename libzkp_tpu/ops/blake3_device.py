@@ -33,17 +33,30 @@ def _compress_vec(cv, m, counter: int, block_len: int, flags: int):
     """Vectorized BLAKE3 compress: cv (B, 8), m (B, 16) -> (B, 8) cv out.
 
     counter/block_len/flags are python ints (same for every lane).
+
+    Each state/message word is held as an (8, B//8) 2-D array rather than a
+    1-D (B,) vector: 1-D int32 arrays occupy one sublane of each (8, 128)
+    VPU tile, so the word-parallel rotate/xor/add chains ran at ~1/8 of
+    lane capacity (the 0.05 %-of-VPU row in BASELINE.md's round-4
+    utilization table). The reshapes at entry/exit are 24 cheap relayouts
+    against ~800 tile-ops of compression arithmetic.
     """
     B = cv.shape[0]
+    two_d = B % 8 == 0 and B >= 8
+    shape = (8, B // 8) if two_d else (B,)
+
+    def w(x):
+        return x.reshape(shape) if two_d else x
+
     consts = jnp.asarray(
         [IV[0], IV[1], IV[2], IV[3], counter & 0xFFFFFFFF,
          (counter >> 32) & 0xFFFFFFFF, block_len, flags],
         dtype=_U32,
     )
-    state = [cv[:, i] for i in range(8)] + [
-        jnp.broadcast_to(consts[i], (B,)) for i in range(8)
+    state = [w(cv[:, i]) for i in range(8)] + [
+        jnp.broadcast_to(consts[i], shape) for i in range(8)
     ]
-    msg = [m[:, i] for i in range(16)]
+    msg = [w(m[:, i]) for i in range(16)]
 
     def g(a, b, c, d, mx, my):
         state[a] = state[a] + state[b] + mx
@@ -67,7 +80,7 @@ def _compress_vec(cv, m, counter: int, block_len: int, flags: int):
         if r < 6:
             msg = [msg[MSG_PERMUTATION[i]] for i in range(16)]
     return jnp.stack(
-        [state[i] ^ state[i + 8] for i in range(8)], axis=1
+        [(state[i] ^ state[i + 8]).reshape(B) for i in range(8)], axis=1
     )
 
 
