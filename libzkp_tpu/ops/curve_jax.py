@@ -449,9 +449,12 @@ def _horner_call(curve: str, B: int):
 
     def kernel(c_ref, acc_ref, w_ref, o_ref):
         consts = c_ref[:]
-        acc = jax.lax.fori_loop(
-            0, 8, lambda _, a: eng.pdouble(consts, a), acc_ref[:]
-        )
+        acc = acc_ref[:]
+        # unrolled: a fori_loop here measured 8x slower (58 vs 7 us/call,
+        # round-5 overhead probe) — Mosaic pipelines the straight line far
+        # better than the rolled loop
+        for _ in range(8):
+            acc = eng.pdouble(consts, acc)
         o_ref[:] = eng.padd(consts, acc, w_ref[:])
 
     def call(consts, acc, wsum):
@@ -565,6 +568,68 @@ def _msm_jit(curve: str, Kp: int, B: int):
 
 
 @functools.lru_cache(maxsize=None)
+def _msm_jit_v2(curve: str, Kp: int, B: int):
+    """v2 MSM driver: the window gather runs as an int8 one-hot batched
+    matmul on the MXU instead of an XLA row gather.
+
+    Round-5 phase decomposition (scripts/bench_msm_phases.py /
+    bench_msm_matgather.py, fetch-synced): the radix-256 take-gather +
+    transpose cost ~34 ms of the ~62 ms device MSM at (K=129, B=512) —
+    latency-bound HBM row fetches at ~4 GB/s. The same selection as
+
+        pts[k, :, b] = table_int8[k] @ onehot(digit[k, b])
+
+    lands directly in the kernel's (Kp, C, n, B) layout (no transpose),
+    runs at MXU rates (~2.5 ms), and is bit-exact (int8 x int8 -> int32).
+    """
+    import jax
+    import jax.numpy as jnp
+
+    eng = get_engine(curve)
+    C, n = eng.coords, eng.n
+    CN = C * n
+    wsum_call = _window_sum_call(curve, Kp, B)
+    horner = _horner_call(curve, B)
+    ident = np.broadcast_to(eng.identity_np()[..., None], (C, n, B))
+    iota = np.arange(256, dtype=np.int32)[None, :, None]  # (1, 256, 1)
+
+    @jax.jit
+    def run(consts, hiT, loT, digits):
+        # hiT/loT: (Kp, CN, 256) int8; digits: (B, Kp, 32) scalar bytes
+        dw = _digits_to_windows(digits)  # (NWIN, B, Kp) high first
+        io = jnp.asarray(iota)
+
+        def step(acc, dig):
+            d = jnp.transpose(dig, (1, 0))[:, None, :]  # (Kp, 1, B)
+            oh = (d == io).astype(jnp.int8)  # (Kp, 256, B)
+
+            def bmm(t8):
+                return jax.lax.dot_general(
+                    t8, oh,
+                    dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+                    preferred_element_type=jnp.int32,
+                )  # (Kp, CN, B)
+
+            pts = (bmm(hiT) * 256 + bmm(loT)).reshape(Kp, C, n, B)
+            w = wsum_call(consts, pts)
+            return horner(consts, acc, w), None
+
+        acc, _ = jax.lax.scan(step, jnp.asarray(ident), dw)
+        return acc  # (C, n, B)
+
+    return run
+
+
+def _use_msm_v2() -> bool:
+    import os
+
+    flag = os.environ.get("LIBZKP_MSM_V2")
+    if flag in ("0", "1"):
+        return flag == "1"
+    return not _interpret()
+
+
+@functools.lru_cache(maxsize=None)
 def _table_build_jit(curve: str, K: int):
     import jax
     import jax.numpy as jnp
@@ -655,6 +720,34 @@ class DeviceTable:
         )
         self.table.block_until_ready()
 
+    @property
+    def table_int8(self):
+        """(hiT, loT): the table as int8 halves, (Kp, C*n, 256) each.
+
+        Feeds the MXU one-hot gather of the v2 MSM driver
+        (``pts = table @ onehot(digits)``): splitting each int16 limb as
+        ``limb = hi * 256 + lo`` with lo in [-128, 127] keeps both factors
+        int8 so the batched matmul accumulates exactly in int32. Built once
+        per table, on device.
+        """
+        if not hasattr(self, "_int8"):
+            import jax
+            import jax.numpy as jnp
+
+            eng = get_engine(self.curve)
+            CN = eng.coords * eng.n
+
+            @jax.jit
+            def split(t):
+                t32 = t.astype(jnp.int32).reshape(self.Kp, 256, CN)
+                lo = ((t32 + 128) & 255) - 128
+                hi = (t32 - lo) >> 8
+                tr = lambda x: jnp.transpose(x, (0, 2, 1)).astype(jnp.int8)
+                return tr(hi), tr(lo)
+
+            self._int8 = split(self.table)
+        return self._int8
+
 
 def build_table_ed25519(points) -> DeviceTable:
     return DeviceTable(
@@ -726,9 +819,15 @@ def msm_many(table: DeviceTable, scalar_vecs: Sequence[Sequence[int]]):
     Bp = _pad_batch(B)
     if Bp != B:
         digits = np.pad(digits, ((0, Bp - B), (0, 0), (0, 0)))
-    out = _msm_jit(table.curve, table.Kp, Bp)(
-        table.consts, table.table, jnp.asarray(digits)
-    )
+    if _use_msm_v2():
+        hiT, loT = table.table_int8
+        out = _msm_jit_v2(table.curve, table.Kp, Bp)(
+            table.consts, hiT, loT, jnp.asarray(digits)
+        )
+    else:
+        out = _msm_jit(table.curve, table.Kp, Bp)(
+            table.consts, table.table, jnp.asarray(digits)
+        )
     return _decode(table.curve, np.asarray(out), B)
 
 
