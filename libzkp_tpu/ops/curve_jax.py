@@ -620,13 +620,138 @@ def _msm_jit_v2(curve: str, Kp: int, B: int):
     return run
 
 
-def _use_msm_v2() -> bool:
+@functools.lru_cache(maxsize=None)
+def _window_fused_call(curve: str, Kp: int, B: int):
+    """pallas_call: fused one-hot int8 MXU gather + tree window-sum.
+
+    (consts, hiT (Kp,CN,256) i8, loT, dig (B,Kp) i32) -> (C, n, B) i32.
+
+    v2 materialized the gathered (Kp, C, n, B) int32 block in HBM between
+    the XLA matmul and the window-sum kernel (~34 ms of traffic per MSM
+    batch at B=512); doing the int8 dot INSIDE the kernel keeps everything
+    in VMEM — the only HBM reads are the int8 table slices and digits.
+    """
+    import jax
+    import jax.numpy as jnp
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    eng = get_engine(curve)
+    C, n = eng.coords, eng.n
+    CN = C * n
+    bt = min(B_TILE, B)
+    kc = min(K_CHUNK, Kp)
+    assert Kp % kc == 0 and B % bt == 0
+    nc = eng.consts_np.shape[0]
+
+    def kernel(c_ref, hi_ref, lo_ref, d_ref, o_ref):
+        k = pl.program_id(1)
+        consts = c_ref[:]
+        dig = d_ref[:]  # (kc, bt)
+        iot = jax.lax.broadcasted_iota(jnp.int32, (256, bt), 0)
+
+        def gathered(j):
+            oh = (dig[j][None, :] == iot).astype(jnp.int8)  # (256, bt)
+            h = jax.lax.dot_general(
+                hi_ref[j], oh, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.int32,
+            )  # (CN, bt)
+            l = jax.lax.dot_general(
+                lo_ref[j], oh, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.int32,
+            )
+            return (h * 256 + l).reshape(C, n, bt)
+
+        # pair-combine during generation so at most kc/2 point blocks are
+        # live at once (kc full blocks blew the scoped-VMEM limit), then a
+        # python-list tree: no jnp.stack/concatenate — stacking kc/2 blocks
+        # into one buffer cost a multi-MB VMEM copy per grid step
+        lv = [
+            eng.padd(consts, gathered(2 * j), gathered(2 * j + 1))
+            for j in range(kc // 2)
+        ]
+        while len(lv) > 1:
+            half = len(lv) // 2
+            nxt = [
+                eng.padd(consts, lv[i], lv[half + i]) for i in range(half)
+            ]
+            if len(lv) % 2:
+                nxt.append(lv[-1])
+            lv = nxt
+        w = lv[0]
+
+        @pl.when(k == 0)
+        def _():
+            o_ref[:] = w
+
+        @pl.when(k != 0)
+        def _():
+            o_ref[:] = eng.padd(consts, o_ref[:], w)
+
+    def call(consts, hiT, loT, dig):
+        return pl.pallas_call(
+            kernel,
+            out_shape=jax.ShapeDtypeStruct((C, n, B), jnp.int32),
+            grid=(B // bt, Kp // kc),
+            in_specs=[
+                pl.BlockSpec((nc, n), lambda b, k: (0, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec(
+                    (kc, CN, 256), lambda b, k: (k, 0, 0),
+                    memory_space=pltpu.VMEM,
+                ),
+                pl.BlockSpec(
+                    (kc, CN, 256), lambda b, k: (k, 0, 0),
+                    memory_space=pltpu.VMEM,
+                ),
+                pl.BlockSpec(
+                    (kc, bt), lambda b, k: (k, b), memory_space=pltpu.VMEM
+                ),
+            ],
+            out_specs=pl.BlockSpec(
+                (C, n, bt), lambda b, k: (0, 0, b), memory_space=pltpu.VMEM
+            ),
+            compiler_params=pltpu.CompilerParams(
+                vmem_limit_bytes=96 * 1024 * 1024,
+            ),
+            interpret=_interpret(),
+        )(consts, hiT, loT, dig)
+
+    return call
+
+
+@functools.lru_cache(maxsize=None)
+def _msm_jit_v3(curve: str, Kp: int, B: int):
+    """v3 MSM driver: fused in-kernel int8 MXU gather + tree sum per window."""
+    import jax
+    import jax.numpy as jnp
+
+    eng = get_engine(curve)
+    C, n = eng.coords, eng.n
+    fused = _window_fused_call(curve, Kp, B)
+    horner = _horner_call(curve, B)
+    ident = np.broadcast_to(eng.identity_np()[..., None], (C, n, B))
+
+    @jax.jit
+    def run(consts, hiT, loT, digits):
+        dw = _digits_to_windows(digits)  # (NWIN, B, Kp) high first
+
+        def step(acc, dig):
+            w = fused(consts, hiT, loT, jnp.transpose(dig, (1, 0)))
+            return horner(consts, acc, w), None
+
+        acc, _ = jax.lax.scan(step, jnp.asarray(ident), dw)
+        return acc  # (C, n, B)
+
+    return run
+
+
+def _msm_impl() -> str:
     import os
 
-    flag = os.environ.get("LIBZKP_MSM_V2")
-    if flag in ("0", "1"):
-        return flag == "1"
-    return not _interpret()
+    flag = os.environ.get("LIBZKP_MSM_IMPL")
+    if flag in ("v1", "v2", "v3"):
+        return flag
+    return "v1" if _interpret() else "v3"
 
 
 @functools.lru_cache(maxsize=None)
@@ -819,7 +944,13 @@ def msm_many(table: DeviceTable, scalar_vecs: Sequence[Sequence[int]]):
     Bp = _pad_batch(B)
     if Bp != B:
         digits = np.pad(digits, ((0, Bp - B), (0, 0), (0, 0)))
-    if _use_msm_v2():
+    impl = _msm_impl()
+    if impl == "v3":
+        hiT, loT = table.table_int8
+        out = _msm_jit_v3(table.curve, table.Kp, Bp)(
+            table.consts, hiT, loT, jnp.asarray(digits)
+        )
+    elif impl == "v2":
         hiT, loT = table.table_int8
         out = _msm_jit_v2(table.curve, table.Kp, Bp)(
             table.consts, hiT, loT, jnp.asarray(digits)

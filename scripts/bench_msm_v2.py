@@ -46,6 +46,10 @@ def main():
     floor = fetch(jax.jit(lambda x: x + 1), jnp.zeros((), jnp.int32))
     print(f"floor: {floor*1e3:.1f} ms", flush=True)
 
+    v3 = cj._msm_jit_v3("ed25519", Kp, B)
+    dt = fetch(lambda d: v3(table.consts, hiT, loT, d), digits) - floor
+    print(f"v3 full  : {dt*1e3:8.2f} ms ({dt/B*1e3:.4f} ms/lane)", flush=True)
+
     v2 = cj._msm_jit_v2("ed25519", Kp, B)
     dt = fetch(lambda d: v2(table.consts, hiT, loT, d), digits) - floor
     print(f"v2 full  : {dt*1e3:8.2f} ms ({dt/B*1e3:.4f} ms/lane)", flush=True)
@@ -90,14 +94,14 @@ def main():
     print(f"mmgather : {dt*1e3:8.2f} ms", flush=True)
 
     # correctness vs host
-    out = np.asarray(v2(table.consts, hiT, loT, digits))
+    out = np.asarray(v3(table.consts, hiT, loT, digits))
     got = cj._decode("ed25519", out, 2)
     for i in range(2):
         want = ed.msm_fixed(scal[i], pts)
         inv = pow(got[i][2], ed.P - 2, ed.P)
         winv = pow(want[2], ed.P - 2, ed.P)
         assert got[i][0] * inv % ed.P == want[0] * winv % ed.P
-    print("v2 correct on 2 lanes", flush=True)
+    print("v3 correct on 2 lanes", flush=True)
 
 
 if __name__ == "__main__":
