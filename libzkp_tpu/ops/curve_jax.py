@@ -1064,19 +1064,34 @@ def msm_many_sharded(table: DeviceTable, scalar_vecs, mesh=None):
 
 
 def _canon_bias_np(n: int) -> np.ndarray:
-    """Limb vector representing 16p with value redistributed so every limb
-    is large enough to absorb the worst-case negative carries of a relaxed
-    fold value (limb 0 also absorbs the signed top-limb wrap, |wrap| <=
-    3 * 9728)."""
+    """A multiple of p, redistributed so every limb is large enough to
+    absorb the worst-case negative carries of a relaxed fold value
+    (including the signed top-limb wrap through ONE = 2^(12n) mod p, which
+    lands on whichever limbs ONE occupies).
+
+    16p reaches limb 21; rows above it are zeroed by the top-fold stage of
+    :func:`_fold_canonicalize` before the bias is added, so they need no
+    floor (carries into them stay non-negative)."""
     p = (1 << 255) - 19
     from .limbfold import int_to_limbs
 
-    d = int_to_limbs(16 * p, n).astype(np.int64)
-    d[0] += 2 << 12  # move 2 * 4096 from limb 1 down to limb 0
-    d[1] -= 2
-    # limb 0 must absorb the one-pass top wrap (one_l = 9728 for this
-    # prime); the other limbs only need to absorb borrows of a few units.
-    assert d[0] >= 9728 + 2048 and (d[1:] >= 4).all()
+    m = 16
+    d = int_to_limbs(m * p, n).astype(np.int64)
+    one = int_to_limbs((1 << (12 * n)) % p, n).astype(np.int64)
+    floors = 8 + 4 * one
+    floors[0] += 1 << 13
+    floors[22:] = 0  # zeroed by the top-fold stage; carries in are >= 0
+    top = min(n, 22)
+    # greedy top-down redistribution: a unit at limb i+1 is 4096 at limb i
+    for i in range(top - 1, 0, -1):
+        need = floors[i - 1] - d[i - 1]
+        if need > 0:
+            take = (need + 4095) // 4096
+            d[i] -= take
+            d[i - 1] += take << 12
+        assert d[i] >= floors[i], f"bias redistribution failed at limb {i}"
+    assert d[0] >= floors[0]
+    assert sum(int(v) << (12 * i) for i, v in enumerate(d)) % p == 0
     return d.astype(np.int32)
 
 
@@ -1093,7 +1108,25 @@ def _fold_canonicalize(f, x):
     n = f.n
     for _ in range(3):
         x = f.carry(x)
-    # after three passes: limb 0 in [-9728, 13824), other limbs >= -4, and
+    # Top-fold (n > 22 layouts): rows >= 22 carry weight 2^264+ and would
+    # blow the |value| < ~2^266 budget the 19*(v>>255) folds below assume.
+    # Replace each with its residue: 2^(12j) mod p spread over low limbs.
+    if n > 22:
+        from .limbfold import int_to_limbs as _i2l
+
+        for j in range(22, n):
+            ej = _i2l((1 << (12 * j)) % ((1 << 255) - 19), n).astype(np.int64)
+            nz = [(i, int(v)) for i, v in enumerate(ej) if v]
+            row = x[..., j, :]
+            upd = jnp.zeros_like(x)
+            for i, v in nz:
+                upd = upd.at[..., i, :].add(row * jnp.int32(v))
+            x = jnp.concatenate(
+                [x[..., :j, :], jnp.zeros_like(x[..., j : j + 1, :]), x[..., j + 1 :, :]],
+                axis=-2,
+            ) + upd
+        x = f.carry(f.carry(x))
+    # after the passes: limb 0 in [-9728, 13824), other limbs >= -4, and
     # the VALUE is > -2p; adding the redistributed 16p makes both the limbs
     # and the value non-negative without changing the residue.
     bias = jnp.asarray(_canon_bias_np(n))[..., :, None]
@@ -1103,24 +1136,38 @@ def _fold_canonicalize(f, x):
     # strict-limb form needs up to n passes.
     for _ in range(n):
         x = f.carry(x)
-    # value in [0, 2^264): fold bits >= 255 back as * 19. Bit 255 = limb
-    # n-1 bit 3 for this prime (n = 22).
-    for _ in range(2):
-        hi = x[..., n - 1, :] >> 3
-        x = jnp.concatenate(
-            [x[..., : n - 1, :], x[..., n - 1 : n, :] & 7], axis=-2
+    # fold bits >= 255 back as * 19. Bit 255 = limb TI (=21) bit 3; any
+    # limbs above TI hold bits 264+ (n > 22 layouts) and are small after
+    # the strict passes (value < 2^281), so the assembled hi fits int32.
+    TI = 255 // 12  # 21
+
+    def hi_bits(v):
+        h = v[..., TI, :] >> 3
+        for j in range(TI + 1, n):
+            h = h + (v[..., j, :] << (12 * (j - TI) - 3))
+        return h
+
+    def mod_2_255(v):
+        return jnp.concatenate(
+            [
+                v[..., :TI, :],
+                v[..., TI : TI + 1, :] & 7,
+                jnp.zeros_like(v[..., TI + 1 :, :]),
+            ],
+            axis=-2,
         )
-        x = x.at[..., 0, :].add(19 * hi)
+
+    for _ in range(2):
+        hi = hi_bits(x)
+        x = mod_2_255(x).at[..., 0, :].add(19 * hi)
         for _ in range(n):
             x = f.carry(x)
     # conditional subtract: v >= p  <=>  (v + 19) has bit 255 set
     w = x.at[..., 0, :].add(19)
     for _ in range(n):
         w = f.carry(w)
-    ge = (w[..., n - 1, :] >> 3) > 0  # (B,)
-    w_mod = jnp.concatenate(
-        [w[..., : n - 1, :], w[..., n - 1 : n, :] & 7], axis=-2
-    )
+    ge = hi_bits(w) > 0  # (B,)
+    w_mod = mod_2_255(w)
     return jnp.where(ge[..., None, :], w_mod, x)
 
 

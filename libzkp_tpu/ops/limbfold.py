@@ -58,8 +58,14 @@ class FoldCtx:
 
     def __init__(self, p: int):
         self.p = p
-        # >= 9 bits of slack above p so chained relaxed values stay bounded
-        self.n = (p.bit_length() + 9 + LIMB_BITS - 1) // LIMB_BITS
+        # >= 9 bits of slack above p so chained relaxed values stay bounded;
+        # rounded up to a multiple of 8 so the (n, B) limb blocks tile the
+        # (8, 128) VPU registers exactly — coordinate slices and the
+        # (C*n, B) -> (C, n, B) reshapes in the MSM gather kernels are then
+        # sublane-aligned (22-row blocks padded to 24 cost the same VPU time
+        # but force shifted relayouts on every slice boundary).
+        n_min = (p.bit_length() + 9 + LIMB_BITS - 1) // LIMB_BITS
+        self.n = (n_min + 7) // 8 * 8
         n = self.n
         assert (1 << (LIMB_BITS * n)) >> 8 >= p, "insufficient limb slack"
         self.ONE = int_to_limbs((1 << (LIMB_BITS * n)) % p, n)  # wrap constant
