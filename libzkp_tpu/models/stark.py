@@ -188,15 +188,23 @@ def prove(air: Air, trace_columns: List[List[int]], precomputed=None) -> bytes:
     offset = DOMAIN_OFFSET
     assert pow(offset, N, p) != 1, "domain offset lies in the LDE subgroup"
 
-    # 1. trace polynomials + LDE
+    # 1. trace polynomials + LDE (optionally with device-precomputed
+    #    leaf digests: the fused LDE+commit program, ops/stark_device.py)
+    trace_leaves = None
     if precomputed is not None:
-        trace_polys, trace_lde = precomputed
+        if len(precomputed) == 3:
+            trace_polys, trace_lde, trace_leaves = precomputed
+        else:
+            trace_polys, trace_lde = precomputed
     else:
         trace_polys = [poly.interpolate(F, col) for col in trace_columns]
         trace_lde = [poly.evaluate_coset(F, c, N, offset) for c in trace_polys]
 
     # 2. trace commitment
-    trace_leaves = hash_element_rows(F, [[trace_lde[i][r] for i in range(w)] for r in range(N)])
+    if trace_leaves is None:
+        trace_leaves = hash_element_rows(
+            F, [[trace_lde[i][r] for i in range(w)] for r in range(N)]
+        )
     trace_tree = MerkleTree(trace_leaves)
 
     coin = RandomCoin(air.context_bytes())

@@ -178,11 +178,13 @@ def _prove_pairs_host(pairs) -> List[bytes]:
 def _prove_precomputed(work) -> List[bytes]:
     """Fork-pool worker: host pipeline over device-precomputed LDEs.
 
-    ``work``: list of ((old, new), trace_col, poly, lde) tuples."""
+    ``work``: list of ((old, new), trace_col, poly, lde[, leaves]) tuples."""
     out = []
-    for (old, new), col, poly, lde in work:
+    for item in work:
+        (old, new), col, poly, lde = item[:4]
         air = ImprovementAir(TRACE_LENGTH, [old, new], DEFAULT_OPTIONS)
-        out.append(stark.prove(air, [col], precomputed=([poly], [lde])))
+        pre = ([poly], [lde], item[4]) if len(item) > 4 else ([poly], [lde])
+        out.append(stark.prove(air, [col], precomputed=pre))
     return out
 
 
@@ -204,21 +206,36 @@ def prove_improvement_batch(pairs) -> List[bytes]:
         airs.append(air)
         cols.append(_build_trace(air, old))
     if len(pairs) >= _MIN_DEVICE_LDE_BATCH:
-        from ..ops.ntt import coset_lde_batch
-
         # Fork the pool BEFORE this call dispatches to JAX: forking with
         # live XLA threads in the parent is a deadlock hazard (the pool
         # health-checks its workers either way).
         pool = _get_fork_pool()
-        polys, ldes = coset_lde_batch(
-            F128.p, cols, DEFAULT_OPTIONS.blowup, stark.DOMAIN_OFFSET
-        )
+        if _os.environ.get("LIBZKP_DEVICE_COMMIT", "1") != "0":
+            # fused device program: LDE + canonical pack + BLAKE3 leaf
+            # digests in one dispatch (ops/stark_device.py); the host
+            # pipeline then skips hash_element_rows for the trace tree
+            from ..ops.stark_device import coset_lde_commit_batch
+
+            polys, ldes, leaf_rows = coset_lde_commit_batch(
+                F128.p, cols, DEFAULT_OPTIONS.blowup, stark.DOMAIN_OFFSET
+            )
+        else:
+            from ..ops.ntt import coset_lde_batch
+
+            polys, ldes = coset_lde_batch(
+                F128.p, cols, DEFAULT_OPTIONS.blowup, stark.DOMAIN_OFFSET
+            )
+            leaf_rows = None
         # Per-proof transcript/Merkle/FRI assembly is GIL-bound Python: fan
         # it out over the fork pool (the device already did the LDE math).
         if pool is not None:
             try:
                 nw = pool._max_workers
-                work = list(zip(pairs, cols, polys, ldes))
+                work = (
+                    list(zip(pairs, cols, polys, ldes, leaf_rows))
+                    if leaf_rows is not None
+                    else list(zip(pairs, cols, polys, ldes))
+                )
                 chunks = [work[i::nw] for i in range(nw)]
                 parts = list(pool.map(_prove_precomputed, chunks))
                 out: List[bytes] = [b""] * len(pairs)
@@ -228,6 +245,13 @@ def prove_improvement_batch(pairs) -> List[bytes]:
                 return out
             except Exception:
                 pass  # fall through to the serial assembly path
+        if leaf_rows is not None:
+            return [
+                stark.prove(air, [col], precomputed=([poly], [lde], leaves))
+                for air, col, poly, lde, leaves in zip(
+                    airs, cols, polys, ldes, leaf_rows
+                )
+            ]
         return [
             stark.prove(air, [col], precomputed=([poly], [lde]))
             for air, col, poly, lde in zip(airs, cols, polys, ldes)

@@ -624,7 +624,7 @@ def _msm_jit_v2(curve: str, Kp: int, B: int):
 def _window_fused_call(curve: str, Kp: int, B: int):
     """pallas_call: fused one-hot int8 MXU gather + tree window-sum.
 
-    (consts, hiT (Kp,CN,256) i8, loT, dig (B,Kp) i32) -> (C, n, B) i32.
+    (consts, packedT (Kp, 2*CN, 256) i8, dig (Kp, B) i32) -> (C, n, B) i32.
 
     v2 materialized the gathered (Kp, C, n, B) int32 block in HBM between
     the XLA matmul and the window-sum kernel (~34 ms of traffic per MSM
@@ -644,7 +644,24 @@ def _window_fused_call(curve: str, Kp: int, B: int):
     assert Kp % kc == 0 and B % bt == 0
     nc = eng.consts_np.shape[0]
 
-    def kernel(c_ref, hi_ref, lo_ref, d_ref, o_ref):
+    if _interpret():
+        # CPU backend: plain jnp one-hot gather + tree (interpreted Pallas
+        # is too slow and the block constraints don't fit tiny test batches)
+        import jax.numpy as jnp
+
+        def call_jnp(consts, packedT, dig):
+            oh = (
+                dig[:, None, :] == jnp.arange(256, dtype=jnp.int32)[None, :, None]
+            ).astype(jnp.int32)  # (Kp, 256, B)
+            out = jnp.einsum(
+                "kcd,kdb->kcb", packedT.astype(jnp.int32), oh
+            )  # (Kp, 2*CN, B)
+            pts = (out[:, :CN] * 256 + out[:, CN:]).reshape(Kp, C, n, B)
+            return _tree_reduce(lambda a, b: eng.padd(consts, a, b), pts)
+
+        return call_jnp
+
+    def kernel(c_ref, t_ref, d_ref, o_ref):
         k = pl.program_id(1)
         consts = c_ref[:]
         dig = d_ref[:]  # (kc, bt)
@@ -652,15 +669,11 @@ def _window_fused_call(curve: str, Kp: int, B: int):
 
         def gathered(j):
             oh = (dig[j][None, :] == iot).astype(jnp.int8)  # (256, bt)
-            h = jax.lax.dot_general(
-                hi_ref[j], oh, (((1,), (0,)), ((), ())),
+            out = jax.lax.dot_general(
+                t_ref[j], oh, (((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.int32,
-            )  # (CN, bt)
-            l = jax.lax.dot_general(
-                lo_ref[j], oh, (((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.int32,
-            )
-            return (h * 256 + l).reshape(C, n, bt)
+            )  # (2*CN, bt): rows [hi; lo]
+            return (out[:CN] * 256 + out[CN:]).reshape(C, n, bt)
 
         # pair-combine during generation so at most kc/2 point blocks are
         # live at once (kc full blocks blew the scoped-VMEM limit), then a
@@ -688,7 +701,7 @@ def _window_fused_call(curve: str, Kp: int, B: int):
         def _():
             o_ref[:] = eng.padd(consts, o_ref[:], w)
 
-    def call(consts, hiT, loT, dig):
+    def call(consts, packedT, dig):
         return pl.pallas_call(
             kernel,
             out_shape=jax.ShapeDtypeStruct((C, n, B), jnp.int32),
@@ -696,11 +709,7 @@ def _window_fused_call(curve: str, Kp: int, B: int):
             in_specs=[
                 pl.BlockSpec((nc, n), lambda b, k: (0, 0), memory_space=pltpu.VMEM),
                 pl.BlockSpec(
-                    (kc, CN, 256), lambda b, k: (k, 0, 0),
-                    memory_space=pltpu.VMEM,
-                ),
-                pl.BlockSpec(
-                    (kc, CN, 256), lambda b, k: (k, 0, 0),
+                    (kc, 2 * CN, 256), lambda b, k: (k, 0, 0),
                     memory_space=pltpu.VMEM,
                 ),
                 pl.BlockSpec(
@@ -714,9 +723,207 @@ def _window_fused_call(curve: str, Kp: int, B: int):
                 vmem_limit_bytes=96 * 1024 * 1024,
             ),
             interpret=_interpret(),
-        )(consts, hiT, loT, dig)
+        )(consts, packedT, dig)
 
     return call
+
+
+WIN_GROUP = 4  # windows gathered per MXU dot in the v4 kernel
+
+
+@functools.lru_cache(maxsize=None)
+def _window_fused4_call(curve: str, Kp: int, B: int):
+    """Fused gather + tree for WIN_GROUP windows at once.
+
+    (consts, packedT (Kp,2CN,256) i8, dig (WG, Kp, B) i32) -> (C, n, WG*B).
+
+    One MXU dot per point-chunk now covers WIN_GROUP windows (the one-hot
+    gains WG*bt columns), cutting the per-dot pipeline latency 4x, and the
+    tree padds run on WG*bt-lane arrays — wider VPU vectors for the same
+    total work.
+    """
+    import jax
+    import jax.numpy as jnp
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    WG = WIN_GROUP
+    eng = get_engine(curve)
+    C, n = eng.coords, eng.n
+    CN = C * n
+    bt = min(B_TILE, B)
+    kc = min(K_CHUNK, Kp)
+    assert Kp % kc == 0 and B % bt == 0
+    nc = eng.consts_np.shape[0]
+
+    if _interpret():
+        import jax.numpy as jnp
+
+        def call_jnp(consts, packedT, dig):
+            d = dig.reshape(WG, Kp, B)
+            d = jnp.transpose(d, (1, 0, 2)).reshape(Kp, WG * B)
+            oh = (
+                d[:, None, :] == jnp.arange(256, dtype=jnp.int32)[None, :, None]
+            ).astype(jnp.int32)
+            out = jnp.einsum("kcd,kdb->kcb", packedT.astype(jnp.int32), oh)
+            pts = (out[:, :CN] * 256 + out[:, CN:]).reshape(Kp, C, n, WG * B)
+            return _tree_reduce(lambda a, b: eng.padd(consts, a, b), pts)
+
+        return call_jnp
+
+    def kernel(c_ref, t_ref, d_ref, o_ref):
+        k = pl.program_id(1)
+        consts = c_ref[:]
+        dig = d_ref[:]  # (WG, kc, bt)
+        iot = jax.lax.broadcasted_iota(jnp.int32, (256, WG * bt), 0)
+
+        def gathered(j):
+            # (WG, bt) digits for point j -> (256, WG*bt) one-hot
+            dj = jnp.transpose(dig[:, j, :], (0, 1)).reshape(1, WG * bt)
+            oh = (dj == iot).astype(jnp.int8)
+            out = jax.lax.dot_general(
+                t_ref[j], oh, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.int32,
+            )  # (2CN, WG*bt)
+            return (out[:CN] * 256 + out[CN:]).reshape(C, n, WG * bt)
+
+        lv = [
+            eng.padd(consts, gathered(2 * j), gathered(2 * j + 1))
+            for j in range(kc // 2)
+        ]
+        while len(lv) > 1:
+            half = len(lv) // 2
+            nxt = [eng.padd(consts, lv[i], lv[half + i]) for i in range(half)]
+            if len(lv) % 2:
+                nxt.append(lv[-1])
+            lv = nxt
+        w = lv[0]
+
+        @pl.when(k == 0)
+        def _():
+            o_ref[:] = w
+
+        @pl.when(k != 0)
+        def _():
+            o_ref[:] = eng.padd(consts, o_ref[:], w)
+
+    def call(consts, packedT, dig):
+        return pl.pallas_call(
+            kernel,
+            out_shape=jax.ShapeDtypeStruct((C, n, WG * B), jnp.int32),
+            grid=(B // bt, Kp // kc),
+            in_specs=[
+                pl.BlockSpec((nc, n), lambda b, k: (0, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec(
+                    (kc, 2 * CN, 256), lambda b, k: (k, 0, 0),
+                    memory_space=pltpu.VMEM,
+                ),
+                pl.BlockSpec(
+                    (WG, kc, bt), lambda b, k: (0, k, b),
+                    memory_space=pltpu.VMEM,
+                ),
+            ],
+            out_specs=pl.BlockSpec(
+                (C, n, WG * bt), lambda b, k: (0, 0, b), memory_space=pltpu.VMEM
+            ),
+            compiler_params=pltpu.CompilerParams(
+                vmem_limit_bytes=110 * 1024 * 1024,
+            ),
+            interpret=_interpret(),
+        )(consts, packedT, dig)
+
+    return call
+
+
+@functools.lru_cache(maxsize=None)
+def _horner4_call(curve: str, B: int):
+    """(consts, acc (C,n,B), wsums (C,n,WG*B)) -> WG Horner steps."""
+    import jax
+    import jax.numpy as jnp
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    WG = WIN_GROUP
+    eng = get_engine(curve)
+    C, n = eng.coords, eng.n
+    bt = min(B_TILE, B)
+    nc = eng.consts_np.shape[0]
+
+    if _interpret():
+
+        def body(consts, acc, wsums):
+            width = wsums.shape[-1] // WG
+            for wdx in range(WG):
+                for _ in range(8):
+                    acc = eng.pdouble(consts, acc)
+                acc = eng.padd(
+                    consts, acc, wsums[..., wdx * width : (wdx + 1) * width]
+                )
+            return acc
+
+        return body
+
+    def kernel(c_ref, a_ref, w_ref, o_ref):
+        consts = c_ref[:]
+        acc = a_ref[:]
+        wsums = w_ref[:]  # (C, n, WG*bt)
+        for wdx in range(WG):
+            for _ in range(8):
+                acc = eng.pdouble(consts, acc)
+            acc = eng.padd(
+                consts, acc, wsums[..., wdx * bt : (wdx + 1) * bt]
+            )
+        o_ref[:] = acc
+
+    def call(consts, acc, wsums):
+        return pl.pallas_call(
+            kernel,
+            out_shape=jax.ShapeDtypeStruct((C, n, B), jnp.int32),
+            grid=(B // bt,),
+            in_specs=[
+                pl.BlockSpec((nc, n), lambda b: (0, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((C, n, bt), lambda b: (0, 0, b), memory_space=pltpu.VMEM),
+                pl.BlockSpec(
+                    (C, n, WIN_GROUP * bt), lambda b: (0, 0, b),
+                    memory_space=pltpu.VMEM,
+                ),
+            ],
+            out_specs=pl.BlockSpec(
+                (C, n, bt), lambda b: (0, 0, b), memory_space=pltpu.VMEM
+            ),
+            interpret=_interpret(),
+        )(consts, acc, wsums)
+
+    return call
+
+
+@functools.lru_cache(maxsize=None)
+def _msm_jit_v4(curve: str, Kp: int, B: int):
+    """v4 MSM driver: WIN_GROUP windows per fused gather+tree kernel."""
+    import jax
+    import jax.numpy as jnp
+
+    WG = WIN_GROUP
+    assert NWIN % WG == 0
+    eng = get_engine(curve)
+    C, n = eng.coords, eng.n
+    fused = _window_fused4_call(curve, Kp, B)
+    horner = _horner4_call(curve, B)
+    ident = np.broadcast_to(eng.identity_np()[..., None], (C, n, B))
+
+    @jax.jit
+    def run(consts, packedT, digits):
+        dw = _digits_to_windows(digits)  # (NWIN, B, Kp) high first
+        dwg = jnp.transpose(dw, (0, 2, 1)).reshape(NWIN // WG, WG, Kp, B)
+
+        def step(acc, dig):
+            w = fused(consts, packedT, dig)  # (C, n, WG*B)
+            return horner(consts, acc, w), None
+
+        acc, _ = jax.lax.scan(step, jnp.asarray(ident), dwg)
+        return acc  # (C, n, B)
+
+    return run
 
 
 @functools.lru_cache(maxsize=None)
@@ -732,11 +939,11 @@ def _msm_jit_v3(curve: str, Kp: int, B: int):
     ident = np.broadcast_to(eng.identity_np()[..., None], (C, n, B))
 
     @jax.jit
-    def run(consts, hiT, loT, digits):
+    def run(consts, packedT, digits):
         dw = _digits_to_windows(digits)  # (NWIN, B, Kp) high first
 
         def step(acc, dig):
-            w = fused(consts, hiT, loT, jnp.transpose(dig, (1, 0)))
+            w = fused(consts, packedT, jnp.transpose(dig, (1, 0)))
             return horner(consts, acc, w), None
 
         acc, _ = jax.lax.scan(step, jnp.asarray(ident), dw)
@@ -749,9 +956,9 @@ def _msm_impl() -> str:
     import os
 
     flag = os.environ.get("LIBZKP_MSM_IMPL")
-    if flag in ("v1", "v2", "v3"):
+    if flag in ("v1", "v2", "v3", "v4"):
         return flag
-    return "v1" if _interpret() else "v3"
+    return "v1" if _interpret() else "v4"
 
 
 @functools.lru_cache(maxsize=None)
@@ -873,6 +1080,19 @@ class DeviceTable:
             self._int8 = split(self.table)
         return self._int8
 
+    @property
+    def table_int8_packed(self):
+        """(Kp, 2*C*n, 256) int8: rows [hi(C*n); lo(C*n)] per entry.
+
+        One MXU dot per point-chunk yields both halves — the v3 kernel's
+        dot count halves versus separate hi/lo tables."""
+        if not hasattr(self, "_int8p"):
+            import jax.numpy as jnp
+
+            hiT, loT = self.table_int8
+            self._int8p = jnp.concatenate([hiT, loT], axis=1)
+        return self._int8p
+
 
 def build_table_ed25519(points) -> DeviceTable:
     return DeviceTable(
@@ -945,10 +1165,13 @@ def msm_many(table: DeviceTable, scalar_vecs: Sequence[Sequence[int]]):
     if Bp != B:
         digits = np.pad(digits, ((0, Bp - B), (0, 0), (0, 0)))
     impl = _msm_impl()
-    if impl == "v3":
-        hiT, loT = table.table_int8
+    if impl == "v4":
+        out = _msm_jit_v4(table.curve, table.Kp, Bp)(
+            table.consts, table.table_int8_packed, jnp.asarray(digits)
+        )
+    elif impl == "v3":
         out = _msm_jit_v3(table.curve, table.Kp, Bp)(
-            table.consts, hiT, loT, jnp.asarray(digits)
+            table.consts, table.table_int8_packed, jnp.asarray(digits)
         )
     elif impl == "v2":
         hiT, loT = table.table_int8

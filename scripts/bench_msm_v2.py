@@ -46,8 +46,13 @@ def main():
     floor = fetch(jax.jit(lambda x: x + 1), jnp.zeros((), jnp.int32))
     print(f"floor: {floor*1e3:.1f} ms", flush=True)
 
+    packedT = table.table_int8_packed
+    v4 = cj._msm_jit_v4("ed25519", Kp, B)
+    dt = fetch(lambda d: v4(table.consts, packedT, d), digits) - floor
+    print(f"v4 full  : {dt*1e3:8.2f} ms ({dt/B*1e3:.4f} ms/lane)", flush=True)
+
     v3 = cj._msm_jit_v3("ed25519", Kp, B)
-    dt = fetch(lambda d: v3(table.consts, hiT, loT, d), digits) - floor
+    dt = fetch(lambda d: v3(table.consts, packedT, d), digits) - floor
     print(f"v3 full  : {dt*1e3:8.2f} ms ({dt/B*1e3:.4f} ms/lane)", flush=True)
 
     v2 = cj._msm_jit_v2("ed25519", Kp, B)
@@ -94,14 +99,14 @@ def main():
     print(f"mmgather : {dt*1e3:8.2f} ms", flush=True)
 
     # correctness vs host
-    out = np.asarray(v3(table.consts, hiT, loT, digits))
+    out = np.asarray(v4(table.consts, packedT, digits))
     got = cj._decode("ed25519", out, 2)
     for i in range(2):
         want = ed.msm_fixed(scal[i], pts)
         inv = pow(got[i][2], ed.P - 2, ed.P)
         winv = pow(want[2], ed.P - 2, ed.P)
         assert got[i][0] * inv % ed.P == want[0] * winv % ed.P
-    print("v3 correct on 2 lanes", flush=True)
+    print("v4 correct on 2 lanes", flush=True)
 
 
 if __name__ == "__main__":

@@ -1,0 +1,64 @@
+"""Differential test: on-device bulletproofs prover vs the host prover.
+
+Same injected randomness -> byte-identical 672-byte proofs and value
+commitments. Small batch (CPU interpret tier); the real win is measured on
+the chip by scripts/bench_bp_device.py.
+"""
+
+from __future__ import annotations
+
+import random
+
+import pytest
+
+from libzkp_tpu.models import bp_device, bulletproofs as bp
+from libzkp_tpu.models.strobe import Transcript
+
+L = bp.L
+
+
+@pytest.fixture()
+def rnd_lanes():
+    rng = random.Random(0xBDD)
+    lanes = []
+    for _ in range(2):
+        lanes.append([rng.randrange(1, L) for _ in range(2 * 64 + 4)])
+    return lanes
+
+
+def test_device_prover_matches_host(rnd_lanes, monkeypatch):
+    values = [7, (1 << 63) + 12345]
+    gammas = [123456789, 987654321]
+
+    # host reference with the same randomness, in prove_single's draw order:
+    # a_blinding, s_blinding, s_L(64), s_R(64), t1_blinding, t2_blinding
+    host_out = []
+    for lane, (v, g) in enumerate(zip(values, gammas)):
+        r = rnd_lanes[lane]
+        seq = [r[0], r[1], *r[4 : 4 + 64], *r[4 + 64 :], r[2], r[3]]
+        it = iter(seq)
+        monkeypatch.setattr(bp, "_random_scalar", lambda it=it: next(it))
+        monkeypatch.setattr(bp, "_use_native_prover", lambda: False)
+        t = Transcript(b"libzkp_range_min")
+        proof, V = bp.prove_single(t, v, g, 64)
+        host_out.append((proof.to_bytes(), V))
+
+    dev_out = bp_device.prove_single_batch_device(
+        b"libzkp_range_min", values, gammas, rnd=rnd_lanes
+    )
+    for lane in range(2):
+        assert dev_out[lane][1] == host_out[lane][1], f"V lane {lane}"
+        assert dev_out[lane][0] == host_out[lane][0], f"proof lane {lane}"
+
+
+def test_device_proofs_verify(rnd_lanes):
+    values = [42, 9999]
+    gammas = [55555, 777]
+    dev_out = bp_device.prove_single_batch_device(
+        b"libzkp_range_min", values, gammas, rnd=rnd_lanes
+    )
+    for proof_bytes, V in dev_out:
+        proof = bp.RangeProof.from_bytes(proof_bytes)
+        assert proof is not None
+        t = Transcript(b"libzkp_range_min")
+        assert bp.verify_single(proof, t, V, 64)
