@@ -179,13 +179,27 @@ def prove_single_batch_device(
     blindings: Sequence[int],
     rnd: Sequence[Sequence[int]] = None,
 ) -> List[Tuple[bytes, bytes]]:
+    """Convenience wrapper: fresh per-lane transcripts under one label."""
+    from .strobe import Transcript
+
+    transcripts = [Transcript(label) for _ in values]
+    insts = [
+        (t, v, g, N_BITS) for t, v, g in zip(transcripts, values, blindings)
+    ]
+    return prove_insts_device(insts, rnd=rnd)
+
+
+def prove_insts_device(
+    insts, rand: bytes = None, rnd: Sequence[Sequence[int]] = None
+) -> List[Tuple[bytes, bytes]]:
     """Batch of 64-bit single range proofs, whole pipeline on device.
 
-    ``label``: the shared transcript protocol label (instances must share
-    it — the STROBE schedule is static per batch; the batch layer groups by
-    scheme). ``rnd``: optional per-lane randomness
-    ``[a_blinding, s_blinding, t1_blinding, t2_blinding, s_L(64), s_R(64)]``
-    (132 scalars) for differential testing; drawn from os.urandom otherwise.
+    ``insts``: ``(transcript, value, blinding, n)`` like
+    models/bulletproofs._prove_batch_fixed_n — transcripts resume on device
+    (positions must agree across the batch: group by label length).
+    ``rand``: the native prover's randomness layout ((2n+4) x 64-byte wide
+    draws per lane); ``rnd``: pre-reduced per-lane scalar lists
+    ``[a_blind, s_blind, t1_blind, t2_blind, s_L(64), s_R(64)]``.
 
     Returns [(proof_672_bytes, V_compressed)] per lane, byte-identical to
     models/bulletproofs.prove_single under the same randomness.
@@ -194,9 +208,13 @@ def prove_single_batch_device(
 
     from ..ops import curve_jax as cj
 
-    B = len(values)
-    assert len(blindings) == B and B > 0
+    B = len(insts)
+    assert B > 0
     n = N_BITS
+    assert all(i[3] == n for i in insts), "device prover is 64-bit only"
+    transcripts = [i[0] for i in insts]
+    values = [i[1] for i in insts]
+    blindings = [i[2] for i in insts]
     sc = sd.get_scalar_ctx()
     nl = sc.n
     table, K = _basis_table(n)
@@ -205,16 +223,24 @@ def prove_single_batch_device(
 
     # -- randomness --------------------------------------------------------
     if rnd is None:
+        per = (2 * n + 4) * 64
+        if rand is None:
+            rand = os.urandom(per * B)
+        assert len(rand) == per * B
+
+        def wide(lane, slot):
+            off = per * lane + 64 * slot
+            return ed.scalar_from_bytes_mod_order_wide(rand[off : off + 64])
+
         rnd = [
-            [int.from_bytes(os.urandom(32), "little") % L for _ in range(2 * n + 4)]
-            for _ in range(B)
+            [wide(b, s) for s in range(2 * n + 4)] for b in range(B)
         ]
     a_blind = [r[0] for r in rnd]
     s_blind = [r[1] for r in rnd]
-    t1_blind = [r[2] for r in rnd]
-    t2_blind = [r[3] for r in rnd]
-    s_L = [[r[4 + i] for r in rnd] for i in range(n)]  # (n)(B)
-    s_R = [[r[4 + n + i] for r in rnd] for i in range(n)]
+    s_L = [[r[2 + i] for r in rnd] for i in range(n)]  # (n)(B)
+    s_R = [[r[2 + n + i] for r in rnd] for i in range(n)]
+    t1_blind = [r[2 + 2 * n] for r in rnd]
+    t2_blind = [r[3 + 2 * n] for r in rnd]
 
     # -- host-known MSMs: V, A, S (digits prepared on host) ---------------
     gamma = [b % L for b in blindings]
@@ -256,7 +282,7 @@ def prove_single_batch_device(
     S_b = _compress_to_bytes(S_pt)
 
     # -- transcript to y, z ------------------------------------------------
-    t = TranscriptDevice(label, B)
+    t = TranscriptDevice.from_transcripts(transcripts)
     t.append_message(b"dom-sep", b"rangeproof v1")
     t.append_u64(b"n", n)
     t.append_u64(b"m", 1)

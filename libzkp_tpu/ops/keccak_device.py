@@ -121,6 +121,21 @@ def keccak_f1600_device(state: List):
     return a
 
 
+@functools.lru_cache(maxsize=1)
+def _perm_jit():
+    """Jitted permutation: ~7k-op graph compiled once per word shape —
+    eager per-op dispatch of 24 unrolled rounds dominates otherwise.
+    XLA:CPU compiles the unrolled graph pathologically (like the BLAKE3
+    compress), so the CPU backend stays eager."""
+    import jax
+
+    from .blake3_device import _use_jit
+
+    if not _use_jit():
+        return lambda *words: tuple(keccak_f1600_device(list(words)))
+    return jax.jit(lambda *words: tuple(keccak_f1600_device(list(words))))
+
+
 # ---------------------------------------------------------------------------
 # STROBE-128 with a static schedule over batched lanes
 # ---------------------------------------------------------------------------
@@ -155,12 +170,42 @@ class StrobeDevice:
         self.cur_flags = 0
         self.meta_ad(protocol_label, False)
 
+    @classmethod
+    def from_states(cls, snapshots: Sequence[bytes]):
+        """Resume B lockstep sponges from 203-byte ``Strobe128.state_bytes``
+        snapshots. pos/pos_begin/cur_flags must agree across lanes (the
+        schedule is static); callers group instances accordingly."""
+        jnp = _jnp()
+        B = len(snapshots)
+        pos = snapshots[0][200]
+        begin = snapshots[0][201]
+        flags = snapshots[0][202]
+        assert all(
+            s[200] == pos and s[201] == begin and s[202] == flags
+            for s in snapshots
+        ), "mixed transcript positions in one device batch"
+        self = cls.__new__(cls)
+        self.B = B
+        shape = (8, B // 8) if B % 8 == 0 and B >= 8 else (B,)
+        self.shape = shape
+        words = np.stack(
+            [np.frombuffer(s[:200], dtype="<u4") for s in snapshots], axis=1
+        )  # (50, B)
+        self.state = [
+            jnp.asarray(words[i].reshape(shape).astype(np.uint32))
+            for i in range(50)
+        ]
+        self.pos = int(pos)
+        self.pos_begin = int(begin)
+        self.cur_flags = int(flags)
+        return self
+
     # -- low-level ---------------------------------------------------------
     def _run_f(self) -> None:
         self._xor_byte(self.pos, int(self.pos_begin))
         self._xor_byte(self.pos + 1, 0x04)
         self._xor_byte(STROBE_R + 1, 0x80)
-        self.state = keccak_f1600_device(self.state)
+        self.state = list(_perm_jit()(*self.state))
         self.pos = 0
         self.pos_begin = 0
 
@@ -247,6 +292,17 @@ class TranscriptDevice:
         self.strobe = StrobeDevice(b"Merlin v1.0", B)
         self.B = B
         self.append_message(b"dom-sep", label)
+
+    @classmethod
+    def from_transcripts(cls, transcripts) -> "TranscriptDevice":
+        """Resume from per-lane host ``models.strobe.Transcript`` objects
+        (equal positions required — group by protocol-label length)."""
+        self = cls.__new__(cls)
+        self.strobe = StrobeDevice.from_states(
+            [t.strobe.state_bytes() for t in transcripts]
+        )
+        self.B = self.strobe.B
+        return self
 
     def append_message(self, label: bytes, message) -> None:
         """message: bytes (lane-constant) or (L, B) device byte array."""

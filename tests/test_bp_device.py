@@ -30,13 +30,11 @@ def test_device_prover_matches_host(rnd_lanes, monkeypatch):
     values = [7, (1 << 63) + 12345]
     gammas = [123456789, 987654321]
 
-    # host reference with the same randomness, in prove_single's draw order:
-    # a_blinding, s_blinding, s_L(64), s_R(64), t1_blinding, t2_blinding
+    # host reference with the same randomness, in prove_single's draw order
+    # (= the device rnd layout): a, s, s_L(64), s_R(64), t1, t2
     host_out = []
     for lane, (v, g) in enumerate(zip(values, gammas)):
-        r = rnd_lanes[lane]
-        seq = [r[0], r[1], *r[4 : 4 + 64], *r[4 + 64 :], r[2], r[3]]
-        it = iter(seq)
+        it = iter(rnd_lanes[lane])
         monkeypatch.setattr(bp, "_random_scalar", lambda it=it: next(it))
         monkeypatch.setattr(bp, "_use_native_prover", lambda: False)
         t = Transcript(b"libzkp_range_min")
