@@ -1,10 +1,13 @@
 #!/usr/bin/env python
 """VERDICT r4 #7: measure the device Groth16 h-pipeline at BUCKET scale.
 
-h_batch_device runs 7 batched NTTs over B x 3 vectors in ONE dispatch; the
-round-3 measurement (6x slower at n=512) was per-proof. This measures both
-tiers at the mixed-batch bucket sizes (B = 20..170 distinct statements) and
-prints the verdict per B. Fetch-synced timing discipline.
+Drives the real deployed path — ``prove_equality_zk_many`` over B DISTINCT
+statements — with the device h-pipeline off (native groth16_h per proof)
+and on (native spmv + ``h_batch_device``: 7 batched NTTs over B x 3 vectors
+in one dispatch). Round 3 measured the per-proof device path 6x slower;
+this answers whether bucket-scale batching flips it.
+
+Usage: python scripts/bench_groth16_h.py
 """
 
 import os
@@ -13,59 +16,41 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-import numpy as np
+os.environ.setdefault("LIBZKP_DEVICE_H_MIN", "16")
+# repeated timing iterations must not hit the witness-accumulator memo
+os.environ["LIBZKP_NO_WITNESS_MEMO"] = "1"
 
-from libzkp_tpu import native
-from libzkp_tpu.models import snark_backend as sb
-from libzkp_tpu.models import groth16
-from libzkp_tpu.ops.field import BN254_FR
 
-R = BN254_FR.p
+def run_bucket(B, device: bool):
+    os.environ["LIBZKP_DEVICE_H"] = "1" if device else "0"
+    from libzkp_tpu.models import snark_backend as sb
+    from libzkp_tpu.utils.commitment import commit_value_snark
+
+    # populate _circuit_meta (set by the first full prove in a process)
+    sb.SnarkBackend.prove_equality_zk(1, 1, commit_value_snark(1))
+    entries = [(i + 1, i + 1, commit_value_snark(i + 1)) for i in range(B)]
+    # warm (setup, caches, compiles)
+    out = sb.SnarkBackend.prove_equality_zk_many(entries)
+    assert out is not None and all(out)
+    best = 1e9
+    for _ in range(3):
+        t0 = time.monotonic()
+        sb.SnarkBackend.prove_equality_zk_many(entries)
+        best = min(best, time.monotonic() - t0)
+    return best
 
 
 def main():
     import jax
 
     print("backend:", jax.default_backend(), flush=True)
-    # real equality-circuit az/bz/cz vectors: use the pk's domain size
-    pk = sb._get_equality_setup()
-    n = 512  # equality h-domain (334 constraints -> 512)
-    rng = np.random.default_rng(11)
-
-    def vecs(B):
-        out = []
-        for _ in range(3):
-            out.append([
-                [int.from_bytes(rng.bytes(32), "little") % R for _ in range(n)]
-                for _ in range(B)
-            ])
-        return out
-
-    from libzkp_tpu.ops.groth16_device import h_batch_device
-
     for B in (16, 64, 170):
-        az, bz, cz = vecs(B)
-        # force satisfiable shape: h degree check needs consistent az*bz-cz
-        # on the coset; instead build cz so az*bz == cz on the eval domain
-        # (h == 0 is fine for timing; correctness is covered by tests)
-        cz = [[az[b][i] * bz[b][i] % R for i in range(n)] for b in range(B)]
-
-        t0 = time.monotonic()
-        host = [
-            native.groth16_h(R, az[b], bz[b], cz[b], 5) for b in range(B)
-        ]
-        t_host = time.monotonic() - t0
-
-        h_batch_device(n, az, bz, cz)  # warm/compile
-        best = 1e9
-        for _ in range(3):
-            t0 = time.monotonic()
-            h_batch_device(n, az, bz, cz)
-            best = min(best, time.monotonic() - t0)
-        verdict = "DEVICE" if best < t_host else "host"
+        t_host = run_bucket(B, device=False)
+        t_dev = run_bucket(B, device=True)
+        verdict = "DEVICE" if t_dev < t_host else "host"
         print(
-            f"B={B:4d}: host {t_host*1e3:8.1f} ms  device {best*1e3:8.1f} ms "
-            f"-> {verdict} ({t_host/best:.2f}x)",
+            f"B={B:4d}: host {t_host*1e3:8.1f} ms  device-h {t_dev*1e3:8.1f} ms"
+            f" -> {verdict} ({t_host/t_dev:.2f}x)",
             flush=True,
         )
 
