@@ -378,6 +378,51 @@ def _use_native_prover() -> bool:
     return native.HAVE_NATIVE and not os.environ.get("LIBZKP_NO_NATIVE_BP")
 
 
+def _use_device_prover(batch: int, n: int) -> bool:
+    """Route the whole batch through the on-device prover (opt-in).
+
+    ``LIBZKP_BP_DEVICE=1`` engages it for 64-bit batches of at least
+    ``LIBZKP_BP_DEVICE_MIN`` (default 128) instances — the measured
+    crossover scale on a tunneled chip (BASELINE.md round 5). Default off:
+    the deployment decision follows the autotune-style measurement, not
+    wishful routing.
+    """
+    if n != 64 or os.environ.get("LIBZKP_BP_DEVICE") != "1":
+        return False
+    return batch >= int(os.environ.get("LIBZKP_BP_DEVICE_MIN", "128"))
+
+
+def _prove_batch_device_grouped(insts, rand):
+    """Whole-pipeline device prover over transcript-position groups."""
+    try:
+        from . import bp_device
+    except Exception:
+        return None
+    per = (2 * 64 + 4) * 64
+    groups: dict = {}
+    for idx, (t, _, _, _) in enumerate(insts):
+        snap = t.strobe.state_bytes()
+        groups.setdefault(snap[200:203], []).append(idx)
+    out: List[Optional[Tuple[RangeProof, bytes]]] = [None] * len(insts)
+    try:
+        for idxs in groups.values():
+            sub = [insts[i] for i in idxs]
+            sub_rand = b"".join(rand[i * per : (i + 1) * per] for i in idxs)
+            res = bp_device.prove_insts_device(sub, rand=sub_rand)
+            for i, (pbytes, v) in zip(idxs, res):
+                rp = RangeProof.from_bytes(pbytes)
+                assert rp is not None, "device prover emitted unparseable proof"
+                out[i] = (rp, v)
+        return out  # type: ignore[return-value]
+    except Exception:
+        import logging
+
+        logging.getLogger(__name__).warning(
+            "device bp prover failed; falling back", exc_info=True
+        )
+        return None
+
+
 def _prove_batch_native(insts, n: int, rand: bytes) -> List[Tuple[RangeProof, bytes]]:
     """Whole-pipeline native batch prover (one call, OMP across proofs)."""
     from .. import native
@@ -426,6 +471,11 @@ def _prove_batch_fixed_n(
 
     for _, value, _, _ in insts:
         assert value < (1 << n)
+
+    if _use_device_prover(m0, n):
+        res = _prove_batch_device_grouped(insts, rand)
+        if res is not None:
+            return res
 
     if _use_native_prover():
         res = _prove_batch_native(insts, n, rand)
