@@ -379,17 +379,42 @@ def _use_native_prover() -> bool:
 
 
 def _use_device_prover(batch: int, n: int) -> bool:
-    """Route the whole batch through the on-device prover (opt-in).
+    """Route the whole batch through the on-device prover.
 
-    ``LIBZKP_BP_DEVICE=1`` engages it for 64-bit batches of at least
-    ``LIBZKP_BP_DEVICE_MIN`` (default 128) instances — the measured
-    crossover scale on a tunneled chip (BASELINE.md round 5). Default off:
-    the deployment decision follows the autotune-style measurement, not
-    wishful routing.
+    Engagement follows measurement, never wishful routing (the round-2
+    lesson): ``LIBZKP_BP_DEVICE=1/0`` forces it; otherwise it engages only
+    when ``scripts/bench_bp_device.py`` has recorded a DEVICE verdict on
+    this machine (``~/.cache/libzkp_tpu/bp_autotune.json``) and the batch
+    reaches the recorded crossover size.
     """
-    if n != 64 or os.environ.get("LIBZKP_BP_DEVICE") != "1":
+    if n != 64:
         return False
-    return batch >= int(os.environ.get("LIBZKP_BP_DEVICE_MIN", "128"))
+    flag = os.environ.get("LIBZKP_BP_DEVICE")
+    if flag == "0":
+        return False
+    min_batch = int(os.environ.get("LIBZKP_BP_DEVICE_MIN", "128"))
+    if flag == "1":
+        return batch >= min_batch
+    rec = _bp_device_record()
+    return (
+        rec is not None
+        and rec.get("verdict") == "device"
+        and batch >= max(min_batch, int(rec.get("min_batch", min_batch)))
+    )
+
+
+def _bp_device_record():
+    import json
+
+    path = os.environ.get(
+        "LIBZKP_BP_TUNE_FILE",
+        os.path.expanduser("~/.cache/libzkp_tpu/bp_autotune.json"),
+    )
+    try:
+        with open(path) as fh:
+            return json.load(fh)
+    except Exception:
+        return None
 
 
 def _prove_batch_device_grouped(insts, rand):

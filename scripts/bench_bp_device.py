@@ -57,12 +57,33 @@ def main():
 
     # verify a sample
     ok = 0
-    for i in range(0, B, max(1, B // 8)):
+    idxs = list(range(0, B, max(1, B // 8)))
+    for i in idxs:
         pb, V = out[i]
         proof = bp.RangeProof.from_bytes(pb)
         t = Transcript(b"libzkp_range_min")
         ok += bool(proof and bp.verify_single(proof, t, V, 64))
-    print(f"verified sample: {ok}/{len(range(0, B, max(1, B // 8)))}", flush=True)
+    print(f"verified sample: {ok}/{len(idxs)}", flush=True)
+
+    # record the verdict for the dispatch gate (models/bulletproofs.py)
+    import json
+
+    assert ok == len(idxs), "device proofs failed verification; not recording"
+    rec = {
+        "verdict": "device" if best < t_host else "host",
+        "device_ms_per_proof": round(best / B * 1e3, 4),
+        "host_ms_per_proof": round(t_host / B * 1e3, 4),
+        "batch": B,
+        "min_batch": 128,
+    }
+    path = os.environ.get(
+        "LIBZKP_BP_TUNE_FILE",
+        os.path.expanduser("~/.cache/libzkp_tpu/bp_autotune.json"),
+    )
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    with open(path, "w") as fh:
+        json.dump(rec, fh, indent=1)
+    print("recorded:", rec, flush=True)
 
 
 if __name__ == "__main__":
