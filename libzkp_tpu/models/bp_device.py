@@ -323,10 +323,15 @@ def prove_insts_device(
         prods = f.mul(a, b)  # (n, nl, B)
         return jax.numpy.sum(prods, axis=0) * 1  # plain add is fine pre-carry?
 
-    # products are relaxed (|limb| <= 2^13.1); summing 64 gives < 2^19.2 —
-    # fine in int32; carry once after
-    t1_s = f.carry(jnp.sum(f.mul(l0, r1), axis=0) + jnp.sum(f.mul(sL_d, r0), axis=0))
-    t2_s = f.carry(jnp.sum(f.mul(sL_d, r1), axis=0))
+    def carry3(x):
+        # products are relaxed; a 64-term sum reaches ~2^19 per limb and can
+        # set the TOP limb, whose wrap spreads ~ONE-sized limbs — one pass
+        # leaves ~2^18 limbs and the next mul's conv overflows int32
+        # (the round-5 lane-divergence bug). Three passes restore <= ~2^13.
+        return f.carry(f.carry(f.carry(x)))
+
+    t1_s = carry3(jnp.sum(f.mul(l0, r1), axis=0) + jnp.sum(f.mul(sL_d, r0), axis=0))
+    t2_s = carry3(jnp.sum(f.mul(sL_d, r1), axis=0))
 
     # -- T1, T2 (device scalars) ------------------------------------------
     def device_msm_2(sc_val, sc_blind):
@@ -348,7 +353,7 @@ def prove_insts_device(
 
     l_vec = f.add(l0, f.mul(sL_d, x[None]))  # (n, nl, B)
     r_vec = f.add(r0, f.mul(r1, x[None]))
-    t_x = f.carry(jnp.sum(f.mul(l_vec, r_vec), axis=0))
+    t_x = carry3(jnp.sum(f.mul(l_vec, r_vec), axis=0))
     x2 = f.mul(x, x)
     t_x_blind = f.add(
         f.mul(z2, gamma_d),
@@ -387,8 +392,8 @@ def prove_insts_device(
         reps = n // m
         a_lo, a_hi = a_v[:half], a_v[half:]
         b_lo, b_hi = b_v[:half], b_v[half:]
-        cL = f.carry(jnp.sum(f.mul(a_lo, b_hi), axis=0))
-        cR = f.carry(jnp.sum(f.mul(a_hi, b_lo), axis=0))
+        cL = carry3(jnp.sum(f.mul(a_lo, b_hi), axis=0))
+        cR = carry3(jnp.sum(f.mul(a_hi, b_lo), axis=0))
         gc_r = gc.reshape(reps, m, nl, B)
         hc_r = hc.reshape(reps, m, nl, B)
         # L: a_lo against G_R block, b_hi against H_L block
