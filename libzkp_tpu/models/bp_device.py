@@ -208,10 +208,20 @@ def prove_insts_device(
 
     from ..ops import curve_jax as cj
 
-    B = len(insts)
-    assert B > 0
+    B0 = len(insts)
+    assert B0 > 0
     n = N_BITS
     assert all(i[3] == n for i in insts), "device prover is 64-bit only"
+    # pad to the shared power-of-two buckets so arbitrary batch sizes reuse
+    # the compiled programs; pad lanes clone lane 0 and are dropped on exit
+    B = cj._pad_batch(B0)
+    if B != B0:
+        insts = list(insts) + [insts[0]] * (B - B0)
+        if rnd is not None:
+            rnd = list(rnd) + [rnd[0]] * (B - B0)
+        if rand is not None:
+            per0 = (2 * n + 4) * 64
+            rand = rand + rand[:per0] * (B - B0)
     transcripts = [i[0] for i in insts]
     values = [i[1] for i in insts]
     blindings = [i[2] for i in insts]
@@ -457,7 +467,7 @@ def prove_insts_device(
     rows.append(V_b)
     blob = np.asarray(jnp.concatenate(rows, axis=0))  # (704, B)
     out = []
-    for bidx in range(B):
+    for bidx in range(B0):  # drop pad lanes
         col = bytes(int(v) & 0xFF for v in blob[:, bidx])
         out.append((col[:672], col[672:704]))
     return out
