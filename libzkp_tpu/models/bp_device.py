@@ -169,6 +169,192 @@ def _pad_digit_windows(dw, Kp: int):
 
 
 # ---------------------------------------------------------------------------
+# jitted compute segments (everything between transcript phases runs as ONE
+# XLA program — eager per-op dispatch over the tunnel costs ~ms each, which
+# made the first working prover ~90 s/batch; segmented it is a handful of
+# async dispatches)
+# ---------------------------------------------------------------------------
+
+
+@functools.lru_cache(maxsize=None)
+def _segs(Kp: int):
+    import jax
+    import jax.numpy as jnp
+
+    sc = sd.get_scalar_ctx()
+    nl = sc.n
+    n = N_BITS
+    consts_np = sc.consts_np
+    one_np = sc.encode([1])[0]
+    two_i_np = sc.encode([pow(2, i, L) for i in range(n)])  # (n, nl)
+
+    def F():
+        return sc.field(jnp.asarray(consts_np))
+
+    def carry3(f, x):
+        # 64-term relaxed sums can set the top limb, whose ONE-sized wrap
+        # needs three passes to settle back under ~2^13 (round-5 bug)
+        return f.carry(f.carry(f.carry(x)))
+
+    def msm2_dw(f, val, blind):
+        stacked = jnp.concatenate(
+            [blind[None], jnp.zeros((2 * n,) + val.shape, val.dtype), val[None]],
+            axis=0,
+        )
+        return _pad_digit_windows(sd.strict_digit_windows(f, sc, stacked), Kp)
+
+    def seg_setup(y_raw, z_raw, aL_d, sL_d, sR_d, t1b, t2b):
+        f = F()
+        y = sd.reduce_wide(f, sc, y_raw)
+        z = sd.reduce_wide(f, sc, z_raw)
+        z2 = f.mul(z, z)
+        one_col = jnp.asarray(one_np)[:, None]
+        y_pows = [jnp.broadcast_to(one_col, z.shape)]
+        for _ in range(1, n):
+            y_pows.append(f.mul(y_pows[-1], y))
+        y_pow = jnp.stack(y_pows, axis=0)
+        two_i = jnp.asarray(two_i_np)
+        l0 = f.sub(aL_d, z[None])
+        aR_z = f.sub(
+            f.add(aL_d, z[None]),
+            jnp.broadcast_to(one_col[None], aL_d.shape),
+        )
+        r0 = f.add(f.mul(y_pow, aR_z), f.mul(z2[None], two_i[:, :, None]))
+        r1 = f.mul(y_pow, sR_d)
+        t1_s = carry3(
+            f, jnp.sum(f.mul(l0, r1), axis=0) + jnp.sum(f.mul(sL_d, r0), axis=0)
+        )
+        t2_s = carry3(f, jnp.sum(f.mul(sL_d, r1), axis=0))
+        dwT1 = msm2_dw(f, t1_s, t1b)
+        dwT2 = msm2_dw(f, t2_s, t2b)
+        return y, z2, l0, r0, r1, dwT1, dwT2
+
+    def seg_after_x(x_raw, l0, r0, r1, sL_d, z2, gamma_d, t1b, t2b, ab, sb):
+        f = F()
+        x = sd.reduce_wide(f, sc, x_raw)
+        l_vec = f.add(l0, f.mul(sL_d, x[None]))
+        r_vec = f.add(r0, f.mul(r1, x[None]))
+        t_x = carry3(f, jnp.sum(f.mul(l_vec, r_vec), axis=0))
+        x2 = f.mul(x, x)
+        t_x_blind = f.add(
+            f.mul(z2, gamma_d), f.add(f.mul(x, t1b), f.mul(x2, t2b))
+        )
+        e_blind = f.add(ab, f.mul(x, sb))
+        tx_r = _limbs_to_byte_rows(_canonical_scalar_rows(f, sc, t_x))
+        txb_r = _limbs_to_byte_rows(_canonical_scalar_rows(f, sc, t_x_blind))
+        eb_r = _limbs_to_byte_rows(_canonical_scalar_rows(f, sc, e_blind))
+        return l_vec, r_vec, tx_r, txb_r, eb_r
+
+    def seg_hc(y_arr):
+        f = F()
+        y_inv = sd.inv_device(f, y_arr)
+        one_col = jnp.asarray(one_np)[:, None]
+        hs = [jnp.broadcast_to(one_col, y_arr.shape)]
+        for _ in range(1, n):
+            hs.append(f.mul(hs[-1], y_inv))
+        B = y_arr.shape[-1]
+        gc = jnp.broadcast_to(one_col[None], (n, nl, B)).astype(jnp.int32) + 0
+        return gc, jnp.stack(hs, axis=0)
+
+    def seg_ipp_pre(w_arr, a_v, b_v, gc, hc):
+        f = F()
+        m = a_v.shape[0]
+        half = m // 2
+        reps = n // m
+        B = a_v.shape[-1]
+        a_lo, a_hi = a_v[:half], a_v[half:]
+        b_lo, b_hi = b_v[:half], b_v[half:]
+        cL = carry3(f, jnp.sum(f.mul(a_lo, b_hi), axis=0))
+        cR = carry3(f, jnp.sum(f.mul(a_hi, b_lo), axis=0))
+        gc_r = gc.reshape(reps, m, nl, B)
+        hc_r = hc.reshape(reps, m, nl, B)
+        zero_row = jnp.zeros((1, nl, B), jnp.int32)
+
+        def scal(a_sel, b_sel, g_side, c):
+            gl = jnp.zeros_like(gc_r)
+            hl = jnp.zeros_like(hc_r)
+            if g_side == "R":  # L point: a_lo vs G_R, b_hi vs H_L
+                gl = gl.at[:, half:].set(
+                    f.mul(jnp.broadcast_to(a_sel[None], (reps, half, nl, B)), gc_r[:, half:])
+                )
+                hl = hl.at[:, :half].set(
+                    f.mul(jnp.broadcast_to(b_sel[None], (reps, half, nl, B)), hc_r[:, :half])
+                )
+            else:
+                gl = gl.at[:, :half].set(
+                    f.mul(jnp.broadcast_to(a_sel[None], (reps, half, nl, B)), gc_r[:, :half])
+                )
+                hl = hl.at[:, half:].set(
+                    f.mul(jnp.broadcast_to(b_sel[None], (reps, half, nl, B)), hc_r[:, half:])
+                )
+            q = f.mul(c, w_arr)
+            return jnp.concatenate(
+                [zero_row, gl.reshape(n, nl, B), hl.reshape(n, nl, B), q[None]],
+                axis=0,
+            )
+
+        dwL = _pad_digit_windows(
+            sd.strict_digit_windows(f, sc, scal(a_lo, b_hi, "R", cL)), Kp
+        )
+        dwR = _pad_digit_windows(
+            sd.strict_digit_windows(f, sc, scal(a_hi, b_lo, "L", cR)), Kp
+        )
+        return dwL, dwR
+
+    def seg_ipp_post(u_raw, a_v, b_v, gc, hc):
+        f = F()
+        m = a_v.shape[0]
+        half = m // 2
+        reps = n // m
+        B = a_v.shape[-1]
+        u = sd.reduce_wide(f, sc, u_raw)
+        u_inv = sd.inv_device(f, u)
+        a_lo, a_hi = a_v[:half], a_v[half:]
+        b_lo, b_hi = b_v[:half], b_v[half:]
+        a2 = f.add(f.mul(a_lo, u[None]), f.mul(a_hi, u_inv[None]))
+        b2 = f.add(f.mul(b_lo, u_inv[None]), f.mul(b_hi, u[None]))
+        gc_r = gc.reshape(reps, m, nl, B)
+        hc_r = hc.reshape(reps, m, nl, B)
+        gc2 = jnp.concatenate(
+            [f.mul(gc_r[:, :half], u_inv[None, None]),
+             f.mul(gc_r[:, half:], u[None, None])], axis=1
+        ).reshape(n, nl, B)
+        hc2 = jnp.concatenate(
+            [f.mul(hc_r[:, :half], u[None, None]),
+             f.mul(hc_r[:, half:], u_inv[None, None])], axis=1
+        ).reshape(n, nl, B)
+        return a2, b2, gc2, hc2
+
+    def seg_w(w_raw):
+        f = F()
+        return sd.reduce_wide(f, sc, w_raw)
+
+    def seg_final(a0, b0):
+        f = F()
+        return (
+            _limbs_to_byte_rows(_canonical_scalar_rows(f, sc, a0)),
+            _limbs_to_byte_rows(_canonical_scalar_rows(f, sc, b0)),
+        )
+
+    from ..ops import curve_jax as cj
+
+    def seg_compress(consts, pts):
+        return _limbs_to_byte_rows(cj._compress_impl(consts, pts), 32)
+
+    jit = (lambda fn: fn) if cj._interpret() else jax.jit
+    return {
+        "setup": jit(seg_setup),
+        "after_x": jit(seg_after_x),
+        "hc": jit(seg_hc),
+        "ipp_pre": jit(seg_ipp_pre),
+        "ipp_post": jit(seg_ipp_post),
+        "w": jit(seg_w),
+        "final": jit(seg_final),
+        "compress": jit(seg_compress),
+    }
+
+
+# ---------------------------------------------------------------------------
 # the batched prover
 # ---------------------------------------------------------------------------
 
@@ -284,186 +470,109 @@ def prove_insts_device(
         )
         return out[..., :B] if Bp != B else out  # (C, n_f, B)
 
+    segs = _segs(Kp)
+    consts_j = _compress_consts_j()
     V_pt = host_msm(v_scals)
     A_pt = host_msm(a_scals)
     S_pt = host_msm(s_scals)
-    V_b = _compress_to_bytes(V_pt)
-    A_b = _compress_to_bytes(A_pt)
-    S_b = _compress_to_bytes(S_pt)
+    V_b = segs["compress"](consts_j, V_pt)
+    A_b = segs["compress"](consts_j, A_pt)
+    S_b = segs["compress"](consts_j, S_pt)
 
-    # -- transcript to y, z ------------------------------------------------
+    # -- transcript to y, z (one jitted phase) -----------------------------
     t = TranscriptDevice.from_transcripts(transcripts)
-    t.append_message(b"dom-sep", b"rangeproof v1")
-    t.append_u64(b"n", n)
-    t.append_u64(b"m", 1)
-    t.append_message(b"V", V_b)
-    t.append_message(b"A", A_b)
-    t.append_message(b"S", S_b)
-    y = sd.reduce_wide(f, sc, t.challenge_bytes(b"y", 64))  # (nl, B)
-    z = sd.reduce_wide(f, sc, t.challenge_bytes(b"z", 64))
-    z2 = f.mul(z, z)
+    y_raw, z_raw = t.run_phase([
+        ("msg", b"dom-sep", b"rangeproof v1"),
+        ("msg", b"n", n.to_bytes(8, "little")),
+        ("msg", b"m", (1).to_bytes(8, "little")),
+        ("msg", b"V", V_b),
+        ("msg", b"A", A_b),
+        ("msg", b"S", S_b),
+        ("chal", b"y", 64),
+        ("chal", b"z", 64),
+    ])
 
     enc1 = lambda vals: jnp.asarray(np.transpose(sc.encode(vals), (1, 0)))
-
-    aL_d = jnp.stack([enc1(aL[i]) for i in range(n)], axis=0)  # (n, nl, B)
-    sL_d = jnp.stack([enc1(s_L[i]) for i in range(n)], axis=0)
-    sR_d = jnp.stack([enc1(s_R[i]) for i in range(n)], axis=0)
+    aL_d = jnp.asarray(
+        np.stack(
+            [np.transpose(sc.encode(aL[i]), (1, 0)) for i in range(n)], axis=0
+        )
+    )  # (n, nl, B)
+    sL_d = jnp.asarray(
+        np.stack([np.transpose(sc.encode(s_L[i]), (1, 0)) for i in range(n)], 0)
+    )
+    sR_d = jnp.asarray(
+        np.stack([np.transpose(sc.encode(s_R[i]), (1, 0)) for i in range(n)], 0)
+    )
     gamma_d = enc1(gamma)
     a_blind_d = enc1(a_blind)
     s_blind_d = enc1(s_blind)
     t1_blind_d = enc1(t1_blind)
     t2_blind_d = enc1(t2_blind)
 
-    # y^i powers, 2^i constants
-    y_pows = [jnp.broadcast_to(jnp.asarray(sc.encode([1])[0])[:, None], z.shape)]
-    for _ in range(1, n):
-        y_pows.append(f.mul(y_pows[-1], y))
-    y_pow = jnp.stack(y_pows, axis=0)  # (n, nl, B)
-    two_i = jnp.asarray(sc.encode([pow(2, i, L) for i in range(n)]))  # (n, nl)
-
-    l0 = f.sub(aL_d, z[None])  # (n, nl, B)
-    aR_z = f.sub(f.add(aL_d, z[None]), jnp.broadcast_to(
-        jnp.asarray(sc.encode([1])[0])[None, :, None], aL_d.shape))
-    r0 = f.add(f.mul(y_pow, aR_z), f.mul(z2[None], two_i[:, :, None]))
-    r1 = f.mul(y_pow, sR_d)
-
-    def inner(a, b):
-        import jax
-
-        prods = f.mul(a, b)  # (n, nl, B)
-        return jax.numpy.sum(prods, axis=0) * 1  # plain add is fine pre-carry?
-
-    def carry3(x):
-        # products are relaxed; a 64-term sum reaches ~2^19 per limb and can
-        # set the TOP limb, whose wrap spreads ~ONE-sized limbs — one pass
-        # leaves ~2^18 limbs and the next mul's conv overflows int32
-        # (the round-5 lane-divergence bug). Three passes restore <= ~2^13.
-        return f.carry(f.carry(f.carry(x)))
-
-    t1_s = carry3(jnp.sum(f.mul(l0, r1), axis=0) + jnp.sum(f.mul(sL_d, r0), axis=0))
-    t2_s = carry3(jnp.sum(f.mul(sL_d, r1), axis=0))
-
-    # -- T1, T2 (device scalars) ------------------------------------------
-    def device_msm_2(sc_val, sc_blind):
-        # scalars: row 0 (B_blinding) = blind, row 2n+1 (B) = value
-        zeros = jnp.zeros((1,) + sc_val.shape, dtype=sc_val.dtype)
-        stacked = jnp.concatenate(
-            [sc_blind[None], jnp.zeros((2 * n,) + sc_val.shape, sc_val.dtype),
-             sc_val[None]], axis=0
-        )  # (K, nl, B)
-        dw = sd.strict_digit_windows(f, sc, stacked)  # (32, K, B)
-        dw = _pad_digit_windows(dw, Kp)
-        return _msm_dw_jit(Kp, B)(table.consts, table.table_int8_packed, dw)
-
-    T1_b = _compress_to_bytes(device_msm_2(t1_s, t1_blind_d))
-    T2_b = _compress_to_bytes(device_msm_2(t2_s, t2_blind_d))
-    t.append_message(b"T_1", T1_b)
-    t.append_message(b"T_2", T2_b)
-    x = sd.reduce_wide(f, sc, t.challenge_bytes(b"x", 64))
-
-    l_vec = f.add(l0, f.mul(sL_d, x[None]))  # (n, nl, B)
-    r_vec = f.add(r0, f.mul(r1, x[None]))
-    t_x = carry3(jnp.sum(f.mul(l_vec, r_vec), axis=0))
-    x2 = f.mul(x, x)
-    t_x_blind = f.add(
-        f.mul(z2, gamma_d),
-        f.add(f.mul(x, t1_blind_d), f.mul(x2, t2_blind_d)),
+    y, z2, l0, r0, r1, dwT1, dwT2 = segs["setup"](
+        y_raw, z_raw, aL_d, sL_d, sR_d, t1_blind_d, t2_blind_d
     )
-    e_blind = f.add(a_blind_d, f.mul(x, s_blind_d))
 
-    tx_c = _canonical_scalar_rows(f, sc, t_x)
-    txb_c = _canonical_scalar_rows(f, sc, t_x_blind)
-    eb_c = _canonical_scalar_rows(f, sc, e_blind)
-    t.append_message(b"t_x", _limbs_to_byte_rows(tx_c))
-    t.append_message(b"t_x_blinding", _limbs_to_byte_rows(txb_c))
-    t.append_message(b"e_blinding", _limbs_to_byte_rows(eb_c))
-    w = sd.reduce_wide(f, sc, t.challenge_bytes(b"w", 64))
+    run = _msm_dw_jit(Kp, B)
+    T1_b = segs["compress"](
+        consts_j, run(table.consts, table.table_int8_packed, dwT1)
+    )
+    T2_b = segs["compress"](
+        consts_j, run(table.consts, table.table_int8_packed, dwT2)
+    )
+    (x_raw,) = t.run_phase([
+        ("msg", b"T_1", T1_b),
+        ("msg", b"T_2", T2_b),
+        ("chal", b"x", 64),
+    ])
 
-    # -- IPP ---------------------------------------------------------------
-    t.append_message(b"dom-sep", b"ipp v1")
-    t.append_u64(b"n", n)
+    l_vec, r_vec, tx_r, txb_r, eb_r = segs["after_x"](
+        x_raw, l0, r0, r1, sL_d, z2, gamma_d, t1_blind_d, t2_blind_d,
+        a_blind_d, s_blind_d,
+    )
+    (w_raw,) = t.run_phase([
+        ("msg", b"t_x", tx_r),
+        ("msg", b"t_x_blinding", txb_r),
+        ("msg", b"e_blinding", eb_r),
+        ("chal", b"w", 64),
+        ("msg", b"dom-sep", b"ipp v1"),
+        ("msg", b"n", n.to_bytes(8, "little")),
+    ])
+    w = segs["w"](w_raw)
+    gc, hc = segs["hc"](y)
 
-    y_inv = sd.inv_device(f, y)
-    h_factors = [y_pows[0]]
-    for _ in range(1, n):
-        h_factors.append(f.mul(h_factors[-1], y_inv))
-    gc = jnp.broadcast_to(
-        jnp.asarray(sc.encode([1])[0])[None, :, None], (n, nl, B)
-    ).astype(jnp.int32) * 1
-    hc = jnp.stack(h_factors, axis=0)  # (n, nl, B)
-
-    a_v = l_vec
-    b_v = r_vec
+    a_v, b_v = l_vec, r_vec
     L_bytes: List = []
     R_bytes: List = []
     m = n
     while m > 1:
-        half = m // 2
-        reps = n // m
-        a_lo, a_hi = a_v[:half], a_v[half:]
-        b_lo, b_hi = b_v[:half], b_v[half:]
-        cL = carry3(jnp.sum(f.mul(a_lo, b_hi), axis=0))
-        cR = carry3(jnp.sum(f.mul(a_hi, b_lo), axis=0))
-        gc_r = gc.reshape(reps, m, nl, B)
-        hc_r = hc.reshape(reps, m, nl, B)
-        # L: a_lo against G_R block, b_hi against H_L block
-        gl = jnp.zeros_like(gc_r)
-        gl = gl.at[:, half:].set(f.mul(jnp.broadcast_to(a_lo[None], (reps, half, nl, B)), gc_r[:, half:]))
-        hl = jnp.zeros_like(hc_r)
-        hl = hl.at[:, :half].set(f.mul(jnp.broadcast_to(b_hi[None], (reps, half, nl, B)), hc_r[:, :half]))
-        qL = f.mul(cL, w)
-        zero_row = jnp.zeros((1, nl, B), jnp.int32)
-        scal_L = jnp.concatenate(
-            [zero_row, gl.reshape(n, nl, B), hl.reshape(n, nl, B), qL[None]],
-            axis=0,
-        )  # (K, nl, B)
-        # R: a_hi against G_L, b_lo against H_R
-        gr = jnp.zeros_like(gc_r)
-        gr = gr.at[:, :half].set(f.mul(jnp.broadcast_to(a_hi[None], (reps, half, nl, B)), gc_r[:, :half]))
-        hr = jnp.zeros_like(hc_r)
-        hr = hr.at[:, half:].set(f.mul(jnp.broadcast_to(b_lo[None], (reps, half, nl, B)), hc_r[:, half:]))
-        qR = f.mul(cR, w)
-        scal_R = jnp.concatenate(
-            [zero_row, gr.reshape(n, nl, B), hr.reshape(n, nl, B), qR[None]],
-            axis=0,
+        dwL, dwR = segs["ipp_pre"](w, a_v, b_v, gc, hc)
+        Lb = segs["compress"](
+            consts_j, run(table.consts, table.table_int8_packed, dwL)
         )
-        dwL = _pad_digit_windows(sd.strict_digit_windows(f, sc, scal_L), Kp)
-        dwR = _pad_digit_windows(sd.strict_digit_windows(f, sc, scal_R), Kp)
-        run = _msm_dw_jit(Kp, B)
-        Lb = _compress_to_bytes(run(table.consts, table.table_int8_packed, dwL))
-        Rb = _compress_to_bytes(run(table.consts, table.table_int8_packed, dwR))
+        Rb = segs["compress"](
+            consts_j, run(table.consts, table.table_int8_packed, dwR)
+        )
         L_bytes.append(Lb)
         R_bytes.append(Rb)
-        t.append_message(b"L", Lb)
-        t.append_message(b"R", Rb)
-        u = sd.reduce_wide(f, sc, t.challenge_bytes(b"u", 64))
-        u_inv = sd.inv_device(f, u)
-        a_v = f.add(f.mul(a_lo, u[None]), f.mul(a_hi, u_inv[None]))
-        b_v = f.add(f.mul(b_lo, u_inv[None]), f.mul(b_hi, u[None]))
-        gc_new = jnp.concatenate(
-            [f.mul(gc_r[:, :half], u_inv[None, None]),
-             f.mul(gc_r[:, half:], u[None, None])], axis=1
-        )
-        hc_new = jnp.concatenate(
-            [f.mul(hc_r[:, :half], u[None, None]),
-             f.mul(hc_r[:, half:], u_inv[None, None])], axis=1
-        )
-        gc = gc_new.reshape(n, nl, B)
-        hc = hc_new.reshape(n, nl, B)
-        m = half
+        (u_raw,) = t.run_phase([
+            ("msg", b"L", Lb),
+            ("msg", b"R", Rb),
+            ("chal", b"u", 64),
+        ])
+        a_v, b_v, gc, hc = segs["ipp_post"](u_raw, a_v, b_v, gc, hc)
+        m //= 2
 
-    a_fin = _canonical_scalar_rows(f, sc, a_v[0])
-    b_fin = _canonical_scalar_rows(f, sc, b_v[0])
+    a_rows, b_rows = segs["final"](a_v[0], b_v[0])
 
     # -- assemble: (704, B) byte rows, one fetch ---------------------------
-    rows = [A_b, S_b, T1_b, T2_b,
-            _limbs_to_byte_rows(tx_c), _limbs_to_byte_rows(txb_c),
-            _limbs_to_byte_rows(eb_c)]
+    rows = [A_b, S_b, T1_b, T2_b, tx_r, txb_r, eb_r]
     for Lb, Rb in zip(L_bytes, R_bytes):
         rows.append(Lb)
         rows.append(Rb)
-    rows.append(_limbs_to_byte_rows(a_fin))
-    rows.append(_limbs_to_byte_rows(b_fin))
+    rows.append(a_rows)
+    rows.append(b_rows)
     rows.append(V_b)
     blob = np.asarray(jnp.concatenate(rows, axis=0))  # (704, B)
     out = []

@@ -121,6 +121,49 @@ def keccak_f1600_device(state: List):
     return a
 
 
+@functools.lru_cache(maxsize=None)
+def _phase_jit(statics, sig, const_msgs, B: int):
+    """Compile one transcript phase; returns (jitted fn, meta with the
+    post-phase (pos, pos_begin, cur_flags) captured at trace time).
+
+    ``sig``: tuple of ("msg_const", label, None) / ("msg", label, L) /
+    ("chal", label, nbytes); ``const_msgs``: the lane-constant message
+    bytes in schedule order.
+    """
+    import jax
+
+    pos0, begin0, flags0, shape = statics
+    meta: dict = {}
+
+    def replay(state_tuple, *data):
+        st = StrobeDevice.__new__(StrobeDevice)
+        st.B = B
+        st.shape = shape
+        st.state = list(state_tuple)
+        st.pos, st.pos_begin, st.cur_flags = pos0, begin0, flags0
+        t = TranscriptDevice.__new__(TranscriptDevice)
+        t.strobe = st
+        t.B = B
+        chals = []
+        d_it = iter(data)
+        c_it = iter(const_msgs)
+        for kind, label, spec in sig:
+            if kind == "msg_const":
+                t.append_message(label, next(c_it))
+            elif kind == "msg":
+                t.append_message(label, next(d_it))
+            else:  # chal
+                chals.append(t.challenge_bytes(label, spec))
+        meta["post"] = (st.pos, st.pos_begin, st.cur_flags)
+        return tuple(st.state), tuple(chals)
+
+    from .blake3_device import _use_jit
+
+    # jit still traces on the first call (only the backend compile is
+    # cached), so meta["post"] is always populated before it is read.
+    return (jax.jit(replay) if _use_jit() else replay), meta
+
+
 @functools.lru_cache(maxsize=1)
 def _perm_jit():
     """Jitted permutation: ~7k-op graph compiled once per word shape —
@@ -303,6 +346,39 @@ class TranscriptDevice:
         )
         self.B = self.strobe.B
         return self
+
+    def run_phase(self, ops):
+        """Execute a batch of transcript ops as ONE jitted program.
+
+        ``ops``: list of ``("msg", label, message)`` (message: bytes or an
+        (L, B) device byte array) and ``("chal", label, nbytes)`` entries.
+        Returns the challenge arrays in order. Eagerly dispatching the
+        ~10^2 byte-level ops per phase costs ~ms each over the tunnel; one
+        jit per (schedule, entry-position) is compiled once and cached.
+        """
+        import jax
+
+        st = self.strobe
+        statics = (st.pos, st.pos_begin, st.cur_flags, st.shape)
+        sig = []
+        const_msgs = []
+        data = []
+        for kind, label, m in ops:
+            if kind == "msg" and isinstance(m, (bytes, bytearray)):
+                sig.append(("msg_const", label, None))
+                const_msgs.append(bytes(m))
+            elif kind == "msg":
+                sig.append(("msg", label, int(m.shape[0])))
+                data.append(m)
+            else:
+                sig.append(("chal", label, int(m)))
+        fn, meta = _phase_jit(
+            statics, tuple(sig), tuple(const_msgs), self.B
+        )
+        new_state, chals = fn(tuple(st.state), *data)
+        st.state = list(new_state)
+        st.pos, st.pos_begin, st.cur_flags = meta["post"]
+        return chals
 
     def append_message(self, label: bytes, message) -> None:
         """message: bytes (lane-constant) or (L, B) device byte array."""
