@@ -575,8 +575,9 @@ def prove_insts_device(
     rows.append(b_rows)
     rows.append(V_b)
     blob = np.asarray(jnp.concatenate(rows, axis=0))  # (704, B)
+    cols = np.ascontiguousarray(blob.astype(np.uint8).T)  # (B, 704)
     out = []
     for bidx in range(B0):  # drop pad lanes
-        col = bytes(int(v) & 0xFF for v in blob[:, bidx])
+        col = cols[bidx].tobytes()
         out.append((col[:672], col[672:704]))
     return out
