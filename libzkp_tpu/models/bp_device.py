@@ -29,7 +29,7 @@ import numpy as np
 from ..ops import ed25519 as ed
 from ..ops import scalar_device as sd
 from ..ops.keccak_device import TranscriptDevice
-from ..ops.limbfold import LIMB_BITS, FieldOps
+from ..ops.limbfold import LIMB_BITS, FieldOps, backend_cached
 from . import bp_generators as gens
 
 L = ed.L
@@ -133,8 +133,8 @@ def _basis_table(n_bits: int):
                           host_points=pts), len(pts)
 
 
-@functools.lru_cache(maxsize=None)
-def _msm_dw_jit(Kp: int, B: int):
+@backend_cached
+def _msm_dw_jit(_backend, Kp: int, B: int):
     """v3 MSM driver entry taking device digit windows (NWIN, Kp, B)."""
     import jax
     import jax.numpy as jnp
@@ -176,8 +176,8 @@ def _pad_digit_windows(dw, Kp: int):
 # ---------------------------------------------------------------------------
 
 
-@functools.lru_cache(maxsize=None)
-def _segs(Kp: int):
+@backend_cached
+def _segs(_backend, Kp: int):
     import jax
     import jax.numpy as jnp
 

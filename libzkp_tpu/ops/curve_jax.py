@@ -34,7 +34,7 @@ from typing import List, Sequence, Tuple
 
 import numpy as np
 
-from .limbfold import FieldOps, FoldCtx, get_fold_ctx
+from .limbfold import FieldOps, FoldCtx, backend_cached, get_fold_ctx
 
 SCALAR_BYTES = 32
 NWIN = SCALAR_BYTES
@@ -45,7 +45,9 @@ B_TILE = 256  # batch lanes per Pallas grid step
 def _interpret() -> bool:
     import jax
 
-    return jax.default_backend() == "cpu"
+    from .limbfold import FORCE_INTERPRET
+
+    return FORCE_INTERPRET[0] or jax.default_backend() == "cpu"
 
 
 # ---------------------------------------------------------------------------
@@ -358,8 +360,8 @@ def _tree_reduce(add_fn, v):
     return v[0]
 
 
-@functools.lru_cache(maxsize=None)
-def _window_sum_call(curve: str, Kp: int, B: int):
+@backend_cached
+def _window_sum_call(_backend, curve: str, Kp: int, B: int):
     """pallas_call: (consts, pts (Kp,C,n,B)) -> (C,n,B) tree sum.
 
     Grid: (B tiles, K chunks); the K axis accumulates into the revisited
@@ -425,8 +427,8 @@ def _window_sum_call(curve: str, Kp: int, B: int):
     return call
 
 
-@functools.lru_cache(maxsize=None)
-def _horner_call(curve: str, B: int):
+@backend_cached
+def _horner_call(_backend, curve: str, B: int):
     """pallas_call: (consts, acc, wsum) -> 2^8 * acc + wsum, blocks over B."""
     import jax
     import jax.numpy as jnp
@@ -476,8 +478,8 @@ def _horner_call(curve: str, B: int):
     return call
 
 
-@functools.lru_cache(maxsize=None)
-def _pair_add_call(curve: str, K: int):
+@backend_cached
+def _pair_add_call(_backend, curve: str, K: int):
     """pallas_call: (consts, p (C,n,K), q (C,n,K)) -> p+q (table build step)."""
     import jax
     import jax.numpy as jnp
@@ -522,8 +524,8 @@ def _pad_batch(B: int) -> int:
     return ((B + 1023) // 1024) * 1024
 
 
-@functools.lru_cache(maxsize=None)
-def _msm_jit(curve: str, Kp: int, B: int):
+@backend_cached
+def _msm_jit(_backend, curve: str, Kp: int, B: int):
     import jax
     import jax.numpy as jnp
 
@@ -567,8 +569,8 @@ def _msm_jit(curve: str, Kp: int, B: int):
     return run
 
 
-@functools.lru_cache(maxsize=None)
-def _msm_jit_v2(curve: str, Kp: int, B: int):
+@backend_cached
+def _msm_jit_v2(_backend, curve: str, Kp: int, B: int):
     """v2 MSM driver: the window gather runs as an int8 one-hot batched
     matmul on the MXU instead of an XLA row gather.
 
@@ -620,8 +622,8 @@ def _msm_jit_v2(curve: str, Kp: int, B: int):
     return run
 
 
-@functools.lru_cache(maxsize=None)
-def _window_fused_call(curve: str, Kp: int, B: int):
+@backend_cached
+def _window_fused_call(_backend, curve: str, Kp: int, B: int):
     """pallas_call: fused one-hot int8 MXU gather + tree window-sum.
 
     (consts, packedT (Kp, 2*CN, 256) i8, dig (Kp, B) i32) -> (C, n, B) i32.
@@ -731,8 +733,8 @@ def _window_fused_call(curve: str, Kp: int, B: int):
 WIN_GROUP = 4  # windows gathered per MXU dot in the v4 kernel
 
 
-@functools.lru_cache(maxsize=None)
-def _window_fused4_call(curve: str, Kp: int, B: int):
+@backend_cached
+def _window_fused4_call(_backend, curve: str, Kp: int, B: int):
     """Fused gather + tree for WIN_GROUP windows at once.
 
     (consts, packedT (Kp,2CN,256) i8, dig (WG, Kp, B) i32) -> (C, n, WG*B).
@@ -835,8 +837,8 @@ def _window_fused4_call(curve: str, Kp: int, B: int):
     return call
 
 
-@functools.lru_cache(maxsize=None)
-def _horner4_call(curve: str, B: int):
+@backend_cached
+def _horner4_call(_backend, curve: str, B: int):
     """(consts, acc (C,n,B), wsums (C,n,WG*B)) -> WG Horner steps."""
     import jax
     import jax.numpy as jnp
@@ -897,8 +899,8 @@ def _horner4_call(curve: str, B: int):
     return call
 
 
-@functools.lru_cache(maxsize=None)
-def _msm_jit_v4(curve: str, Kp: int, B: int):
+@backend_cached
+def _msm_jit_v4(_backend, curve: str, Kp: int, B: int):
     """v4 MSM driver: WIN_GROUP windows per fused gather+tree kernel."""
     import jax
     import jax.numpy as jnp
@@ -926,8 +928,8 @@ def _msm_jit_v4(curve: str, Kp: int, B: int):
     return run
 
 
-@functools.lru_cache(maxsize=None)
-def _msm_jit_v3(curve: str, Kp: int, B: int):
+@backend_cached
+def _msm_jit_v3(_backend, curve: str, Kp: int, B: int):
     """v3 MSM driver: fused in-kernel int8 MXU gather + tree sum per window."""
     import jax
     import jax.numpy as jnp
@@ -961,8 +963,8 @@ def _msm_impl() -> str:
     return "v1" if _interpret() else "v4"
 
 
-@functools.lru_cache(maxsize=None)
-def _table_build_jit(curve: str, K: int):
+@backend_cached
+def _table_build_jit(_backend, curve: str, K: int):
     import jax
     import jax.numpy as jnp
 
@@ -1214,6 +1216,27 @@ def msm_many_sharded(table: DeviceTable, scalar_vecs, mesh=None):
     shard = mesh.shape["shard"]
     if dp * shard <= 1:
         return msm_many(table, scalar_vecs)
+    if next(iter(mesh.devices.flat)).platform == "cpu":
+        # virtual CPU mesh while the process default backend is an
+        # accelerator (dryrun/tests): kernels must build interpret variants
+        from .limbfold import force_interpret
+
+        with force_interpret():
+            return _msm_many_sharded_impl(table, scalar_vecs, mesh)
+    return _msm_many_sharded_impl(table, scalar_vecs, mesh)
+
+
+def _msm_many_sharded_impl(table: DeviceTable, scalar_vecs, mesh):
+    import jax
+    import jax.numpy as jnp
+    from jax.sharding import PartitionSpec as P
+
+    from jax import shard_map
+
+    from ..parallel import mesh as meshmod
+
+    dp = mesh.shape["dp"]
+    shard = mesh.shape["shard"]
 
     B = len(scalar_vecs)
     if B == 0:
@@ -1484,8 +1507,8 @@ def _compress_impl(consts, pts):
     return jnp.where((s_c[..., 0, :] & 1)[..., None, :] == 1, s_neg_c, s_c)
 
 
-@functools.lru_cache(maxsize=None)
-def _compress_jit(B: int):
+@backend_cached
+def _compress_jit(_backend, B: int):
     import jax
 
     if _interpret():
@@ -1584,8 +1607,8 @@ def _decompress_impl(consts, s):
     return ok, x, y_c, t_c
 
 
-@functools.lru_cache(maxsize=None)
-def _decompress_jit(B: int):
+@backend_cached
+def _decompress_jit(_backend, B: int):
     import jax
 
     if _interpret():

@@ -30,6 +30,7 @@ from typing import List, Sequence
 import numpy as np
 
 from .keccak import ROUND_CONSTANTS, ROTATION
+from .limbfold import backend_cached
 
 STROBE_R = 166
 
@@ -121,8 +122,8 @@ def keccak_f1600_device(state: List):
     return a
 
 
-@functools.lru_cache(maxsize=None)
-def _phase_jit(statics, sig, const_msgs, B: int):
+@backend_cached
+def _phase_jit(_backend, statics, sig, const_msgs, B: int):
     """Compile one transcript phase; returns (jitted fn, meta with the
     post-phase (pos, pos_begin, cur_flags) captured at trace time).
 
@@ -164,8 +165,8 @@ def _phase_jit(statics, sig, const_msgs, B: int):
     return (jax.jit(replay) if _use_jit() else replay), meta
 
 
-@functools.lru_cache(maxsize=1)
-def _perm_jit():
+@backend_cached
+def _perm_jit(_backend=None):
     """Jitted permutation: ~7k-op graph compiled once per word shape —
     eager per-op dispatch of 24 unrolled rounds dominates otherwise.
     XLA:CPU compiles the unrolled graph pathologically (like the BLAKE3

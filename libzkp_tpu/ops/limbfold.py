@@ -104,6 +104,52 @@ def get_fold_ctx(p: int) -> FoldCtx:
     return FoldCtx(p)
 
 
+# Context flag: code paths that run a jitted program over an explicit CPU
+# device mesh (the multichip dryrun, virtual-mesh tests) while the process's
+# DEFAULT backend is an accelerator set this so kernel factories build their
+# interpret/jnp variants. Consulted by curve_jax._interpret() and included
+# in every backend_cached key.
+FORCE_INTERPRET = [False]
+
+
+class force_interpret:
+    """with force_interpret(): build/run kernels in CPU-interpret mode."""
+
+    def __enter__(self):
+        self._old = FORCE_INTERPRET[0]
+        FORCE_INTERPRET[0] = True
+
+    def __exit__(self, *exc):
+        FORCE_INTERPRET[0] = self._old
+
+
+def backend_cached(fn):
+    """lru_cache keyed ALSO on the active jax backend.
+
+    The kernel factories bake the interpret-vs-compiled decision (and
+    backend-sensitive lowering choices) into the built callable at cache
+    time; a process that touches the TPU backend and then switches to the
+    virtual CPU mesh (the multichip dryrun, mixed test setups) must not be
+    served the other backend's build.
+    """
+    cached = functools.lru_cache(maxsize=None)(fn)
+
+    @functools.wraps(fn)
+    def wrapper(*args):
+        import jax
+
+        try:
+            backend = jax.default_backend()
+        except Exception:
+            backend = "cpu"
+        if FORCE_INTERPRET[0]:
+            backend = "cpu"
+        return cached(backend, *args)
+
+    wrapper.cache_clear = cached.cache_clear  # type: ignore[attr-defined]
+    return wrapper
+
+
 @functools.lru_cache(maxsize=None)
 def _eager_mul(n: int):
     import jax

@@ -25,6 +25,7 @@ from typing import List, Sequence, Tuple
 import numpy as np
 
 from .field import F128
+from .limbfold import backend_cached
 from .limb import LIMB_BITS, LimbContext, _int_to_limbs, get_context
 
 P128 = F128.p
@@ -110,8 +111,8 @@ def limbs_to_u32_words(x, nbytes: int = 16):
 # ---------------------------------------------------------------------------
 
 
-@functools.lru_cache(maxsize=None)
-def _lde_commit_jitted(p: int, n: int, blowup: int, offset: int):
+@backend_cached
+def _lde_commit_jitted(_backend, p: int, n: int, blowup: int, offset: int):
     """(B, n, limbs) canonical traces -> (coeffs, lde, lde_words, leaf_cvs).
 
     coeffs/lde: relaxed limb arrays (as _coset_lde_jitted); lde_words:
