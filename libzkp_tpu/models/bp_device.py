@@ -514,13 +514,16 @@ def prove_insts_device(
         y_raw, z_raw, aL_d, sL_d, sR_d, t1_blind_d, t2_blind_d
     )
 
+    # T1/T2 (and each round's L/R below) share the basis: run them as ONE
+    # double-wide MSM batch + one compress — same compiled programs as a
+    # 2B-lane prove, half the dispatches
     run = _msm_dw_jit(Kp, B)
-    T1_b = segs["compress"](
-        consts_j, run(table.consts, table.table_int8_packed, dwT1)
+    run2 = _msm_dw_jit(Kp, 2 * B)
+    dwT = jnp.concatenate([dwT1, dwT2], axis=2)  # (32, Kp, 2B)
+    Tb = segs["compress"](
+        consts_j, run2(table.consts, table.table_int8_packed, dwT)
     )
-    T2_b = segs["compress"](
-        consts_j, run(table.consts, table.table_int8_packed, dwT2)
-    )
+    T1_b, T2_b = Tb[:, :B], Tb[:, B:]
     (x_raw,) = t.run_phase([
         ("msg", b"T_1", T1_b),
         ("msg", b"T_2", T2_b),
@@ -548,12 +551,11 @@ def prove_insts_device(
     m = n
     while m > 1:
         dwL, dwR = segs["ipp_pre"](w, a_v, b_v, gc, hc)
-        Lb = segs["compress"](
-            consts_j, run(table.consts, table.table_int8_packed, dwL)
+        dwLR = jnp.concatenate([dwL, dwR], axis=2)
+        LRb = segs["compress"](
+            consts_j, run2(table.consts, table.table_int8_packed, dwLR)
         )
-        Rb = segs["compress"](
-            consts_j, run(table.consts, table.table_int8_packed, dwR)
-        )
+        Lb, Rb = LRb[:, :B], LRb[:, B:]
         L_bytes.append(Lb)
         R_bytes.append(Rb)
         (u_raw,) = t.run_phase([
