@@ -203,16 +203,29 @@ def _segs(_backend, Kp: int):
         )
         return _pad_digit_windows(sd.strict_digit_windows(f, sc, stacked), Kp)
 
+    def pow_stack(f, base):
+        """[base^0 .. base^(n-1)] as (n, nl, B) via log-depth doubling:
+        6 batched muls instead of a 63-step sequential chain (these small
+        muls are latency-bound on the device)."""
+        one_col = jnp.asarray(one_np)[:, None]
+        stack = jnp.stack(
+            [jnp.broadcast_to(one_col, base.shape), base], axis=0
+        )  # powers 0..1
+        step_pow = base
+        while stack.shape[0] < n:
+            step_pow = f.mul(step_pow, step_pow) if stack.shape[0] > 2 else f.mul(base, base)
+            stack = jnp.concatenate(
+                [stack, f.mul(stack, step_pow[None])], axis=0
+            )[:n]
+        return stack
+
     def seg_setup(y_raw, z_raw, aL_d, sL_d, sR_d, t1b, t2b):
         f = F()
         y = sd.reduce_wide(f, sc, y_raw)
         z = sd.reduce_wide(f, sc, z_raw)
         z2 = f.mul(z, z)
         one_col = jnp.asarray(one_np)[:, None]
-        y_pows = [jnp.broadcast_to(one_col, z.shape)]
-        for _ in range(1, n):
-            y_pows.append(f.mul(y_pows[-1], y))
-        y_pow = jnp.stack(y_pows, axis=0)
+        y_pow = pow_stack(f, y)
         two_i = jnp.asarray(two_i_np)
         l0 = f.sub(aL_d, z[None])
         aR_z = f.sub(
@@ -249,12 +262,9 @@ def _segs(_backend, Kp: int):
         f = F()
         y_inv = sd.inv_device(f, y_arr)
         one_col = jnp.asarray(one_np)[:, None]
-        hs = [jnp.broadcast_to(one_col, y_arr.shape)]
-        for _ in range(1, n):
-            hs.append(f.mul(hs[-1], y_inv))
         B = y_arr.shape[-1]
         gc = jnp.broadcast_to(one_col[None], (n, nl, B)).astype(jnp.int32) + 0
-        return gc, jnp.stack(hs, axis=0)
+        return gc, pow_stack(f, y_inv)
 
     def seg_ipp_pre(w_arr, a_v, b_v, gc, hc):
         f = F()
