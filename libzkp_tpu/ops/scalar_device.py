@@ -38,11 +38,19 @@ class ScalarDeviceCtx:
 
     def __init__(self):
         self.ctx = get_fold_ctx(L_ORDER)
-        self.n = self.ctx.n  # 22
+        self.n = self.ctx.n  # 24 (8-aligned)
         assert _FOLD_LIMB * LIMB_BITS == 252 and _FOLD_LIMB < self.n
         self.delta_limbs = int_to_limbs(DELTA, self.n)
         self.bias_limbs = int_to_limbs(4 * L_ORDER, self.n)
         self.c256_limbs = int_to_limbs(pow(2, 256, L_ORDER), self.n)
+        # NOTE (round 5): a floors-redistributed bias (to replace the n+2
+        # borrow-cascade passes below with ~3 positive-only passes) is
+        # STRUCTURALLY IMPOSSIBLE for l: every small multiple c*l is
+        # 2^252-dominated with zero limbs in rows 11..20, and moving one
+        # row-16 unit down exceeds rows 0..15's total digit capacity by
+        # exactly 1 — so any floor at the delta-fold rows forces a 4095-run
+        # that single carry passes ripple through one row per pass. Caught
+        # by tests/test_scalar_device.py::test_digit_windows_adversarial_values.
         # consts block rows: [ONE, FOLD(n+2), delta, bias, c256]
         self.consts_np = self.ctx.consts_block(
             [self.delta_limbs, self.bias_limbs, self.c256_limbs]

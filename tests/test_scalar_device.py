@@ -91,3 +91,36 @@ def test_reduce_wide_matches_int(ctx):
     got = _dec(ctx, out)
     want = [int.from_bytes(r, "little") % L for r in raws]
     assert got == want
+
+
+def test_digit_windows_adversarial_values(ctx):
+    """Worst-case values for the floors-biased strict normalization: top
+    limbs saturated, values just above/below multiples of l, and long
+    relaxed chains (the round-5 carry-bound regression class)."""
+    consts = jnp.asarray(ctx.consts_np)
+    f = ctx.field(consts)
+    special = [
+        0, 1, L - 1, L - 2, (1 << 252) - 1, 1 << 252, (1 << 252) + 1,
+        sd.DELTA, L - sd.DELTA,
+        int("fff" * 21, 16) % L,  # all-0xFFF limb pattern
+        (1 << 251) + (1 << 128),
+    ]
+    rng = np.random.default_rng(5)
+    special += [int.from_bytes(rng.bytes(32), "little") % L for _ in range(5)]
+    X = _enc(ctx, special)
+    # drive limbs into the worst RELAXED state: a 64-term product sum
+    # followed by three carries (the prover's exact pattern), then more muls
+    terms = jnp.stack([f.mul(X, X) for _ in range(64)], axis=0)
+    import jax
+
+    summed = jnp.sum(terms, axis=0)
+    relaxed = f.carry(f.carry(f.carry(summed)))
+    relaxed = f.mul(relaxed, X)
+    want = [pow(x, 2, L) * 64 % L * x % L for x in special]
+    dw = np.asarray(jax.jit(lambda a: sd.strict_digit_windows(f, ctx, a))(relaxed))
+    assert dw.min() >= 0 and dw.max() <= 255
+    for b, x in enumerate(special):
+        v = 0
+        for row in dw[:, b]:
+            v = (v << 8) + int(row)
+        assert v % L == want[b], f"value {x:#x}"
